@@ -1,0 +1,64 @@
+"""Model hyperparameters.
+
+Mirrors the reference's ``vit_hparams`` struct (vit.h:20-37) and its
+precedence rules (§5 of SURVEY.md): compiled defaults < model-file hparams
+< CLI overrides. The defaults below are the reference's ViT-B/8 defaults
+(vit.h:22-30).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class VitHParams:
+    """Hyperparameters of a ViT checkpoint.
+
+    Field order of the first six ints matches the on-disk hparam block of the
+    model file format (SURVEY.md §2.3; reference convert-pth-to-ggml.py:96-109,
+    vit.cpp:335-340).
+    """
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    num_classes: int = 1000
+    patch_size: int = 8
+    img_size: int = 224
+    ftype: int = 1
+    eps: float = 1e-6
+    interpolation: str = "bicubic"
+    # ViTSTR extension (reference extensions/vitstr.cpp): sequence-decoding
+    # head over the first `seq_len` tokens of a single-channel model.
+    in_chans: int = 3
+    seq_len: Optional[int] = None  # None => CLS classification head
+
+    @property
+    def n_patches_side(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def n_patches(self) -> int:
+        s = self.n_patches_side
+        return s * s
+
+    @property
+    def n_tokens(self) -> int:
+        """Sequence length including the CLS token (vit.cpp:791-797)."""
+        return self.n_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        # The reference family always uses a 4x MLP (vit.cpp:556-560).
+        return 4 * self.hidden_size
+
+    def expected_tensor_count(self) -> int:
+        """Number of tensors in a checkpoint: 8 global + 12 per layer
+        (vit.cpp:697-701; README.md:77 cites 152 for 12-layer models)."""
+        return 8 + 12 * self.num_hidden_layers

@@ -1,0 +1,6 @@
+from vit_cpp_tpu.quant.blocks import (  # noqa: F401
+    dequantize,
+    quantize,
+    quantize_with_hist,
+    unpack_soa,
+)

@@ -1,0 +1,112 @@
+"""Synthetic checkpoint generation in the reference tensor-name schema.
+
+Generates a random state dict with the exact tensor names, shapes and dtype
+rules of the reference converter (SURVEY.md §2.4; convert-pth-to-ggml.py:
+141-156), so file-format, loader and forward-parity tests can run without
+downloading pretrained timm weights (the environment has no network egress).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+
+from vit_cpp_tpu.gguf.dtypes import GGMLDType
+from vit_cpp_tpu.gguf.writer import write_model
+from vit_cpp_tpu.hparams import VitHParams
+
+# Reference converter dtype rule (convert-pth-to-ggml.py:141-148): at ftype=1
+# every tensor with ndim != 1 is f16 except pos_embed/cls_token (kept f32).
+_KEEP_F32 = ("pos_embed", "cls_token")
+
+
+def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
+    """Torch-order shapes for every tensor of a ViT checkpoint (§2.4)."""
+    h, L, c = hp.hidden_size, hp.num_hidden_layers, hp.num_classes
+    shapes = {
+        "pos_embed": (1, hp.n_tokens, h),
+        "cls_token": (1, 1, h),
+        "patch_embed.proj.weight": (h, hp.in_chans, hp.patch_size, hp.patch_size),
+        # The converter reshapes the conv bias to (1, C, 1, 1)
+        # (convert-pth-to-ggml.py:150-151).
+        "patch_embed.proj.bias": (1, h, 1, 1),
+    }
+    for i in range(L):
+        p = f"blocks.{i}."
+        shapes.update(
+            {
+                p + "norm1.weight": (h,),
+                p + "norm1.bias": (h,),
+                p + "attn.qkv.weight": (3 * h, h),
+                p + "attn.qkv.bias": (3 * h,),
+                p + "attn.proj.weight": (h, h),
+                p + "attn.proj.bias": (h,),
+                p + "norm2.weight": (h,),
+                p + "norm2.bias": (h,),
+                p + "mlp.fc1.weight": (hp.mlp_dim, h),
+                p + "mlp.fc1.bias": (hp.mlp_dim,),
+                p + "mlp.fc2.weight": (h, hp.mlp_dim),
+                p + "mlp.fc2.bias": (h,),
+            }
+        )
+    shapes.update(
+        {
+            "norm.weight": (h,),
+            "norm.bias": (h,),
+            "head.weight": (c, h),
+            "head.bias": (c,),
+        }
+    )
+    return shapes
+
+
+def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Random f32 state dict, scaled so activations stay well-conditioned."""
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+    for name, shape in state_dict_shapes(hp).items():
+        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name == "norm.weight":
+            v = 1.0 + 0.02 * rng.standard_normal(shape)
+        elif name.endswith(".bias"):
+            v = 0.02 * rng.standard_normal(shape)
+        elif name in ("pos_embed", "cls_token"):
+            v = 0.02 * rng.standard_normal(shape)
+        else:
+            fan_in = shape[-1] if len(shape) >= 2 else shape[0]
+            if name == "patch_embed.proj.weight":
+                fan_in = int(np.prod(shape[1:]))
+            v = rng.standard_normal(shape) / np.sqrt(fan_in)
+        out[name] = v.astype(np.float32)
+    return out
+
+
+def record_dtype(name: str, ndim: int, ftype: int) -> GGMLDType:
+    """Per-tensor dtype rule of the reference converter (py:141-148)."""
+    if ftype == 1 and ndim != 1 and name not in _KEEP_F32:
+        return GGMLDType.F16
+    return GGMLDType.F32
+
+
+def state_dict_records(
+    state: Dict[str, np.ndarray], ftype: int
+) -> Iterator[Tuple[str, tuple, GGMLDType, np.ndarray]]:
+    for name, arr in state.items():
+        dt = record_dtype(name, arr.ndim, ftype)
+        payload = arr.astype(np.float16 if dt == GGMLDType.F16 else np.float32)
+        yield name, arr.shape, dt, payload
+
+
+def write_synthetic_model(
+    path: str,
+    hp: VitHParams,
+    ftype: int = 1,
+    seed: int = 0,
+    id2label: Dict[int, str] | None = None,
+) -> Dict[str, np.ndarray]:
+    """Write a random checkpoint file; returns the f32 state dict used."""
+    state = random_state_dict(hp, seed=seed)
+    if id2label is None:
+        id2label = {i: f"LABEL_{i}" for i in range(hp.num_classes)}
+    write_model(path, hp, id2label, state_dict_records(state, ftype), ftype)
+    return state
