@@ -1,15 +1,27 @@
 """Test configuration: force CPU JAX with an 8-device virtual mesh.
 
 Multi-chip sharding tests run on virtual CPU devices per SURVEY.md §4
-(XLA_FLAGS=--xla_force_host_platform_device_count). Must run before the
-first `import jax` anywhere in the test session.
+(XLA_FLAGS=--xla_force_host_platform_device_count). The host environment
+pins JAX_PLATFORMS=axon (one real TPU via tunnel); the env var alone is not
+reliably honored once the axon plugin is importable, so we also set the jax
+config before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_sessionstart(session):
+    devs = jax.devices()
+    assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"

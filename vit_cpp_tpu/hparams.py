@@ -12,7 +12,7 @@ import dataclasses
 from typing import Optional
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class VitHParams:
     """Hyperparameters of a ViT checkpoint.
 

@@ -1,0 +1,241 @@
+"""Parameter pytree construction from model-file tensor records.
+
+The reference allocates named ggml tensors into an arena and streams file
+records into them (vit_model_load, vit.cpp:478-695). Here the checkpoint
+becomes a frozen JAX pytree shaped for TPU execution:
+
+- linear kernels are stored transposed to (in, out) so the forward pass is
+  `x @ kernel` with no runtime transpose;
+- the L transformer blocks are stacked on a leading axis so the forward can
+  `lax.scan` over them (one compiled block body regardless of depth);
+- quantized 2-D weights stay packed as integer codes + per-block scales in a
+  `QuantLinear` pytree node — never materialized to f32 in HBM; dequant
+  happens inside the matmul kernel (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cpp_tpu.gguf.dtypes import QK, GGMLDType
+from vit_cpp_tpu.gguf.reader import ModelFile, TensorRecord
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.quant.blocks import CODE_OFFSET, unpack_soa
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinear:
+    """A packed block-quantized weight matrix.
+
+    Logical weight is (out, in) torch-orientation; `codes` are the integer
+    quantization codes and `scales`/`mins` the per-32-element-block
+    parameters laid out along the input dimension:
+
+      codes:  (out, in)        int8  (Q8_0 signed; Q4/Q5 codes 0..15/0..31)
+      scales: (out, in // 32)  f32
+      mins:   (out, in // 32)  f32   (only for Q4_1/Q5_1, else None)
+
+    Dequantization: w = (codes - offset) * scale [+ min], with the static
+    `offset` from the format (8 for Q4_0, 16 for Q5_0, 0 otherwise).
+    """
+
+    codes: jax.Array
+    scales: jax.Array
+    mins: Optional[jax.Array] = None
+    qtype: int = dataclasses.field(
+        default=int(GGMLDType.Q8_0), metadata=dict(static=True)
+    )
+
+    @property
+    def offset(self) -> int:
+        return CODE_OFFSET[GGMLDType(self.qtype)]
+
+    @property
+    def out_features(self) -> int:
+        return self.codes.shape[-2]
+
+    @property
+    def in_features(self) -> int:
+        return self.codes.shape[-1]
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        """Materialize the dense (in, out) kernel (jnp fallback path)."""
+        c = self.codes.astype(jnp.float32)
+        if self.offset:
+            c = c - self.offset
+        expand = lambda a: jnp.repeat(a, QK, axis=-1)
+        w = c * expand(self.scales)
+        if self.mins is not None:
+            w = w + expand(self.mins)
+        return jnp.swapaxes(w, -1, -2).astype(dtype)
+
+
+def _quant_linear_from_record(rec: TensorRecord) -> QuantLinear:
+    out_f, in_f = rec.shape
+    soa = unpack_soa(rec.data, rec.n_elements, rec.dtype)
+    codes = soa["codes"].astype(np.int8).reshape(out_f, in_f)
+    scales = soa["d"].reshape(out_f, in_f // QK)
+    mins = soa.get("m")
+    if mins is not None:
+        mins = mins.reshape(out_f, in_f // QK)
+    return QuantLinear(
+        codes=jnp.asarray(codes),
+        scales=jnp.asarray(scales),
+        mins=None if mins is None else jnp.asarray(mins),
+        qtype=int(rec.dtype),
+    )
+
+
+def _stack(leaves):
+    if isinstance(leaves[0], QuantLinear):
+        return QuantLinear(
+            codes=jnp.stack([l.codes for l in leaves]),
+            scales=jnp.stack([l.scales for l in leaves]),
+            mins=(
+                None
+                if leaves[0].mins is None
+                else jnp.stack([l.mins for l in leaves])
+            ),
+            qtype=leaves[0].qtype,
+        )
+    return jnp.stack(leaves)
+
+
+class _RecordSet:
+    """Name-checked access over tensor records, mirroring the reference
+    loader's strictness (unknown name / shape mismatch is an error,
+    vit.cpp:618-641)."""
+
+    def __init__(self, tensors: Dict[str, TensorRecord], dtype):
+        self.tensors = dict(tensors)
+        self.used = set()
+        self.dtype = dtype
+
+    def rec(self, name: str) -> TensorRecord:
+        if name not in self.tensors:
+            raise KeyError(f"checkpoint missing tensor '{name}'")
+        self.used.add(name)
+        return self.tensors[name]
+
+    def dense(self, name: str, shape: tuple) -> jax.Array:
+        r = self.rec(name)
+        arr = r.as_f32().reshape(shape)
+        return jnp.asarray(arr, dtype=self.dtype)
+
+    def kernel(self, name: str, out_f: int, in_f: int):
+        """2-D linear weight -> (in, out) dense kernel or QuantLinear."""
+        r = self.rec(name)
+        if r.shape != (out_f, in_f):
+            raise ValueError(
+                f"tensor '{name}': shape {r.shape} != expected {(out_f, in_f)}"
+            )
+        if r.dtype.is_quantized:
+            return _quant_linear_from_record(r)
+        return jnp.asarray(r.as_f32().T, dtype=self.dtype)
+
+    def check_all_used(self):
+        unused = set(self.tensors) - self.used
+        if unused:
+            raise ValueError(f"unexpected tensors in checkpoint: {sorted(unused)}")
+
+
+def load_params(
+    mf: ModelFile,
+    dtype=jnp.float32,
+    hparams: Optional[VitHParams] = None,
+) -> Dict[str, Any]:
+    """Build the forward-pass parameter pytree from a parsed model file.
+
+    `dtype` is the storage dtype for dense weights (f32 for parity,
+    bfloat16 for throughput). Quantized weights keep their packed codes.
+    """
+    hp = hparams or mf.hparams
+    h, L = hp.hidden_size, hp.num_hidden_layers
+    rs = _RecordSet(mf.tensors, dtype)
+
+    pe_w = rs.rec("patch_embed.proj.weight")
+    expect_pe = (h, hp.in_chans, hp.patch_size, hp.patch_size)
+    if pe_w.shape != expect_pe:
+        raise ValueError(
+            f"patch_embed.proj.weight: shape {pe_w.shape} != {expect_pe}"
+        )
+    # Non-overlapping patch conv == one matmul over flattened [c, py, px]
+    # patch vectors (SURVEY.md §7 'Patch conv'); reference keeps this weight
+    # f16 on disk (vit.cpp:515).
+    pe_kernel = jnp.asarray(
+        pe_w.as_f32().reshape(h, -1).T, dtype=dtype
+    )
+
+    params: Dict[str, Any] = {
+        "cls_token": rs.dense("cls_token", (h,)),
+        "pos_embed": rs.dense("pos_embed", (hp.n_tokens, h)),
+        "patch_embed": {
+            "kernel": pe_kernel,
+            "bias": rs.dense("patch_embed.proj.bias", (h,)),
+        },
+    }
+
+    blocks = []
+    for i in range(L):
+        p = f"blocks.{i}."
+        blocks.append(
+            {
+                "ln1": {
+                    "scale": rs.dense(p + "norm1.weight", (h,)),
+                    "bias": rs.dense(p + "norm1.bias", (h,)),
+                },
+                "qkv": {
+                    "kernel": rs.kernel(p + "attn.qkv.weight", 3 * h, h),
+                    "bias": rs.dense(p + "attn.qkv.bias", (3 * h,)),
+                },
+                "proj": {
+                    "kernel": rs.kernel(p + "attn.proj.weight", h, h),
+                    "bias": rs.dense(p + "attn.proj.bias", (h,)),
+                },
+                "ln2": {
+                    "scale": rs.dense(p + "norm2.weight", (h,)),
+                    "bias": rs.dense(p + "norm2.bias", (h,)),
+                },
+                "fc1": {
+                    "kernel": rs.kernel(p + "mlp.fc1.weight", hp.mlp_dim, h),
+                    "bias": rs.dense(p + "mlp.fc1.bias", (hp.mlp_dim,)),
+                },
+                "fc2": {
+                    "kernel": rs.kernel(p + "mlp.fc2.weight", h, hp.mlp_dim),
+                    "bias": rs.dense(p + "mlp.fc2.bias", (h,)),
+                },
+            }
+        )
+    params["blocks"] = jax.tree.map(
+        lambda *ls: _stack(list(ls)),
+        *blocks,
+        is_leaf=lambda x: isinstance(x, QuantLinear),
+    )
+    params["norm"] = {
+        "scale": rs.dense("norm.weight", (h,)),
+        "bias": rs.dense("norm.bias", (h,)),
+    }
+    params["head"] = {
+        "kernel": rs.kernel("head.weight", hp.num_classes, h),
+        "bias": rs.dense("head.bias", (hp.num_classes,)),
+    }
+    rs.check_all_used()
+    return params
+
+
+def params_from_state_dict(
+    state: Dict[str, np.ndarray], hp: VitHParams, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Build params directly from an f32 state dict (testing / training)."""
+    tensors = {
+        name: TensorRecord(name, arr.shape, GGMLDType.F32, arr.astype(np.float32))
+        for name, arr in state.items()
+    }
+    mf = ModelFile(hparams=hp, id2label={}, tensors=tensors)
+    return load_params(mf, dtype=dtype, hparams=hp)

@@ -1,0 +1,119 @@
+"""The ViT forward pass as a pure jittable function.
+
+TPU-native re-design of the reference's graph builder (`vit_encode_image`,
+vit.cpp:718-941): the entire statically-built ggml graph — patch conv, CLS +
+positional embedding, L transformer blocks, CLS pooling, final LN, head,
+softmax — collapses into one pure function under `jax.jit`, batched over a
+leading batch axis (the reference hardcodes B=1; here B is first-class,
+SURVEY.md §7). The L blocks are executed with `lax.scan` over stacked
+parameters: one compiled block body for any depth.
+
+Numerics contract (SURVEY.md §2.1):
+- patch embedding == ggml_conv_2d_sk_p0 with stride=kernel=patch, realised
+  as reshape/transpose + a single (p*p*c, h) matmul (design per §7);
+- per block: LN -> fused QKV matmul -> scaled softmax attention -> proj ->
+  residual; LN -> fc1 -> tanh-GELU -> fc2 -> residual;
+- head: CLS token (or first seq_len tokens for ViTSTR) -> LN -> linear ->
+  softmax probabilities.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.ops.core import attention, gelu_tanh, layernorm, linear
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """(B, C, H, W) -> (B, n_patches, C*p*p) patch vectors.
+
+    Token order is row-major over the patch grid and the per-patch feature
+    order is [c, py, px], matching the flattened conv weight (h, c, p, p) of
+    the checkpoint so `patches @ kernel` equals the reference's
+    ggml_conv_2d_sk_p0 (vit.cpp:772-779).
+    """
+    b, c, hh, ww = images.shape
+    gh, gw = hh // patch, ww // patch
+    x = images.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, gh, gw, c, p, p)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Array:
+    """Patch-embed + CLS token + positional embeddings -> (B, T, h)."""
+    dtype = params["patch_embed"]["kernel"].dtype
+    patches = patchify(images.astype(dtype), hp.patch_size)
+    x = linear(patches, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(dtype), (b, 1, hp.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)  # CLS in front (vit.cpp:794-795)
+    # pos_embed is stored f32 in the checkpoint (converter rule); add in the
+    # activation dtype.
+    return x + params["pos_embed"].astype(dtype)[None]
+
+
+def transformer_block(
+    x: jax.Array, bp: Dict[str, Any], hp: VitHParams, *, attn_impl: str, mm_impl: str
+) -> jax.Array:
+    b, t, h = x.shape
+    nh, hd = hp.num_attention_heads, hp.head_dim
+
+    y = layernorm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
+    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
+    # (B, T, 3h): fused QKV with q|k|v contiguous on the feature axis
+    # (timm layout; reference carves the same three views, vit.cpp:826-846).
+    qkv = qkv.reshape(b, t, 3, nh, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    o = attention(q, k, v, impl=attn_impl)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
+    x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
+
+    y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
+    y = gelu_tanh(y)
+    y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
+    return x + y
+
+
+def forward(
+    params: Dict[str, Any],
+    images: jax.Array,
+    hp: VitHParams,
+    *,
+    attn_impl: str = "xla",
+    mm_impl: str = "xla",
+) -> jax.Array:
+    """Images (B, C, H, W), preprocessed/normalized -> logits.
+
+    Returns (B, num_classes) for classification, or (B, seq_len, num_classes)
+    when hp.seq_len is set (ViTSTR sequence head).
+    """
+    x = embed(params, images, hp)
+
+    def body(carry, bp):
+        return (
+            transformer_block(carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl),
+            None,
+        )
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    if hp.seq_len is None:
+        pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)
+    else:
+        pooled = x[:, : hp.seq_len]  # ViTSTR 25-token readout
+    pooled = layernorm(pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps)
+    logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"], impl=mm_impl)
+    return logits
+
+
+def predict_probs(params, images, hp, **kw) -> jax.Array:
+    """Forward + softmax, the reference's graph output (vit.cpp:931)."""
+    logits = forward(params, images, hp, **kw)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

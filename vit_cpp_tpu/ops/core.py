@@ -1,0 +1,87 @@
+"""Core forward-pass ops: layernorm, linear (dense or quantized), attention.
+
+These are the jnp reference implementations — pure functions that XLA fuses
+well on TPU. Pallas-fused variants (attention, dequantizing matmul) live in
+sibling modules and are selected via the `impl` arguments; numerics contracts
+here mirror the reference graph (SURVEY.md §2.1):
+
+- layernorm = ggml_norm (f32 mean/var, eps inside rsqrt) then scale+shift
+  (vit.cpp:806-813);
+- GELU is the tanh approximation (ggml_gelu, vit.cpp:893);
+- attention is full bidirectional softmax(QK^T/sqrt(hd))V, no masking
+  (vit.cpp:848-858).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vit_cpp_tpu.models.params import QuantLinear
+
+
+def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm in f32 regardless of activation dtype (parity with the
+    reference's f32 ggml_norm)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def linear(
+    x: jax.Array,
+    kernel,
+    bias: Optional[jax.Array] = None,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """y = x @ kernel (+ bias). kernel is a dense (in, out) array or a
+    QuantLinear whose codes are dequantized inside the matmul."""
+    if isinstance(kernel, QuantLinear):
+        from vit_cpp_tpu.ops.qmatmul import quant_matmul
+
+        y = quant_matmul(x, kernel, impl=impl)
+    else:
+        y = jnp.dot(
+            x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """Full (unmasked) multi-head attention.
+
+    q, k, v: (B, heads, T, head_dim). Returns (B, heads, T, head_dim).
+    Softmax runs in f32 (reference: f32 ggml_soft_max, vit.cpp:856).
+    """
+    if impl == "pallas":
+        from vit_cpp_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)

@@ -1,0 +1,82 @@
+"""Independent numpy golden implementation of the ViT forward pass.
+
+Computes the same function as vit_cpp_tpu.models.vit.forward, written
+directly against the torch-layout state dict in float64 — an independent
+oracle for parity tests (the analogue of diffing per-stage activations
+against the reference's print_t_f32 dumps, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from vit_cpp_tpu.hparams import VitHParams
+
+
+def _ln(x, w, b, eps):
+    mean = x.mean(-1, keepdims=True)
+    xc = x - mean
+    var = (xc * xc).mean(-1, keepdims=True)
+    return xc / np.sqrt(var + eps) * w + b
+
+
+def _gelu_tanh(x):
+    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def _softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def forward_numpy(
+    state: Dict[str, np.ndarray], hp: VitHParams, images: np.ndarray
+) -> np.ndarray:
+    """images: (B, C, H, W) f32 preprocessed -> logits (B, classes) f64
+    (or (B, seq_len, classes) for ViTSTR)."""
+    f = lambda n: state[n].astype(np.float64)
+    h, p = hp.hidden_size, hp.patch_size
+    b, c, hh, ww = images.shape
+    gh, gw = hh // p, ww // p
+
+    x = images.astype(np.float64).reshape(b, c, gh, p, gw, p)
+    patches = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
+    pe_w = f("patch_embed.proj.weight").reshape(h, -1)
+    x = patches @ pe_w.T + f("patch_embed.proj.bias").reshape(h)
+
+    cls = np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))
+    x = np.concatenate([cls, x], axis=1)
+    x = x + f("pos_embed").reshape(1, hp.n_tokens, h)
+
+    nh, hd = hp.num_attention_heads, hp.head_dim
+    for i in range(hp.num_hidden_layers):
+        pref = f"blocks.{i}."
+        y = _ln(x, f(pref + "norm1.weight"), f(pref + "norm1.bias"), hp.eps)
+        qkv = y @ f(pref + "attn.qkv.weight").T + f(pref + "attn.qkv.bias")
+        qkv = qkv.reshape(b, -1, 3, nh, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        o = np.einsum("bhqk,bhkd->bhqd", _softmax(logits), v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, -1, h)
+        x = x + o @ f(pref + "attn.proj.weight").T + f(pref + "attn.proj.bias")
+
+        y = _ln(x, f(pref + "norm2.weight"), f(pref + "norm2.bias"), hp.eps)
+        y = y @ f(pref + "mlp.fc1.weight").T + f(pref + "mlp.fc1.bias")
+        y = _gelu_tanh(y)
+        y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
+        x = x + y
+
+    if hp.seq_len is None:
+        pooled = x[:, 0]
+    else:
+        pooled = x[:, : hp.seq_len]
+    pooled = _ln(pooled, f("norm.weight"), f("norm.bias"), hp.eps)
+    return pooled @ f("head.weight").T + f("head.bias")
+
+
+def probs_numpy(state, hp, images):
+    return _softmax(forward_numpy(state, hp, images))
