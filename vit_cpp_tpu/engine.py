@@ -1,0 +1,104 @@
+"""High-level inference engine: load once, classify many.
+
+The TPU-native analogue of the reference's load -> preprocess -> predict
+flow (main.cpp:26-113), minus its per-image graph rebuild: the forward pass
+is jitted once per (model, batch-shape) and reused. Exposes both the
+single-image parity path (f32, matmul precision 'highest') and the
+throughput path (bf16, batched).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cpp_tpu.gguf.reader import read_model
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.io.image import load_image_rgb
+from vit_cpp_tpu.models.params import load_params
+from vit_cpp_tpu.models.vit import predict_probs
+from vit_cpp_tpu.ops.preprocess import preprocess
+
+
+class VitEngine:
+    def __init__(
+        self,
+        model_path: str,
+        *,
+        dtype=jnp.float32,
+        eps: Optional[float] = None,
+        interpolation: Optional[str] = None,
+        matmul_precision: str = "highest",
+        attn_impl: str = "xla",
+        mm_impl: str = "xla",
+        verbose: bool = True,
+    ):
+        t0 = time.perf_counter()
+        if verbose:
+            print(f"vit_model_load: loading model from '{model_path}' - please wait")
+        mf = read_model(model_path)
+        hp = mf.hparams
+        if eps is not None:
+            hp = dataclasses.replace(hp, eps=eps)
+        if interpolation is not None:
+            hp = dataclasses.replace(hp, interpolation=interpolation)
+        if verbose:
+            print(f"vit_model_load: hidden_size            = {hp.hidden_size}")
+            print(f"vit_model_load: num_hidden_layers      = {hp.num_hidden_layers}")
+            print(f"vit_model_load: num_attention_heads    = {hp.num_attention_heads}")
+            print(f"vit_model_load: patch_size             = {hp.patch_size}")
+            print(f"vit_model_load: img_size               = {hp.img_size}")
+            print(f"vit_model_load: num_classes            = {hp.num_classes}")
+            print(f"vit_model_load: ftype                  = {hp.ftype}")
+            print(f"vit_model_load: qntvr                  = {mf.qntvr}")
+        self.hp = hp
+        self.id2label = mf.id2label
+        self.params = load_params(mf, dtype=dtype)
+        self.matmul_precision = matmul_precision
+        self._attn_impl = attn_impl
+        self._mm_impl = mm_impl
+
+        def _predict(params, images):
+            with jax.default_matmul_precision(self.matmul_precision):
+                return predict_probs(
+                    params, images, self.hp, attn_impl=attn_impl, mm_impl=mm_impl
+                )
+
+        self._predict = jax.jit(_predict)
+        self.load_ms = (time.perf_counter() - t0) * 1000.0
+
+    # -- single image, reference-parity path ---------------------------------
+
+    def preprocess_image(self, img_u8: np.ndarray) -> jax.Array:
+        return preprocess(img_u8, self.hp.img_size, mode=self.hp.interpolation)
+
+    def predict_probs_batch(self, images: jax.Array) -> jax.Array:
+        """images: (B, C, S, S) preprocessed -> (B, classes) probabilities."""
+        return self._predict(self.params, images)
+
+    def classify_file(
+        self, path: str, topk: int = 5, verbose: bool = True
+    ) -> List[Tuple[int, float, str]]:
+        """Decode, preprocess, predict, return [(class_id, prob, label)]."""
+        img = load_image_rgb(path)
+        if verbose:
+            print(
+                f"load_image_from_file: loaded image '{path}' "
+                f"({img.shape[1]} x {img.shape[0]})"
+            )
+        pixels = self.preprocess_image(img)
+        if verbose:
+            print(
+                f"processed, out dims : ({self.hp.img_size} x {self.hp.img_size})"
+            )
+        probs = np.asarray(self.predict_probs_batch(pixels[None])[0])
+        order = np.argsort(-probs, kind="stable")[:topk]
+        return [
+            (int(i), float(probs[i]), self.id2label.get(int(i), f"LABEL_{i}"))
+            for i in order
+        ]

@@ -1,0 +1,31 @@
+"""Host-side image decode.
+
+The reference decodes with stb_image, forcing 3-channel RGB
+(load_image_from_file, vit.cpp:109-127). Here the native C++ decoder
+(vit_cpp_tpu/native, libjpeg/libpng based) is preferred for throughput and a
+PIL fallback covers any format; both return the same (H, W, 3) uint8 layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _load_native(path: str):
+    try:
+        from vit_cpp_tpu.native import decoder
+    except Exception:
+        return None
+    return decoder.decode_rgb(path)
+
+
+def load_image_rgb(path: str, prefer_native: bool = True) -> np.ndarray:
+    """Decode an image file to (H, W, 3) uint8 RGB."""
+    if prefer_native:
+        img = _load_native(path)
+        if img is not None:
+            return img
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)

@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vit_cpp_tpu.models.params import QuantLinear
+from vit_cpp_tpu.quant.qlinear import QuantLinear
 
 
 def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:

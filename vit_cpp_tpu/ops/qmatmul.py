@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vit_cpp_tpu.models.params import QuantLinear
+from vit_cpp_tpu.quant.qlinear import QuantLinear
 
 
 def quant_matmul(x: jax.Array, w: QuantLinear, *, impl: str = "xla") -> jax.Array:
