@@ -1,0 +1,137 @@
+"""Throughput benchmark: ViT-B/16 @224 images/sec on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): north-star >= 5000 images/sec/chip for ViT-B/16 on
+one TPU v5e core; vs_baseline is value / 5000. (For scale, the reference
+CPU engine runs ViT-B/16 f16 at ~0.7 images/sec on its README hardware.)
+
+Measurement note: on this harness the TPU sits behind a tunnel with ~25 ms
+host<->device roundtrip and a `block_until_ready` that does not block, so
+K forward passes are chained on-device inside one `lax.scan` (a data
+dependency threads each iteration) and timed with a single scalar fetch;
+the measured tunnel roundtrip is subtracted.
+
+Flags: --batch N, --chain K, --dtype bf16|f32, --quant q8_0|q4_0|q5_1
+(bench the dequant-in-matmul path), --latency (p50 single-image, B=1),
+--attn/--mm xla|pallas kernel selection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _device_seconds(fn_scan, args_tuple, rtt: float, trials: int = 3) -> float:
+    """Median wall time of one chained-scan execution, tunnel rtt removed."""
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = fn_scan(*args_tuple)
+        _ = np.asarray(out)  # scalar fetch forces full execution
+        times.append(time.perf_counter() - t0)
+    return max(1e-9, float(np.median(times)) - rtt)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--chain", type=int, default=30, help="scan length K")
+    ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="none")
+    ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--attn", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--mm", choices=["xla", "pallas"], default="xla")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.models import load_params, params_from_state_dict
+    from vit_cpp_tpu.models.vit import forward
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = VitHParams(
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        num_classes=1000,
+        patch_size=16,
+        img_size=224,
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.quant != "none":
+        import tempfile
+
+        from vit_cpp_tpu.cli.quantize import quantize_model_file
+        from vit_cpp_tpu.gguf import read_model
+        from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+        itype = {"q8_0": 8, "q4_0": 2, "q5_1": 7}[args.quant]
+        with tempfile.TemporaryDirectory() as d:
+            f16 = f"{d}/m.gguf"
+            qf = f"{d}/q.gguf"
+            write_synthetic_model(f16, hp, ftype=1, seed=0)
+            quantize_model_file(f16, qf, itype, verbose=False)
+            params = load_params(read_model(qf), dtype=dtype)
+        suffix = args.quant
+    else:
+        params = params_from_state_dict(random_state_dict(hp, seed=0), hp, dtype=dtype)
+        suffix = args.dtype
+
+    batch = 1 if args.latency else args.batch
+    K = args.chain
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((batch, 3, 224, 224)), dtype=dtype)
+
+    @jax.jit
+    def chained(p, x0):
+        def step(x, _):
+            out = forward(p, x, hp, attn_impl=args.attn, mm_impl=args.mm)
+            # thread a (runtime-zero, not compile-time-zero) dependency so the
+            # K forwards execute sequentially on device
+            x = x + (out[0, 0] * 1e-30).astype(x.dtype)
+            return x, ()
+
+        xK, _ = jax.lax.scan(step, x0, None, length=K)
+        return xK[0, 0, 0, 0]
+
+    # measure tunnel roundtrip with a trivial program
+    trivial = jax.jit(lambda x: x[0, 0, 0, 0])
+    _ = np.asarray(trivial(images))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = np.asarray(trivial(images))
+    rtt = (time.perf_counter() - t0) / 5
+
+    _ = np.asarray(chained(params, images))  # compile + warmup
+    dev_s = _device_seconds(chained, (params, images), rtt)
+
+    if args.latency:
+        p50_ms = dev_s / K * 1000.0
+        result = {
+            "metric": f"p50_latency_ms_vitb16_{suffix}",
+            "value": round(p50_ms, 3),
+            "unit": "ms",
+            # reference base f16 single image: 1441 ms (BASELINE.md)
+            "vs_baseline": round(1441.0 / p50_ms, 2),
+        }
+    else:
+        ips = batch * K / dev_s
+        result = {
+            "metric": f"images_per_sec_vitb16_{suffix}",
+            "value": round(ips, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / 5000.0, 3),
+        }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: device-count spoofing via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.models import forward, params_from_state_dict
+from vit_cpp_tpu.parallel.mesh import make_mesh
+from vit_cpp_tpu.parallel.sharding import param_pspecs, shard_params
+from vit_cpp_tpu.parallel.train import (
+    create_train_state,
+    cross_entropy_loss,
+    make_optimizer,
+    shard_batch,
+    train_step,
+)
+from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+TINY = VitHParams(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_classes=16,
+    patch_size=8,
+    img_size=32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    state = random_state_dict(TINY, seed=0)
+    params = params_from_state_dict(state, TINY)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), dtype=jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 16, (8,)), dtype=jnp.int32)
+    return params, images, labels
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.shape == (8, 1)
+    m = make_mesh(dp=4, tp=2)
+    assert m.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, tp=3)
+
+
+def test_sharded_forward_matches_single_device(setup):
+    params, images, labels = setup
+    expect = np.asarray(forward(params, images, TINY))
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        si = jax.device_put(
+            images, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        )
+        got = np.asarray(jax.jit(forward, static_argnums=2)(sp, si, TINY))
+    np.testing.assert_allclose(got, expect, atol=2e-4, rtol=1e-4)
+
+
+def test_param_specs_cover_tree(setup):
+    from vit_cpp_tpu.quant.qlinear import QuantLinear
+
+    params, _, _ = setup
+    specs = param_pspecs(params)
+    is_q = lambda x: isinstance(x, QuantLinear)
+    p_leaves = jax.tree.structure(params, is_leaf=is_q)
+    s_leaves = jax.tree.structure(specs, is_leaf=lambda x: is_q(x) or isinstance(x, jax.sharding.PartitionSpec))
+    assert p_leaves.num_leaves == s_leaves.num_leaves
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_train_step_on_mesh(setup, dp, tp):
+    params, images, labels = setup
+    mesh = make_mesh(dp=dp, tp=tp)
+    optimizer = make_optimizer(lr=1e-3)
+    with mesh:
+        state = create_train_state(params, mesh, optimizer)
+        si, sl = shard_batch(images, labels, mesh)
+        loss0 = cross_entropy_loss(state.params, si, sl, TINY)
+        state, loss = train_step(state, si, sl, TINY, optimizer)
+        state, loss2 = train_step(state, si, sl, TINY, optimizer)
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+    assert float(loss) == pytest.approx(float(loss0), rel=1e-5)
+    assert float(loss2) < float(loss)  # optimizer actually descends
+    assert int(state.step) == 2
+
+
+def test_train_step_tp_matches_dp(setup):
+    """TP=2 must compute the same update as pure DP (collectives correct)."""
+    params, images, labels = setup
+    optimizer = make_optimizer(lr=1e-3)
+    losses = {}
+    for dp, tp in [(8, 1), (4, 2)]:
+        mesh = make_mesh(dp=dp, tp=tp)
+        with mesh:
+            state = create_train_state(params, mesh, optimizer)
+            si, sl = shard_batch(images, labels, mesh)
+            for _ in range(3):
+                state, loss = train_step(state, si, sl, TINY, optimizer)
+            losses[(dp, tp)] = float(loss)
+    assert losses[(8, 1)] == pytest.approx(losses[(4, 2)], rel=1e-4)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    # only check it traces/lowers — full B/16 compile on CPU is slow
+    jax.eval_shape(fn, *example_args)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

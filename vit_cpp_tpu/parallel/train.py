@@ -1,0 +1,77 @@
+"""Fine-tuning / training step over a device mesh.
+
+The reference is inference-only (SURVEY.md §0), but a production framework
+needs the training loop for fine-tuning classifier heads and full models.
+This is the pjit path: params live on the mesh with TP shardings
+(parallel/sharding.py), the batch is sharded over "data", and one jitted
+step computes cross-entropy grads, psums them over ICI via XLA, and applies
+an optax update. No hand-written collectives — shardings in, XLA inserts
+all-reduces (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.models.vit import forward
+from vit_cpp_tpu.parallel.sharding import batch_pspec, shard_params
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.05):
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def cross_entropy_loss(
+    params, images, labels, hp: VitHParams
+) -> jax.Array:
+    logits = forward(params, images, hp)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
+    return jnp.mean(nll)
+
+
+@partial(jax.jit, static_argnames=("hp", "optimizer"))
+def train_step(
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    hp: VitHParams,
+    optimizer,
+) -> Tuple[TrainState, jax.Array]:
+    loss, grads = jax.value_and_grad(cross_entropy_loss)(
+        state.params, images, labels, hp
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def create_train_state(
+    params: Dict[str, Any], mesh: Mesh, optimizer
+) -> TrainState:
+    """Shard params onto the mesh and build matching optimizer state.
+
+    The optimizer state mirrors the param tree; jitting `optimizer.init`
+    with sharded inputs lets XLA lay out mu/nu with the same shardings.
+    """
+    params = shard_params(params, mesh)
+    opt_state = jax.jit(optimizer.init)(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def shard_batch(images, labels, mesh: Mesh):
+    s = NamedSharding(mesh, batch_pspec())
+    return jax.device_put(images, s), jax.device_put(labels, s)
