@@ -39,7 +39,7 @@ def _run(args):
         [sys.executable, *args],
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo"},
     )
 

@@ -1,0 +1,161 @@
+"""Checkpoint converter: torch .pth -> model file -> engine round trip.
+
+Mirrors the reference converter's serialization rules (SURVEY.md C13, C20;
+convert-pth-to-ggml.py:117-158): f16 dtype rule, pos_embed/cls_token kept
+f32, patch-bias reshape, norm_pre skip, ViTSTR grayscale collapse.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from vit_cpp_tpu.cli.convert import (
+    collapse_to_grayscale,
+    convert,
+    infer_hparams,
+    normalize_state_dict,
+)
+from vit_cpp_tpu.gguf.dtypes import GGMLDType
+from vit_cpp_tpu.gguf.reader import read_model
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+
+def _hp():
+    return VitHParams(
+        hidden_size=192,
+        num_hidden_layers=2,
+        num_attention_heads=3,
+        num_classes=10,
+        patch_size=16,
+        img_size=64,
+    )
+
+
+@pytest.fixture()
+def torch_ckpt(tmp_path):
+    hp = _hp()
+    state = random_state_dict(hp, seed=3)
+    # torch-style: the converter input has the unreshaped conv bias and the
+    # (1,1,h)/(1,T,h) token shapes of a real timm state dict.
+    tstate = {
+        k: torch.from_numpy(v.reshape(-1) if k == "patch_embed.proj.bias" else v)
+        for k, v in state.items()
+    }
+    path = tmp_path / "vit.pth"
+    torch.save(tstate, path)
+    return str(path), hp, state
+
+
+class TestInference:
+    def test_infer_hparams(self, torch_ckpt):
+        path, hp, state = torch_ckpt
+        got = infer_hparams({k: np.asarray(v) for k, v in state.items()})
+        assert got.hidden_size == hp.hidden_size
+        assert got.num_hidden_layers == hp.num_hidden_layers
+        assert got.num_attention_heads == 3  # from the 192->3 family table
+        assert got.patch_size == hp.patch_size
+        assert got.img_size == hp.img_size
+        assert got.num_classes == hp.num_classes
+
+    def test_normalize_strips_prefixes(self):
+        raw = {"module.vitstr.norm.weight": torch.ones(4)}
+        out = normalize_state_dict(raw)
+        assert list(out) == ["norm.weight"]
+
+    def test_normalize_unwraps_nested(self):
+        raw = {"state_dict": {"norm.weight": torch.ones(4)}}
+        assert list(normalize_state_dict(raw)) == ["norm.weight"]
+
+    def test_grayscale_collapse(self):
+        pe = np.arange(2 * 3 * 4 * 4, dtype=np.float32).reshape(2, 3, 4, 4)
+        out = collapse_to_grayscale({"patch_embed.proj.weight": pe})
+        assert out["patch_embed.proj.weight"].shape == (2, 1, 4, 4)
+        np.testing.assert_allclose(
+            out["patch_embed.proj.weight"][:, 0], pe.sum(1)
+        )
+
+
+class TestConvertRoundTrip:
+    def test_f16_rules_and_forward_parity(self, torch_ckpt, tmp_path):
+        path, hp, state = torch_ckpt
+        out = convert(
+            checkpoint=path, output_dir=str(tmp_path), ftype=1, verbose=False
+        )
+        mf = read_model(out)
+        assert mf.hparams.hidden_size == hp.hidden_size
+        # dtype rule: ndim!=1 -> f16 except pos_embed/cls_token (py:141-148)
+        assert mf.tensors["pos_embed"].dtype == GGMLDType.F32
+        assert mf.tensors["cls_token"].dtype == GGMLDType.F32
+        assert mf.tensors["patch_embed.proj.weight"].dtype == GGMLDType.F16
+        assert mf.tensors["blocks.0.attn.qkv.weight"].dtype == GGMLDType.F16
+        assert mf.tensors["norm.weight"].dtype == GGMLDType.F32
+        # conv bias reshaped to (1, C, 1, 1) (py:150-151)
+        assert mf.tensors["patch_embed.proj.bias"].shape == (
+            1,
+            hp.hidden_size,
+            1,
+            1,
+        )
+        assert len(mf.tensors) == mf.hparams.expected_tensor_count()
+
+        from vit_cpp_tpu.models import load_params
+        from vit_cpp_tpu.models.vit import forward
+        from vit_cpp_tpu.testing.ref_numpy import forward_numpy
+
+        params = load_params(mf)
+        rng = np.random.default_rng(0)
+        imgs = rng.standard_normal((2, 3, hp.img_size, hp.img_size)).astype(
+            np.float32
+        )
+        got = np.asarray(forward(params, imgs, mf.hparams))
+        want = forward_numpy(state, hp, imgs)
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+    def test_norm_pre_skipped(self, torch_ckpt, tmp_path):
+        path, hp, state = torch_ckpt
+        tstate = {k: torch.from_numpy(v) for k, v in state.items()}
+        tstate["norm_pre.weight"] = torch.ones(hp.hidden_size)
+        p2 = tmp_path / "with_pre.pth"
+        torch.save(tstate, p2)
+        out = convert(
+            checkpoint=str(p2), output_dir=str(tmp_path), ftype=0, verbose=False
+        )
+        assert "norm_pre.weight" not in read_model(out).tensors
+
+    def test_vitstr_conversion(self, tmp_path):
+        hp = VitHParams(
+            hidden_size=192,
+            num_hidden_layers=2,
+            num_attention_heads=3,
+            num_classes=96,
+            patch_size=16,
+            img_size=64,
+        )
+        state = random_state_dict(hp, seed=5)
+        tstate = {
+            k: torch.from_numpy(
+                v.reshape(-1) if k == "patch_embed.proj.bias" else v
+            )
+            for k, v in state.items()
+        }
+        path = tmp_path / "vitstr.pth"
+        torch.save(tstate, path)
+        out = convert(
+            checkpoint=str(path),
+            output_dir=str(tmp_path),
+            ftype=1,
+            vitstr=True,
+            verbose=False,
+        )
+        mf = read_model(out)
+        assert mf.tensors["patch_embed.proj.weight"].shape[1] == 1
+        assert mf.id2label[0] == "[GO]"
+        assert mf.id2label[1] == "[s]"
+        assert len(mf.id2label) == 96
+
+        from vit_cpp_tpu.engine import detect_hparams
+
+        hp2 = detect_hparams(mf)
+        assert hp2.in_chans == 1
+        assert hp2.seq_len == 25

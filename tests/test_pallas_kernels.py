@@ -1,0 +1,177 @@
+"""Pallas kernel correctness vs the jnp reference paths.
+
+Runs in interpreter mode on the CPU test mesh (conftest pins JAX to CPU);
+the same kernels compile for TPU via the mosaic pipeline. Reference
+semantics per SURVEY.md §2.1: unmasked f32-softmax attention, and
+dequantize-inside-matmul for the ggml block formats.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_cpp_tpu.gguf.dtypes import GGMLDType
+from vit_cpp_tpu.ops.core import attention
+from vit_cpp_tpu.ops.flash_attention import flash_attention
+from vit_cpp_tpu.ops.pallas_qmatmul import pallas_quant_matmul
+from vit_cpp_tpu.ops.qmatmul import quant_matmul
+from vit_cpp_tpu.quant.blocks import quantize
+from vit_cpp_tpu.quant.qlinear import QuantLinear, _quant_linear_from_record
+from vit_cpp_tpu.gguf.reader import TensorRecord
+
+
+def _qkv(b, h, t, d, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, h, t, d)).astype(np.float32), dtype=dtype
+    )
+    return mk(), mk(), mk()
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("t", [197, 785])
+    def test_matches_xla_f32(self, t):
+        q, k, v = _qkv(1, 3, t, 64)
+        ref = attention(q, k, v, impl="xla")
+        out = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_matches_xla_bf16(self):
+        q, k, v = _qkv(2, 4, 197, 64, dtype=jnp.bfloat16)
+        ref = attention(q, k, v, impl="xla").astype(jnp.float32)
+        out = flash_attention(q, k, v).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def test_aligned_t(self):
+        # T already a lane multiple: no padding path.
+        q, k, v = _qkv(1, 2, 128, 64)
+        ref = attention(q, k, v, impl="xla")
+        out = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_model_forward_selects_pallas(self):
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models import params_from_state_dict
+        from vit_cpp_tpu.models.vit import forward
+        from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+        hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_classes=10,
+            patch_size=8,
+            img_size=32,
+        )
+        params = params_from_state_dict(random_state_dict(hp, seed=0), hp)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 3, 32, 32)),
+            dtype=jnp.float32,
+        )
+        ref = forward(params, x, hp, attn_impl="xla")
+        out = forward(params, x, hp, attn_impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def _qlinear(n, k, qt, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n, k)).astype(np.float32) * 0.2
+    blocks = quantize(w, qt)
+    rec = TensorRecord("w", (n, k), qt, np.frombuffer(blocks.tobytes(), np.uint8))
+    return _quant_linear_from_record(rec)
+
+
+class TestPallasQuantMatmul:
+    @pytest.mark.parametrize(
+        "qt",
+        [
+            GGMLDType.Q4_0,
+            GGMLDType.Q4_1,
+            GGMLDType.Q5_0,
+            GGMLDType.Q5_1,
+            GGMLDType.Q8_0,
+        ],
+    )
+    def test_matches_xla_dequant(self, qt):
+        ql = _qlinear(96, 160, qt)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((7, 160)),
+            dtype=jnp.float32,
+        )
+        ref = quant_matmul(x, ql, impl="xla")
+        out = pallas_quant_matmul(x, ql)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_batched_leading_dims(self):
+        ql = _qlinear(64, 96, GGMLDType.Q8_0)
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 5, 96)),
+            dtype=jnp.float32,
+        )
+        ref = quant_matmul(x, ql, impl="xla")
+        out = pallas_quant_matmul(x, ql)
+        assert out.shape == (2, 5, 64)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_large_tiles_and_padding(self):
+        # M, N, K all non-multiples of the tile sizes.
+        ql = _qlinear(300, 224, GGMLDType.Q4_1)
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((130, 224)),
+            dtype=jnp.float32,
+        )
+        ref = quant_matmul(x, ql, impl="xla")
+        out = pallas_quant_matmul(x, ql)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_bf16_activations(self):
+        ql = _qlinear(128, 128, GGMLDType.Q8_0)
+        x = jnp.asarray(
+            np.random.default_rng(4).standard_normal((16, 128)),
+            dtype=jnp.bfloat16,
+        )
+        ref = quant_matmul(x, ql, impl="xla").astype(jnp.float32)
+        out = pallas_quant_matmul(x, ql).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2
+        )
+
+    def test_forward_with_pallas_mm(self):
+        """Whole quantized model forward with mm_impl='pallas'."""
+        import tempfile
+
+        from vit_cpp_tpu.cli.quantize import quantize_model_file
+        from vit_cpp_tpu.gguf import read_model
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models import load_params
+        from vit_cpp_tpu.models.vit import forward
+        from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+        hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_classes=10,
+            patch_size=8,
+            img_size=32,
+        )
+        with tempfile.TemporaryDirectory() as d:
+            write_synthetic_model(f"{d}/m.gguf", hp, ftype=0, seed=0)
+            quantize_model_file(f"{d}/m.gguf", f"{d}/q.gguf", 8, verbose=False)
+            params = load_params(read_model(f"{d}/q.gguf"))
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 3, 32, 32)),
+            dtype=jnp.float32,
+        )
+        ref = forward(params, x, hp, mm_impl="xla")
+        out = forward(params, x, hp, mm_impl="pallas")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
+        )

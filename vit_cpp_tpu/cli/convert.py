@@ -1,0 +1,254 @@
+"""Checkpoint converter: timm / torch ViT weights -> model file.
+
+Rebuild of the reference's two converters (SURVEY.md C13, C20;
+convert-pth-to-ggml.py and extensions/vitstr.cpp/convert-pth-to-ggml.py)
+with the same serialization rules:
+
+- dtype rule (convert-pth-to-ggml.py:141-148): at ftype=1 every tensor with
+  ndim != 1 is written f16 EXCEPT `pos_embed` and `cls_token` (kept f32);
+  ftype=0 writes everything f32;
+- `patch_embed.proj.bias` is reshaped to (1, C, 1, 1) (py:150-151);
+- `norm_pre.*` tensors are skipped (py:117-120) — models that need them are
+  knowingly unsupported, like the reference;
+- dims are written reversed so ne[0] is the contiguous axis (py:155-156,
+  handled by gguf.writer);
+- id2label: timm's ImageNet subset inference when available (py:80-93),
+  else `LABEL_{i}` placeholders; ViTSTR uses the fixed 96-token vocab
+  (extensions/.../convert-pth-to-ggml.py:233-235).
+
+Sources, in order of preference:
+- `--checkpoint model.pth` — a torch state dict (torch.save or a dict with
+  'state_dict'/'model' key), hparams inferred from tensor shapes. Works
+  offline; this is the primary path in this environment (no timm wheel, no
+  network egress).
+- `model_name` — a timm model id, downloaded pretrained (requires timm).
+
+Usage:
+  python -m vit_cpp_tpu.cli.convert vit_tiny_patch16_224.augreg_in21k_ft_in1k .
+  python -m vit_cpp_tpu.cli.convert --checkpoint vit.pth --heads 12 out_dir
+  python -m vit_cpp_tpu.cli.convert --checkpoint vitstr.pth --vitstr out_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import re
+import sys
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+
+from vit_cpp_tpu.gguf.dtypes import GGMLDType
+from vit_cpp_tpu.gguf.writer import write_model
+from vit_cpp_tpu.hparams import VitHParams
+
+# Heads for the timm ViT family when only shapes are known
+# (vit_{tiny,small,base,large}: hidden 192/384/768/1024 — reference
+# README.md model table).
+_DEFAULT_HEADS = {192: 3, 384: 6, 768: 12, 1024: 16}
+
+_KEEP_F32 = ("pos_embed", "cls_token")
+
+
+def serialize_state_dict(
+    state: Dict[str, np.ndarray], ftype: int
+) -> Iterable[Tuple[str, tuple, GGMLDType, np.ndarray]]:
+    """Apply the reference converter's per-tensor rules (py:117-158)."""
+    for name, arr in state.items():
+        if name.startswith("norm_pre"):
+            # models with pre-norm are not fully supported (py:117-120)
+            continue
+        arr = np.asarray(arr, dtype=np.float32)
+        if name == "patch_embed.proj.bias":
+            arr = arr.reshape(1, -1, 1, 1)  # (py:150-151)
+        if ftype == 1 and arr.ndim != 1 and name not in _KEEP_F32:
+            yield name, arr.shape, GGMLDType.F16, arr.astype(np.float16)
+        else:
+            yield name, arr.shape, GGMLDType.F32, arr
+
+
+def infer_hparams(
+    state: Dict[str, np.ndarray], heads: int | None = None
+) -> VitHParams:
+    """Derive hparams from tensor shapes (the file format stores them, the
+    state dict does not)."""
+    if "norm.weight" not in state or "patch_embed.proj.weight" not in state:
+        raise ValueError("state dict missing norm.weight/patch_embed.proj.weight")
+    hidden = int(state["norm.weight"].shape[0])
+    pe = state["patch_embed.proj.weight"]
+    patch = int(pe.shape[-1])
+    in_chans = int(pe.shape[1])
+    n_tokens = int(np.asarray(state["pos_embed"]).shape[-2])
+    side = int(math.isqrt(n_tokens - 1))
+    if side * side != n_tokens - 1:
+        raise ValueError(f"pos_embed token count {n_tokens} is not grid+CLS")
+    layer_ids = [
+        int(m.group(1))
+        for m in (re.match(r"blocks\.(\d+)\.", k) for k in state)
+        if m
+    ]
+    num_layers = max(layer_ids) + 1 if layer_ids else 0
+    num_classes = int(state["head.weight"].shape[0])
+    if heads is None:
+        heads = _DEFAULT_HEADS.get(hidden)
+        if heads is None:
+            raise ValueError(
+                f"cannot infer num_attention_heads for hidden={hidden}; "
+                "pass --heads"
+            )
+    return VitHParams(
+        hidden_size=hidden,
+        num_hidden_layers=num_layers,
+        num_attention_heads=heads,
+        num_classes=num_classes,
+        patch_size=patch,
+        img_size=side * patch,
+        in_chans=in_chans,
+    )
+
+
+def normalize_state_dict(raw: Dict[str, "np.ndarray"]) -> Dict[str, np.ndarray]:
+    """Unwrap nested checkpoints and strip ViTSTR's DataParallel prefixes
+    (`module.vitstr.`, extensions/.../convert-pth-to-ggml.py:225-228)."""
+    for key in ("state_dict", "model", "net"):
+        if key in raw and isinstance(raw[key], dict):
+            raw = raw[key]
+            break
+    out = {}
+    for name, t in raw.items():
+        for prefix in ("module.vitstr.", "module.", "vitstr."):
+            if name.startswith(prefix):
+                name = name[len(prefix) :]
+                break
+        out[name] = np.asarray(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+            dtype=np.float32,
+        )
+    return out
+
+
+def collapse_to_grayscale(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Sum the patch conv's RGB channels into one — how the reference builds
+    in_chans=1 ViTSTR weights from 3-channel DeiT checkpoints
+    (extensions/.../convert-pth-to-ggml.py:100-122)."""
+    pe = state.get("patch_embed.proj.weight")
+    if pe is not None and pe.ndim == 4 and pe.shape[1] == 3:
+        state = dict(state)
+        state["patch_embed.proj.weight"] = pe.sum(axis=1, keepdims=True)
+    return state
+
+
+def _timm_id2label(model_name: str, num_classes: int) -> Dict[int, str]:
+    """The reference infers the label set from the timm pretrained tag
+    (convert-pth-to-ggml.py:80-93), falling back to LABEL_i."""
+    try:
+        from timm.data import ImageNetInfo, infer_imagenet_subset
+
+        dataset_info = ImageNetInfo()
+        subset = infer_imagenet_subset(model_name)
+        if subset:
+            dataset_info = ImageNetInfo(subset)
+        return {
+            i: dataset_info.index_to_description(i, detailed=True)
+            for i in range(num_classes)
+        }
+    except Exception:
+        return {i: f"LABEL_{i}" for i in range(num_classes)}
+
+
+def convert(
+    *,
+    model_name: str | None = None,
+    checkpoint: str | None = None,
+    output_dir: str = ".",
+    ftype: int = 1,
+    heads: int | None = None,
+    vitstr: bool = False,
+    verbose: bool = True,
+) -> str:
+    if checkpoint is not None:
+        import torch
+
+        raw = torch.load(checkpoint, map_location="cpu", weights_only=False)
+        state = normalize_state_dict(raw)
+        stem = os.path.splitext(os.path.basename(checkpoint))[0]
+    elif model_name is not None:
+        try:
+            import timm
+        except ImportError as exc:
+            raise SystemExit(
+                f"converting '{model_name}' by name requires the timm package "
+                f"({exc}); use --checkpoint for offline conversion"
+            )
+        model = timm.create_model(model_name, pretrained=True)
+        state = normalize_state_dict(model.state_dict())
+        stem = model_name
+    else:
+        raise ValueError("either model_name or --checkpoint is required")
+
+    if vitstr:
+        state = collapse_to_grayscale(state)
+    hp = infer_hparams(state, heads=heads)
+
+    if vitstr or hp.in_chans == 1:
+        from vit_cpp_tpu.models.vitstr import vitstr_id2label
+
+        id2label = vitstr_id2label()
+    elif model_name is not None:
+        id2label = _timm_id2label(model_name, hp.num_classes)
+    else:
+        id2label = {i: f"LABEL_{i}" for i in range(hp.num_classes)}
+
+    fname = {0: "f32", 1: "f16"}.get(ftype)
+    if fname is None:
+        raise ValueError(f"ftype must be 0 (f32) or 1 (f16), got {ftype}")
+    out_path = os.path.join(output_dir, f"ggml-model-{fname}.gguf")
+
+    if verbose:
+        print(f"hparams: {hp}")
+        print(f"writing {out_path} (ftype={ftype})")
+    write_model(out_path, hp, id2label, serialize_state_dict(state, ftype), ftype)
+    if verbose:
+        print(f"Done. Output file: {out_path}")
+    return out_path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Convert a timm ViT / ViTSTR checkpoint to a model file."
+    )
+    ap.add_argument(
+        "model_name",
+        nargs="?",
+        default="vit_base_patch8_224.augreg2_in21k_ft_in1k",
+        help="timm model id (reference default, convert-pth-to-ggml.py:44)",
+    )
+    ap.add_argument("output_dir", nargs="?", default=".")
+    ap.add_argument(
+        "--checkpoint", help="torch .pth state dict for offline conversion"
+    )
+    ap.add_argument("--ftype", type=int, default=1, help="0=f32, 1=f16")
+    ap.add_argument(
+        "--heads", type=int, help="override num_attention_heads inference"
+    )
+    ap.add_argument(
+        "--vitstr",
+        action="store_true",
+        help="ViTSTR scene-text model: grayscale conv + 96-token vocab",
+    )
+    args = ap.parse_args(argv)
+    convert(
+        model_name=None if args.checkpoint else args.model_name,
+        checkpoint=args.checkpoint,
+        output_dir=args.output_dir,
+        ftype=args.ftype,
+        heads=args.heads,
+        vitstr=args.vitstr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,10 +1,16 @@
-"""High-level inference engine: load once, classify many.
+"""High-level inference engines: load once, classify many.
 
 The TPU-native analogue of the reference's load -> preprocess -> predict
 flow (main.cpp:26-113), minus its per-image graph rebuild: the forward pass
 is jitted once per (model, batch-shape) and reused. Exposes both the
 single-image parity path (f32, matmul precision 'highest') and the
 throughput path (bf16, batched).
+
+`VitstrEngine` is the scene-text variant (reference extensions/vitstr.cpp)
+— same engine, different head: grayscale preprocessing, the 25-position
+sequence readout and greedy decoding. The reference built it by forking the
+whole engine; here it is a subclass that swaps the preprocess and decode
+stages (SURVEY.md §7 step 6: "a head abstraction instead of forking").
 """
 
 from __future__ import annotations
@@ -25,6 +31,25 @@ from vit_cpp_tpu.models.vit import predict_probs
 from vit_cpp_tpu.ops.preprocess import preprocess
 
 
+def detect_hparams(mf) -> VitHParams:
+    """Infer extension hparams not stored in the file format.
+
+    The reference's ViTSTR files reuse the classifier format; the loader
+    learns in_chans=1 only from the patch conv weight's shape (ne2=1,
+    extensions/vitstr.cpp/vitstr.cpp:482). A 1-channel model implies the
+    ViTSTR sequence head (fixed seq_len=25, vitstr.cpp:865).
+    """
+    hp = mf.hparams
+    pe = mf.tensors.get("patch_embed.proj.weight")
+    if pe is not None and len(pe.shape) == 4 and pe.shape[1] != hp.in_chans:
+        hp = dataclasses.replace(hp, in_chans=int(pe.shape[1]))
+    if hp.in_chans == 1 and hp.seq_len is None:
+        from vit_cpp_tpu.models.vitstr import VITSTR_SEQ_LEN
+
+        hp = dataclasses.replace(hp, seq_len=VITSTR_SEQ_LEN)
+    return hp
+
+
 class VitEngine:
     def __init__(
         self,
@@ -42,7 +67,7 @@ class VitEngine:
         if verbose:
             print(f"vit_model_load: loading model from '{model_path}' - please wait")
         mf = read_model(model_path)
-        hp = mf.hparams
+        hp = detect_hparams(mf)
         if eps is not None:
             hp = dataclasses.replace(hp, eps=eps)
         if interpolation is not None:
@@ -58,7 +83,7 @@ class VitEngine:
             print(f"vit_model_load: qntvr                  = {mf.qntvr}")
         self.hp = hp
         self.id2label = mf.id2label
-        self.params = load_params(mf, dtype=dtype)
+        self.params = load_params(mf, dtype=dtype, hparams=hp)
         self.matmul_precision = matmul_precision
         self._attn_impl = attn_impl
         self._mm_impl = mm_impl
@@ -102,3 +127,36 @@ class VitEngine:
             (int(i), float(probs[i]), self.id2label.get(int(i), f"LABEL_{i}"))
             for i in order
         ]
+
+
+class VitstrEngine(VitEngine):
+    """Scene-text recognition engine (reference extensions/vitstr.cpp).
+
+    Same transformer engine; grayscale (1, S, S) input and a greedy decode
+    over the (seq_len, n_tokens) probability grid instead of top-k.
+    """
+
+    def preprocess_image(self, img_u8: np.ndarray) -> jax.Array:
+        from vit_cpp_tpu.models.vitstr import preprocess_grayscale
+
+        return preprocess_grayscale(img_u8, self.hp.img_size)
+
+    def recognize_file(
+        self, path: str, verbose: bool = True
+    ) -> Tuple[str, float]:
+        """Decode, preprocess, predict, greedy-decode -> (text, confidence)."""
+        from vit_cpp_tpu.models.vitstr import greedy_decode
+
+        img = load_image_rgb(path)
+        if verbose:
+            print(
+                f"load_image_from_file: loaded image '{path}' "
+                f"({img.shape[1]} x {img.shape[0]})"
+            )
+        pixels = self.preprocess_image(img)
+        if verbose:
+            print(
+                f"processed, out dims : ({self.hp.img_size} x {self.hp.img_size})"
+            )
+        probs = np.asarray(self.predict_probs_batch(pixels[None])[0])
+        return greedy_decode(probs, self.id2label)

@@ -24,13 +24,16 @@ from vit_cpp_tpu.quant.blocks import CODE_OFFSET, unpack_soa
 class QuantLinear:
     """A packed block-quantized weight matrix.
 
-    Logical weight is (out, in) torch-orientation; `codes` are the integer
-    quantization codes and `scales`/`mins` the per-32-element-block
-    parameters laid out along the input dimension:
+    Stored transposed to matmul orientation — the on-disk blocks run along
+    the torch (out, in) contiguous axis, but the pytree keeps everything
+    (in, out) so both the XLA and the Pallas dequant-in-matmul paths compute
+    `x @ w` with zero runtime transposes, and the in-kernel scale expansion
+    broadcasts over *leading* (sublane) dims, which Mosaic lowers cheaply
+    (a lane-dim split reshape is unsupported on TPU):
 
-      codes:  (out, in)        int8  (Q8_0 signed; Q4/Q5 codes 0..15/0..31)
-      scales: (out, in // 32)  f32
-      mins:   (out, in // 32)  f32   (only for Q4_1/Q5_1, else None)
+      codes:  (in, out)        int8  (Q8_0 signed; Q4/Q5 codes 0..15/0..31)
+      scales: (in // 32, out)  f32
+      mins:   (in // 32, out)  f32   (only for Q4_1/Q5_1, else None)
 
     Dequantization: w = (codes - offset) * scale [+ min], with the static
     `offset` from the format (8 for Q4_0, 16 for Q5_0, 0 otherwise).
@@ -49,32 +52,34 @@ class QuantLinear:
 
     @property
     def out_features(self) -> int:
-        return self.codes.shape[-2]
+        return self.codes.shape[-1]
 
     @property
     def in_features(self) -> int:
-        return self.codes.shape[-1]
+        return self.codes.shape[-2]
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Materialize the dense (in, out) kernel (jnp fallback path)."""
         c = self.codes.astype(jnp.float32)
         if self.offset:
             c = c - self.offset
-        expand = lambda a: jnp.repeat(a, QK, axis=-1)
+        expand = lambda a: jnp.repeat(a, QK, axis=-2)
         w = c * expand(self.scales)
         if self.mins is not None:
             w = w + expand(self.mins)
-        return jnp.swapaxes(w, -1, -2).astype(dtype)
+        return w.astype(dtype)
 
 
 def _quant_linear_from_record(rec: TensorRecord) -> QuantLinear:
     out_f, in_f = rec.shape
     soa = unpack_soa(rec.data, rec.n_elements, rec.dtype)
-    codes = soa["codes"].astype(np.int8).reshape(out_f, in_f)
-    scales = soa["d"].reshape(out_f, in_f // QK)
+    codes = np.ascontiguousarray(
+        soa["codes"].astype(np.int8).reshape(out_f, in_f).T
+    )
+    scales = np.ascontiguousarray(soa["d"].reshape(out_f, in_f // QK).T)
     mins = soa.get("m")
     if mins is not None:
-        mins = mins.reshape(out_f, in_f // QK)
+        mins = np.ascontiguousarray(mins.reshape(out_f, in_f // QK).T)
     return QuantLinear(
         codes=jnp.asarray(codes),
         scales=jnp.asarray(scales),
