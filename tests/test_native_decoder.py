@@ -1,0 +1,98 @@
+"""Native C++ image decoder (libjpeg/libpng) vs the PIL oracle.
+
+The native decoder replaces the reference's stb_image path
+(load_image_from_file, vit.cpp:109-127): forced 3-channel RGB, HWC u8.
+Tests build the shared library on first use; if the toolchain is absent
+the suite skips (the engine falls back to PIL either way).
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+decoder = pytest.importorskip("vit_cpp_tpu.native.decoder")
+
+MAGPIE = "/root/reference/assets/magpie.jpeg"
+
+
+def _rand_img(rng, h, w):
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+class TestJpeg:
+    def test_matches_pil(self):
+        got = decoder.decode_rgb(MAGPIE)
+        with Image.open(MAGPIE) as im:
+            want = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        assert got is not None
+        assert got.shape == want.shape
+        # same libjpeg under both — bit exact
+        np.testing.assert_array_equal(got, want)
+
+    def test_grayscale_jpeg_forced_rgb(self, tmp_path):
+        rng = np.random.default_rng(0)
+        p = tmp_path / "gray.jpg"
+        Image.fromarray(_rand_img(rng, 40, 60)).convert("L").save(p)
+        got = decoder.decode_rgb(str(p))
+        assert got is not None and got.shape == (40, 60, 3)
+        # gray replicated into all three channels
+        np.testing.assert_array_equal(got[..., 0], got[..., 1])
+
+    def test_decode_bytes(self):
+        with open(MAGPIE, "rb") as f:
+            data = f.read()
+        got = decoder.decode_rgb_bytes(data)
+        assert got is not None and got.shape[2] == 3
+
+
+class TestPng:
+    @pytest.mark.parametrize("mode", ["RGB", "RGBA", "L", "P"])
+    def test_png_variants(self, tmp_path, mode):
+        rng = np.random.default_rng(1)
+        img = Image.fromarray(_rand_img(rng, 21, 33)).convert(mode)
+        p = tmp_path / f"{mode}.png"
+        img.save(p)
+        got = decoder.decode_rgb(str(p))
+        want = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
+
+    def test_16bit_png(self, tmp_path):
+        rng = np.random.default_rng(2)
+        arr16 = rng.integers(0, 65536, (10, 12), dtype=np.uint16)
+        p = tmp_path / "deep.png"
+        Image.fromarray(arr16, mode="I;16").save(p)
+        got = decoder.decode_rgb(str(p))
+        assert got is not None and got.shape == (10, 12, 3)
+
+
+class TestBatch:
+    def test_batch_with_failures(self, tmp_path):
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(4):
+            p = tmp_path / f"{i}.png"
+            Image.fromarray(_rand_img(rng, 8 + i, 9 + i)).save(p)
+            paths.append(str(p))
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"not an image at all")
+        paths.insert(2, str(bad))
+        outs = decoder.decode_batch(paths, n_threads=3)
+        assert len(outs) == 5
+        assert outs[2] is None  # failed decode -> skip, like the harness
+        for i, j in [(0, 0), (1, 1), (3, 2), (4, 3)]:
+            assert outs[i].shape == (8 + j, 9 + j, 3)
+
+    def test_batch_matches_single(self):
+        single = decoder.decode_rgb(MAGPIE)
+        (batched,) = decoder.decode_batch([MAGPIE])
+        np.testing.assert_array_equal(single, batched)
+
+
+class TestEngineIntegration:
+    def test_load_image_rgb_uses_native(self):
+        from vit_cpp_tpu.io.image import load_image_rgb
+
+        native = load_image_rgb(MAGPIE, prefer_native=True)
+        pil = load_image_rgb(MAGPIE, prefer_native=False)
+        np.testing.assert_array_equal(native, pil)
