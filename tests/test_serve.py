@@ -1,0 +1,105 @@
+"""Serving pipeline: batched canvas preprocessing + double-buffered serve.
+
+preprocess_batch must be numerically identical to the per-image parity path
+(same resampling weights, u8 re-rounding, normalize — vit.cpp:130-287
+semantics) while compiling once per (batch, canvas-bucket); serve_files
+must preserve input order, mark failed decodes, and agree with the
+single-image engine path.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.ops.preprocess import canvas_bucket, preprocess, preprocess_batch
+from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+
+class TestCanvasPreprocess:
+    def test_bucketing(self):
+        assert canvas_bucket(100, 200) == 256
+        assert canvas_bucket(257, 100) == 512
+        assert canvas_bucket(256, 256) == 256
+
+    @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+    def test_matches_per_image_path(self, mode):
+        rng = np.random.default_rng(0)
+        sizes = [(40, 60), (200, 150), (224, 224), (100, 250)]
+        imgs = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for h, w in sizes
+        ]
+        batched = np.asarray(preprocess_batch(imgs, 32, mode=mode))
+        assert batched.shape == (4, 3, 32, 32)
+        for i, img in enumerate(imgs):
+            single = np.asarray(preprocess(img, 32, mode=mode))
+            np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+    def test_mixed_buckets_use_max(self):
+        rng = np.random.default_rng(1)
+        imgs = [
+            rng.integers(0, 256, (40, 60, 3), dtype=np.uint8),
+            rng.integers(0, 256, (300, 200, 3), dtype=np.uint8),
+        ]
+        out = np.asarray(preprocess_batch(imgs, 16))
+        for i, img in enumerate(imgs):
+            np.testing.assert_allclose(
+                out[i], np.asarray(preprocess(img, 16)), atol=1e-5
+            )
+
+
+@pytest.fixture(scope="module")
+def serve_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    model = root / "model.gguf"
+    write_synthetic_model(str(model), hp, ftype=1, seed=2)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(7):
+        p = root / f"img_{i}.png"
+        Image.fromarray(
+            rng.integers(0, 256, (30 + 3 * i, 40, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    bad = root / "broken.jpg"
+    bad.write_bytes(b"nope")
+    paths.insert(3, str(bad))
+    return str(model), paths
+
+
+class TestServe:
+    def test_order_failures_and_parity(self, serve_setup):
+        from vit_cpp_tpu.engine import VitEngine
+        from vit_cpp_tpu.serve import serve_files
+
+        model, paths = serve_setup
+        engine = VitEngine(model, verbose=False)
+        results = list(serve_files(engine, paths, batch=3, keep_probs=True))
+        assert len(results) == len(paths)
+        # failed decode marked, good files classified
+        by_path = {r.path: r for r in results}
+        assert by_path[paths[3]].top1 == -1
+        for p in paths:
+            if p == paths[3]:
+                continue
+            r = by_path[p]
+            want = engine.classify_file(p, topk=1, verbose=False)[0]
+            assert r.top1 == want[0]
+            np.testing.assert_allclose(r.prob, want[1], atol=1e-5)
+
+    def test_throughput_helper(self, serve_setup):
+        from vit_cpp_tpu.engine import VitEngine
+        from vit_cpp_tpu.serve import throughput
+
+        model, paths = serve_setup
+        engine = VitEngine(model, verbose=False)
+        ips = throughput(engine, paths, batch=4)
+        assert ips > 0

@@ -117,3 +117,85 @@ def preprocess(
         jnp.asarray(mean, dtype=jnp.float32),
         jnp.asarray(std, dtype=jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Throughput path: batched, canvas-bucketed preprocessing.
+#
+# The parity path above jits one program per source (H, W) — fine for a CLI,
+# hostile to serving where every image has a different size (each size would
+# recompile; the XLA analogue of the reference rebuilding its graph per
+# image, which SURVEY.md §7 forbids). Here sources are zero-padded onto a
+# bucketed square canvas and the per-image resampling matrices become
+# *inputs* (zero past the true extent), so one compiled program per
+# (batch, canvas-bucket) handles every image size, and the whole batch is
+# one einsum on the MXU.
+# ---------------------------------------------------------------------------
+
+
+def canvas_bucket(h: int, w: int, step: int = 256) -> int:
+    """Smallest multiple of `step` covering both extents."""
+    m = max(h, w, 1)
+    return (m + step - 1) // step * step
+
+
+@lru_cache(maxsize=512)
+def _padded_resize_matrix(n_in: int, out_size: int, canvas: int, mode: str):
+    """(out, canvas) resampling weights: true matrix in the first n_in
+    columns, zeros beyond (padded canvas pixels contribute nothing)."""
+    w = (
+        bilinear_matrix(n_in, out_size)
+        if mode == "bilinear"
+        else bicubic_matrix(n_in, out_size)
+    )
+    out = np.zeros((out_size, canvas), dtype=np.float32)
+    out[:, :n_in] = w
+    return out
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _batch_resize_normalize(canvas_u8, wy, wx, round_u8, mean, std):
+    """(B, C, C, 3) u8 + per-image (B, S, C) matrices -> (B, 3, S, S)."""
+    x = canvas_u8.astype(jnp.float32)
+    y = jnp.einsum(
+        "boh,bhwc,bpw->bcop", wy, x, wx, preferred_element_type=jnp.float32
+    )
+    if round_u8:
+        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)
+    return (y - mean[None, :, None, None]) / std[None, :, None, None]
+
+
+def preprocess_batch(
+    images,
+    out_size: int,
+    mode: str = "bicubic",
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+    round_u8: bool = True,
+    canvas_step: int = 256,
+) -> jax.Array:
+    """List of (H, W, 3) u8 host images -> (B, 3, S, S) device batch.
+
+    Same per-image semantics as `preprocess` (identical resampling weights,
+    u8 re-rounding, mean/std); compiles once per (B, canvas-bucket).
+    """
+    if not images:
+        raise ValueError("empty batch")
+    canvas = max(canvas_bucket(i.shape[0], i.shape[1], canvas_step) for i in images)
+    b = len(images)
+    canv = np.zeros((b, canvas, canvas, 3), dtype=np.uint8)
+    wy = np.empty((b, out_size, canvas), dtype=np.float32)
+    wx = np.empty((b, out_size, canvas), dtype=np.float32)
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        canv[i, :h, :w] = img
+        wy[i] = _padded_resize_matrix(h, out_size, canvas, mode)
+        wx[i] = _padded_resize_matrix(w, out_size, canvas, mode)
+    return _batch_resize_normalize(
+        jnp.asarray(canv),
+        jnp.asarray(wy),
+        jnp.asarray(wx),
+        round_u8,
+        jnp.asarray(mean, dtype=jnp.float32),
+        jnp.asarray(std, dtype=jnp.float32),
+    )

@@ -1,0 +1,137 @@
+"""Throughput serving: a double-buffered decode -> preprocess -> predict
+pipeline over a stream of image files.
+
+The reference processes one image per process invocation (main.cpp:26-113);
+its only throughput story is re-running the CLI N times
+(scripts/benchmark.sh:45-55). This module is the serving mode the TPU
+design calls for (SURVEY.md §7 step 4): while batch k runs on device,
+batch k+1 decodes on the native C++ thread pool and stages onto the host —
+the classic double-buffer, here across the host/device boundary. Device
+work per batch is one canvas-bucketed preprocessing einsum
+(ops/preprocess.py) plus one jitted batched forward; JAX's async dispatch
+overlaps the device programs with the next host stage automatically.
+
+    engine = VitEngine(model, dtype=jnp.bfloat16)
+    for result in serve_files(engine, paths, batch=64):
+        ...  # result.path, result.top1, result.probs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from vit_cpp_tpu.engine import VitEngine
+from vit_cpp_tpu.io.image import load_image_rgb
+from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+
+@dataclasses.dataclass
+class Prediction:
+    path: str
+    top1: int
+    prob: float
+    probs: Optional[np.ndarray] = None
+
+
+def _decode_many(paths: Sequence[str], n_threads: int) -> List[Optional[np.ndarray]]:
+    try:
+        from vit_cpp_tpu.native import decoder
+
+        return decoder.decode_batch(paths, n_threads=n_threads)
+    except Exception:
+        out: List[Optional[np.ndarray]] = []
+        for p in paths:
+            try:
+                out.append(load_image_rgb(p, prefer_native=False))
+            except OSError:
+                out.append(None)
+        return out
+
+
+def serve_files(
+    engine: VitEngine,
+    paths: Iterable[str],
+    *,
+    batch: int = 64,
+    decode_threads: int = 0,
+    prefetch: int = 2,
+    keep_probs: bool = False,
+) -> Iterator[Prediction]:
+    """Classify a stream of files; yields Predictions in input order.
+
+    Failed decodes yield top1 == -1 (the harness-style skip marker,
+    reference tests/benchmark.cpp:108-125).
+    """
+    import os
+
+    if decode_threads <= 0:
+        decode_threads = os.cpu_count() or 1
+    paths = list(paths)
+    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer():
+        for chunk in chunks:
+            if stop.is_set():
+                return
+            images = _decode_many(chunk, decode_threads)
+            kept = [(p, im) for p, im in zip(chunk, images) if im is not None]
+            failed = [p for p, im in zip(chunk, images) if im is None]
+            pixels = None
+            if kept:
+                # stage the device transfer + preprocessing einsum from the
+                # producer thread: it overlaps the consumer's forward pass.
+                # Short chunks are padded to the full batch size up front so
+                # preprocess AND forward each compile exactly once.
+                imgs = [im for _, im in kept]
+                while len(imgs) < batch:
+                    imgs.append(imgs[0])
+                pixels = preprocess_batch(
+                    imgs,
+                    engine.hp.img_size,
+                    mode=engine.hp.interpolation,
+                )
+            q.put((kept, failed, pixels))
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            kept, failed, pixels = item
+            if kept:
+                n = len(kept)
+                probs = np.asarray(engine.predict_probs_batch(pixels))[:n]
+                top = probs.argmax(axis=-1)
+                for (p, _), t1, pr in zip(kept, top, probs):
+                    yield Prediction(
+                        p,
+                        int(t1),
+                        float(pr[t1]),
+                        probs=pr if keep_probs else None,
+                    )
+            for p in failed:
+                yield Prediction(p, -1, 0.0)
+    finally:
+        stop.set()
+
+
+def throughput(
+    engine: VitEngine, paths: Sequence[str], *, batch: int = 64, **kw
+) -> float:
+    """Images/sec over a full serve_files pass (wall clock, end to end)."""
+    import time
+
+    t0 = time.perf_counter()
+    n = sum(1 for r in serve_files(engine, paths, batch=batch, **kw) if r.top1 >= 0)
+    dt = time.perf_counter() - t0
+    return n / max(dt, 1e-9)
