@@ -1,0 +1,68 @@
+"""Multi-chip serving: engine sharded over the virtual 8-device CPU mesh.
+
+Validates VitEngine.shard() — dp-only and dp x tp meshes must produce the
+same probabilities as the single-device engine (XLA inserts the TP
+collectives; SURVEY.md §2.6-2.7: the reference has no distributed path,
+this is the ICI serving axis of the TPU design).
+"""
+
+import numpy as np
+import pytest
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.parallel.mesh import make_mesh
+from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_classes=8,
+        patch_size=8,
+        img_size=32,
+    )
+    p = tmp_path_factory.mktemp("sharded") / "m.gguf"
+    write_synthetic_model(str(p), hp, ftype=1, seed=9)
+    return str(p)
+
+
+def _batch(n=8):
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        rng.standard_normal((n, 3, 32, 32)), dtype=jnp.float32
+    )
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_matches_single(model_path, dp, tp):
+    from vit_cpp_tpu.engine import VitEngine
+
+    x = _batch(8)
+    ref = np.asarray(
+        VitEngine(model_path, verbose=False).predict_probs_batch(x)
+    )
+    mesh = make_mesh(dp=dp, tp=tp)
+    eng = VitEngine(model_path, verbose=False).shard(mesh)
+    with mesh:
+        got = np.asarray(eng.predict_probs_batch(x))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_sharded_quantized(model_path, tmp_path):
+    from vit_cpp_tpu.cli.quantize import quantize_model_file
+    from vit_cpp_tpu.engine import VitEngine
+
+    qf = tmp_path / "q.gguf"
+    quantize_model_file(model_path, str(qf), 8, verbose=False)
+    x = _batch(8)
+    ref = np.asarray(VitEngine(str(qf), verbose=False).predict_probs_batch(x))
+    mesh = make_mesh(dp=4, tp=2)
+    eng = VitEngine(str(qf), verbose=False).shard(mesh)
+    with mesh:
+        got = np.asarray(eng.predict_probs_batch(x))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

@@ -97,6 +97,27 @@ class VitEngine:
         self._predict = jax.jit(_predict)
         self.load_ms = (time.perf_counter() - t0) * 1000.0
 
+    # -- multi-chip serving ---------------------------------------------------
+
+    def shard(self, mesh) -> "VitEngine":
+        """Distribute the engine over a ('data', 'model') mesh.
+
+        Parameters get megatron TP shardings (replicated when the model
+        axis is 1 — pure data parallelism); serving batches are sharded
+        over 'data' in predict_probs_batch. The reference has no
+        distributed execution at all (SURVEY.md §2.7); this is the ICI
+        serving axis the TPU design adds. Batch size must divide the data
+        axis.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vit_cpp_tpu.parallel.sharding import shard_params
+
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+        return self
+
     # -- single image, reference-parity path ---------------------------------
 
     def preprocess_image(self, img_u8: np.ndarray) -> jax.Array:
@@ -104,6 +125,9 @@ class VitEngine:
 
     def predict_probs_batch(self, images: jax.Array) -> jax.Array:
         """images: (B, C, S, S) preprocessed -> (B, classes) probabilities."""
+        sharding = getattr(self, "_batch_sharding", None)
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
         return self._predict(self.params, images)
 
     def classify_file(

@@ -12,9 +12,10 @@ Megatron-style tensor parallelism over the ('data', 'model') mesh:
 
 Specs are shaped for the stacked-blocks layout produced by
 vit_cpp_tpu.models.params.load_params (leading L axis on block params).
-QuantLinear nodes get specs on their codes/scales with the same logical
-split (codes are (L, out, in): column-parallel shards dim -2, row-parallel
-dim -1 — scales/mins shard like codes with the block axis following in/32).
+QuantLinear nodes store codes/scales in the same (in, out) matmul
+orientation as dense kernels, so they take identical partition specs
+(column-parallel shards the out dim, row-parallel the in dim; per-block
+scales shard along in//32 consistently).
 """
 
 from __future__ import annotations
@@ -27,25 +28,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vit_cpp_tpu.quant.qlinear import QuantLinear
 
 
-def _qspec(col_parallel: bool) -> "QuantLinear":
-    """Spec-pytree for a stacked QuantLinear (codes (L, out, in))."""
-    if col_parallel:
-        spec = P(None, "model", None)
-    else:
-        spec = P(None, None, "model")
-    return QuantLinear(codes=spec, scales=spec, mins=spec, qtype=0)
-
-
 def _kernel_spec(kernel, col_parallel: bool, stacked: bool = True):
-    """Spec for a dense (L, in, out) kernel or a QuantLinear (L, out, in)."""
-    if isinstance(kernel, QuantLinear):
-        q = _qspec(col_parallel)
-        if kernel.mins is None:
-            q = QuantLinear(codes=q.codes, scales=q.scales, mins=None, qtype=0)
-        return q
+    """Spec for a ([L,] in, out) kernel — dense array or QuantLinear."""
     if col_parallel:
-        return P(None, None, "model") if stacked else P(None, "model")
-    return P(None, "model", None) if stacked else P("model", None)
+        spec = P(None, None, "model") if stacked else P(None, "model")
+    else:
+        spec = P(None, "model", None) if stacked else P("model", None)
+    if isinstance(kernel, QuantLinear):
+        return QuantLinear(
+            codes=spec,
+            scales=spec,
+            mins=None if kernel.mins is None else spec,
+            qtype=0,
+        )
+    return spec
 
 
 def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
