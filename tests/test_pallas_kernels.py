@@ -13,7 +13,7 @@ import pytest
 
 from vit_cpp_tpu.gguf.dtypes import GGMLDType
 from vit_cpp_tpu.ops.core import attention
-from vit_cpp_tpu.ops.flash_attention import flash_attention
+from vit_cpp_tpu.ops.flash_attention import attention_qkv, flash_attention
 from vit_cpp_tpu.ops.pallas_qmatmul import pallas_quant_matmul
 from vit_cpp_tpu.ops.qmatmul import quant_matmul
 from vit_cpp_tpu.quant.blocks import quantize
@@ -48,6 +48,18 @@ class TestFlashAttention:
         q, k, v = _qkv(1, 2, 128, 64)
         ref = attention(q, k, v, impl="xla")
         out = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_attention_qkv_fused_layout(self):
+        # (B, T, 3h) serving path == split-head reference path
+        b, t, nh, d = 2, 197, 3, 64
+        rng = np.random.default_rng(7)
+        qkv5 = rng.standard_normal((b, t, 3, nh, d)).astype(np.float32)
+        q, k, v = (
+            jnp.asarray(qkv5[:, :, i]).transpose(0, 2, 1, 3) for i in range(3)
+        )
+        ref = attention(q, k, v, impl="xla").transpose(0, 2, 1, 3).reshape(b, t, nh * d)
+        out = attention_qkv(jnp.asarray(qkv5.reshape(b, t, 3 * nh * d)), nh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
     def test_model_forward_selects_pallas(self):

@@ -68,10 +68,17 @@ def transformer_block(
     qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
     # (B, T, 3h): fused QKV with q|k|v contiguous on the feature axis
     # (timm layout; reference carves the same three views, vit.cpp:826-846).
-    qkv = qkv.reshape(b, t, 3, nh, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    o = attention(q, k, v, impl=attn_impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
+    if attn_impl == "pallas":
+        # fused kernel slices Q/K/V per head inside VMEM and writes
+        # (B, T, h) directly — no head-split/merge transposes in HBM
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv
+
+        o = attention_qkv(qkv, nh)
+    else:
+        qkv = qkv.reshape(b, t, 3, nh, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        o = attention(q, k, v, impl=attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
     x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
 
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
