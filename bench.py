@@ -44,7 +44,7 @@ def main() -> int:
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="none")
     ap.add_argument("--latency", action="store_true")
-    ap.add_argument("--attn", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--attn", choices=["xla", "pallas"], default="pallas")
     ap.add_argument("--mm", choices=["xla", "pallas"], default="xla")
     args = ap.parse_args()
 

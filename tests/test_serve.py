@@ -103,3 +103,15 @@ class TestServe:
         engine = VitEngine(model, verbose=False)
         ips = throughput(engine, paths, batch=4)
         assert ips > 0
+
+
+class TestServeCli:
+    def test_cli_smoke(self, serve_setup, capsys):
+        from vit_cpp_tpu.cli.serve import main
+
+        model, paths = serve_setup
+        rc = main(["-m", model, "--dtype", "f32", "--attn", "xla", "-b", "4", *paths[:4]])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) >= 3  # broken.jpg goes to stderr
+        assert all("\t" in l for l in out)

@@ -1,0 +1,97 @@
+"""`serve` CLI: classify a directory or file list at throughput.
+
+The batch-serving front end the reference lacks (its only multi-image mode
+is re-running the CLI per image, scripts/benchmark.sh:45-55). Drives
+vit_cpp_tpu.serve.serve_files — native threaded decode double-buffered
+against the jitted batched forward — and prints one `path<TAB>label<TAB>prob`
+line per image plus an images/sec summary.
+
+Usage:
+  python -m vit_cpp_tpu.cli.serve -m model.gguf -d images_dir [-b 64]
+  python -m vit_cpp_tpu.cli.serve -m model.gguf img1.jpg img2.png ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".JPEG", ".JPG", ".PNG"}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-d", "--dir", help="classify every image under this dir")
+    ap.add_argument("files", nargs="*", help="explicit image files")
+    ap.add_argument("-b", "--batch", type=int, default=64)
+    ap.add_argument("-k", "--topk", type=int, default=1)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument(
+        "--attn", choices=["xla", "pallas"], default="pallas",
+        help="attention kernel (fused Pallas is the TPU serving default)",
+    )
+    ap.add_argument("--decode-threads", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    paths = list(args.files)
+    if args.dir:
+        for root, _, files in os.walk(args.dir):
+            paths.extend(
+                os.path.join(root, f)
+                for f in sorted(files)
+                if os.path.splitext(f)[1] in IMAGE_EXTS
+            )
+    if not paths:
+        print("no input images", file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.serve import serve_files
+
+    engine = VitEngine(
+        args.model,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        attn_impl=args.attn,
+        verbose=False,
+    )
+    t0 = time.perf_counter()
+    n_ok = 0
+    for r in serve_files(
+        engine,
+        paths,
+        batch=args.batch,
+        decode_threads=args.decode_threads,
+        keep_probs=args.topk > 1,
+    ):
+        if r.top1 < 0:
+            print(f"{r.path}\t<decode failed>", file=sys.stderr)
+            continue
+        n_ok += 1
+        if args.topk > 1:
+            order = np.argsort(-r.probs, kind="stable")[: args.topk]
+            tags = " ".join(
+                f"{engine.id2label.get(int(i), f'LABEL_{i}')}:{r.probs[i]:.2f}"
+                for i in order
+            )
+            print(f"{r.path}\t{tags}")
+        else:
+            label = engine.id2label.get(r.top1, f"LABEL_{r.top1}")
+            print(f"{r.path}\t{label}\t{r.prob:.2f}")
+    dt = time.perf_counter() - t0
+    print(
+        f"serve: {n_ok}/{len(paths)} images in {dt:.2f}s "
+        f"= {n_ok / max(dt, 1e-9):.1f} images/sec",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
