@@ -1,0 +1,110 @@
+"""Export a parameter pytree back to the model file format.
+
+Inverse of models/params.load_params: turns the (possibly fine-tuned, see
+parallel/train.py) forward-pass pytree back into the reference tensor-name
+schema (SURVEY.md §2.4) and writes a gguf file the reference engine — or
+this one — can load. The reference has no C++ writer besides the
+quantizer's stream rewriter (quantize.cpp:110-151); training was out of its
+scope, so this closes the fine-tune -> serve loop the TPU build adds.
+
+Quantized pytrees are exported by materializing dense f32 weights first
+(use cli/quantize.py afterwards to re-quantize; round-tripping packed
+codes directly would invent data the formats can't represent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from vit_cpp_tpu.gguf.writer import write_model
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.quant.qlinear import QuantLinear
+from vit_cpp_tpu.testing.synthetic import state_dict_records
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _kernel_to_torch(kernel) -> np.ndarray:
+    """(in, out) pytree kernel -> torch-order (out, in) f32."""
+    if isinstance(kernel, QuantLinear):
+        return _np(kernel.dequantize()).T
+    return _np(kernel).T
+
+
+def params_to_state_dict(
+    params: Dict[str, Any], hp: VitHParams
+) -> Dict[str, np.ndarray]:
+    """Forward-pass pytree -> reference-schema torch-order state dict."""
+    h = hp.hidden_size
+    out: Dict[str, np.ndarray] = {
+        "pos_embed": _np(params["pos_embed"]).reshape(1, hp.n_tokens, h),
+        "cls_token": _np(params["cls_token"]).reshape(1, 1, h),
+        # pytree stores the flattened (p*p*c, h) matmul kernel; the file
+        # stores the conv layout (h, c, p, p) (vit.cpp:515)
+        "patch_embed.proj.weight": _np(params["patch_embed"]["kernel"])
+        .T.reshape(h, hp.in_chans, hp.patch_size, hp.patch_size),
+        "patch_embed.proj.bias": _np(params["patch_embed"]["bias"]).reshape(
+            1, h, 1, 1
+        ),
+        "norm.weight": _np(params["norm"]["scale"]),
+        "norm.bias": _np(params["norm"]["bias"]),
+        "head.weight": _kernel_to_torch(params["head"]["kernel"]),
+        "head.bias": _np(params["head"]["bias"]),
+    }
+    blocks = params["blocks"]
+
+    def layer(tree, i):
+        import jax
+
+        def slice_leaf(a):
+            if isinstance(a, QuantLinear):
+                return QuantLinear(
+                    codes=a.codes[i],
+                    scales=a.scales[i],
+                    mins=None if a.mins is None else a.mins[i],
+                    qtype=a.qtype,
+                )
+            return a[i]
+
+        return jax.tree.map(
+            slice_leaf, tree, is_leaf=lambda x: isinstance(x, QuantLinear)
+        )
+
+    for i in range(hp.num_hidden_layers):
+        bp = {k: layer(v, i) for k, v in blocks.items()}
+        p = f"blocks.{i}."
+        out.update(
+            {
+                p + "norm1.weight": _np(bp["ln1"]["scale"]),
+                p + "norm1.bias": _np(bp["ln1"]["bias"]),
+                p + "attn.qkv.weight": _kernel_to_torch(bp["qkv"]["kernel"]),
+                p + "attn.qkv.bias": _np(bp["qkv"]["bias"]),
+                p + "attn.proj.weight": _kernel_to_torch(bp["proj"]["kernel"]),
+                p + "attn.proj.bias": _np(bp["proj"]["bias"]),
+                p + "norm2.weight": _np(bp["ln2"]["scale"]),
+                p + "norm2.bias": _np(bp["ln2"]["bias"]),
+                p + "mlp.fc1.weight": _kernel_to_torch(bp["fc1"]["kernel"]),
+                p + "mlp.fc1.bias": _np(bp["fc1"]["bias"]),
+                p + "mlp.fc2.weight": _kernel_to_torch(bp["fc2"]["kernel"]),
+                p + "mlp.fc2.bias": _np(bp["fc2"]["bias"]),
+            }
+        )
+    return out
+
+
+def save_params(
+    path: str,
+    params: Dict[str, Any],
+    hp: VitHParams,
+    id2label: Optional[Dict[int, str]] = None,
+    ftype: int = 1,
+) -> None:
+    """Write the pytree as a model file (ftype 0=f32, 1=f16 dtype rules)."""
+    state = params_to_state_dict(params, hp)
+    if id2label is None:
+        id2label = {i: f"LABEL_{i}" for i in range(hp.num_classes)}
+    write_model(path, hp, id2label, state_dict_records(state, ftype), ftype)
