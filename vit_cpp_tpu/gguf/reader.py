@@ -82,8 +82,41 @@ def _read_i32(f) -> Optional[int]:
     return _I32.unpack(b)[0]
 
 
+def _read_real_gguf(path: str, verbose: bool) -> ModelFile:
+    """Real-GGUF container (magic 'GGUF') -> ModelFile. Superset path; the
+    reference's own files use the legacy layout below (SURVEY.md §1 L3)."""
+    from vit_cpp_tpu.gguf.gguf_real import hparams_from_metadata, read_gguf_raw
+
+    meta, raw_tensors = read_gguf_raw(path)
+    hp = hparams_from_metadata(meta)
+    id2label = {
+        i: s for i, s in enumerate(meta.get("vit.id2label", []))
+    }
+    tensors: Dict[str, TensorRecord] = {}
+    for name, shape, dtype, raw in raw_tensors:
+        if dtype == GGMLDType.F32:
+            data = np.frombuffer(raw, dtype="<f4").reshape(shape).copy()
+        elif dtype == GGMLDType.F16:
+            data = np.frombuffer(raw, dtype="<f2").reshape(shape).copy()
+        else:
+            data = np.frombuffer(raw, dtype=np.uint8).copy()
+        tensors[name] = TensorRecord(name, shape, dtype, data)
+        if verbose:
+            print(f"  {name:<48s} {shape} {dtype.name}")
+    return ModelFile(hparams=hp, id2label=id2label, tensors=tensors)
+
+
 def read_model(path: str, verbose: bool = False) -> ModelFile:
-    """Parse a model file into hparams, labels and tensor records."""
+    """Parse a model file into hparams, labels and tensor records.
+
+    Accepts both containers: the legacy ggml layout the reference writes
+    (magic 'ggml') and real GGUF v2/v3 (magic 'GGUF', gguf_real.py).
+    """
+    with open(path, "rb") as probe:
+        head = probe.read(4)
+    if head == b"GGUF":
+        return _read_real_gguf(path, verbose)
+
     with open(path, "rb") as f:
         magic = _read_i32(f)
         if magic != GGML_FILE_MAGIC:
