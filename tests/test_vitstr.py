@@ -192,3 +192,52 @@ class TestVitstrEngine:
         assert proc.returncode == 0, proc.stderr
         assert "score :" in proc.stdout
         assert "model load time" in proc.stderr
+
+
+class TestVitstrServing:
+    def test_batched_preprocess_matches_single(self):
+        from vit_cpp_tpu.models.vitstr import (
+            preprocess_grayscale,
+            preprocess_grayscale_batch,
+        )
+
+        rng = np.random.default_rng(4)
+        imgs = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(40, 120), (64, 64), (200, 90)]
+        ]
+        batched = np.asarray(preprocess_grayscale_batch(imgs, 48))
+        assert batched.shape == (3, 1, 48, 48)
+        for i, img in enumerate(imgs):
+            single = np.asarray(preprocess_grayscale(img, 48))
+            np.testing.assert_allclose(batched[i], single, atol=1e-4)
+
+    def test_recognize_files_matches_engine(self, vitstr_model, tmp_path):
+        from PIL import Image
+
+        from vit_cpp_tpu.engine import VitstrEngine
+        from vit_cpp_tpu.serve import recognize_files
+
+        path, hp = vitstr_model
+        rng = np.random.default_rng(5)
+        paths = []
+        for i in range(5):
+            p = tmp_path / f"w{i}.png"
+            Image.fromarray(
+                rng.integers(0, 256, (30 + i, 90, 3), dtype=np.uint8)
+            ).save(p)
+            paths.append(str(p))
+        bad = tmp_path / "bad.png"
+        bad.write_bytes(b"x")
+        paths.insert(1, str(bad))
+
+        engine = VitstrEngine(path, verbose=False)
+        results = list(recognize_files(engine, paths, batch=3))
+        assert [r.path for r in results] == paths
+        assert results[1].confidence == -1.0
+        for r in results:
+            if r.confidence < 0:
+                continue
+            want_text, want_conf = engine.recognize_file(r.path, verbose=False)
+            assert r.text == want_text
+            np.testing.assert_allclose(r.confidence, want_conf, rtol=1e-4)

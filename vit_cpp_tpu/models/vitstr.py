@@ -93,6 +93,48 @@ def preprocess_grayscale(img_u8: np.ndarray, out_size: int) -> jax.Array:
     return _gray_resize_normalize(jnp.asarray(rgb_to_grayscale(img_u8)), wy, wx)
 
 
+@jax.jit
+def _gray_batch_resize_normalize(canvas_u8, wy, wx):
+    """(B, C, C) gray u8 + (B, S, C) matrices -> (B, 1, S, S) f32."""
+    y = jnp.einsum(
+        "boh,bhw,bpw->bop",
+        wy,
+        canvas_u8.astype(jnp.float32),
+        wx,
+        preferred_element_type=jnp.float32,
+    )
+    return ((y / 255.0 - 0.5) * 2.0)[:, None]
+
+
+def preprocess_grayscale_batch(images, out_size: int, canvas_step: int = 256):
+    """List of (H, W, 3) u8 -> (B, 1, S, S) device batch.
+
+    Canvas-bucketed like ops.preprocess.preprocess_batch (one compiled
+    program per (B, bucket)); same per-image semantics as
+    preprocess_grayscale. Zero-padded canvas pixels get zero resampling
+    weight, so padding never leaks into the [-1, 1] normalize.
+    """
+    from vit_cpp_tpu.ops.preprocess import canvas_bucket
+
+    if not images:
+        raise ValueError("empty batch")
+    canvas = max(
+        canvas_bucket(i.shape[0], i.shape[1], canvas_step) for i in images
+    )
+    b = len(images)
+    canv = np.zeros((b, canvas, canvas), dtype=np.uint8)
+    wy = np.zeros((b, out_size, canvas), dtype=np.float32)
+    wx = np.zeros((b, out_size, canvas), dtype=np.float32)
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        canv[i, :h, :w] = rgb_to_grayscale(img)
+        wy[i, :, :h] = grayscale_bilinear_matrix(h, out_size)
+        wx[i, :, :w] = grayscale_bilinear_matrix(w, out_size)
+    return _gray_batch_resize_normalize(
+        jnp.asarray(canv), jnp.asarray(wy), jnp.asarray(wx)
+    )
+
+
 def greedy_decode(
     probs: np.ndarray, id2label: Dict[int, str]
 ) -> Tuple[str, float]:

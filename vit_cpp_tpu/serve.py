@@ -82,7 +82,7 @@ def serve_files(
                 return
             images = _decode_many(chunk, decode_threads)
             kept = [(p, im) for p, im in zip(chunk, images) if im is not None]
-            failed = [p for p, im in zip(chunk, images) if im is None]
+            ok = [im is not None for im in images]
             pixels = None
             if kept:
                 # stage the device transfer + preprocessing einsum from the
@@ -97,7 +97,7 @@ def serve_files(
                     engine.hp.img_size,
                     mode=engine.hp.interpolation,
                 )
-            q.put((kept, failed, pixels))
+            q.put((chunk, ok, pixels))
         q.put(None)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -107,20 +107,109 @@ def serve_files(
             item = q.get()
             if item is None:
                 break
-            kept, failed, pixels = item
-            if kept:
-                n = len(kept)
+            chunk, ok, pixels = item
+            probs = top = None
+            if pixels is not None:
+                n = sum(ok)
                 probs = np.asarray(engine.predict_probs_batch(pixels))[:n]
                 top = probs.argmax(axis=-1)
-                for (p, _), t1, pr in zip(kept, top, probs):
-                    yield Prediction(
-                        p,
-                        int(t1),
-                        float(pr[t1]),
-                        probs=pr if keep_probs else None,
-                    )
-            for p in failed:
-                yield Prediction(p, -1, 0.0)
+            j = 0
+            for p, good in zip(chunk, ok):
+                if not good:
+                    yield Prediction(p, -1, 0.0)
+                    continue
+                t1, pr = top[j], probs[j]
+                j += 1
+                yield Prediction(
+                    p,
+                    int(t1),
+                    float(pr[t1]),
+                    probs=pr if keep_probs else None,
+                )
+    finally:
+        stop.set()
+
+
+@dataclasses.dataclass
+class Recognition:
+    path: str
+    text: str
+    confidence: float
+
+
+def recognize_files(
+    engine,
+    paths: Iterable[str],
+    *,
+    batch: int = 64,
+    decode_threads: int = 0,
+    prefetch: int = 2,
+) -> Iterator[Recognition]:
+    """Batched ViTSTR scene-text serving, same pipeline shape as
+    serve_files: native threaded decode + canvas-batched grayscale
+    preprocessing double-buffered against the jitted forward; token
+    selection and confidence run on device (greedy_decode_device), only
+    (B, seq) ids/flags come back to the host. Failed decodes yield
+    text='' / confidence=-1.0."""
+    import os
+
+    from vit_cpp_tpu.models.vitstr import (
+        decode_tokens,
+        greedy_decode_device,
+        preprocess_grayscale_batch,
+    )
+
+    if decode_threads <= 0:
+        decode_threads = os.cpu_count() or 1
+    paths = list(paths)
+    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer():
+        for chunk in chunks:
+            if stop.is_set():
+                return
+            images = _decode_many(chunk, decode_threads)
+            ok = [im is not None for im in images]
+            pixels = None
+            if any(ok):
+                imgs = [im for im in images if im is not None]
+                while len(imgs) < batch:
+                    imgs.append(imgs[0])
+                pixels = preprocess_grayscale_batch(imgs, engine.hp.img_size)
+            q.put((chunk, ok, pixels))
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            chunk, ok, pixels = item
+            toks = valid = conf = None
+            if pixels is not None:
+                n = sum(ok)
+                probs = engine.predict_probs_batch(pixels)
+                toks, valid, conf = greedy_decode_device(probs)
+                toks, valid, conf = (
+                    np.asarray(toks)[:n],
+                    np.asarray(valid)[:n],
+                    np.asarray(conf)[:n],
+                )
+            j = 0
+            for p, good in zip(chunk, ok):
+                if not good:
+                    yield Recognition(p, "", -1.0)
+                    continue
+                yield Recognition(
+                    p,
+                    decode_tokens(toks[j], valid[j], engine.id2label),
+                    float(conf[j]),
+                )
+                j += 1
     finally:
         stop.set()
 
