@@ -45,7 +45,7 @@ def main() -> int:
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="none")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--attn", choices=["xla", "pallas"], default="pallas")
-    ap.add_argument("--mm", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="xla")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +79,11 @@ def main() -> int:
             write_synthetic_model(f16, hp, ftype=1, seed=0)
             quantize_model_file(f16, qf, itype, verbose=False)
             params = load_params(read_model(qf), dtype=dtype)
-        suffix = args.quant
+            if args.mm == "int8":
+                from vit_cpp_tpu.quant.int8 import convert_params_to_int8
+
+                params = convert_params_to_int8(params)
+        suffix = args.quant + ("_w8a8" if args.mm == "int8" else "")
     else:
         params = params_from_state_dict(random_state_dict(hp, seed=0), hp, dtype=dtype)
         suffix = args.dtype

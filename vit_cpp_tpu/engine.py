@@ -84,6 +84,14 @@ class VitEngine:
         self.hp = hp
         self.id2label = mf.id2label
         self.params = load_params(mf, dtype=dtype, hparams=hp)
+        if mm_impl == "int8":
+            # W8A8 serving: requantize block-scaled weights to channelwise
+            # int8 once, then every matmul runs on the int8 MXU path
+            # (ops/pallas_int8_matmul.py). Selected explicitly; the f16
+            # parity path never takes it.
+            from vit_cpp_tpu.quant.int8 import convert_params_to_int8
+
+            self.params = convert_params_to_int8(self.params)
         self.matmul_precision = matmul_precision
         self._attn_impl = attn_impl
         self._mm_impl = mm_impl

@@ -46,9 +46,16 @@ def linear(
     *,
     impl: str = "xla",
 ) -> jax.Array:
-    """y = x @ kernel (+ bias). kernel is a dense (in, out) array or a
-    QuantLinear whose codes are dequantized inside the matmul."""
-    if isinstance(kernel, QuantLinear):
+    """y = x @ kernel (+ bias). kernel is a dense (in, out) array, a
+    QuantLinear whose codes are dequantized inside the matmul, or an
+    Int8Linear running W8A8 on the int8 MXU path."""
+    from vit_cpp_tpu.quant.int8 import Int8Linear
+
+    if isinstance(kernel, Int8Linear):
+        from vit_cpp_tpu.ops.pallas_int8_matmul import w8a8_matmul
+
+        y = w8a8_matmul(x, kernel)
+    elif isinstance(kernel, QuantLinear):
         from vit_cpp_tpu.ops.qmatmul import quant_matmul
 
         y = quant_matmul(x, kernel, impl=impl)

@@ -36,67 +36,139 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sdpa(q, k, v, out_dtype):
-    """(T, D) f-dim attention math shared by both kernels; f32 softmax."""
+    """(T, D) f-dim attention math shared by both kernels; f32 softmax.
+
+    The 1/sqrt(D) scale is folded into Q (T x D elements) rather than the
+    (T x T) score matrix — same math, ~T/D fewer VPU multiplies.
+    """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jax.lax.dot_general(
-        q,
+        (q.astype(jnp.float32) * scale).astype(q.dtype),
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
-    return jax.lax.dot_general(
+    # normalize AFTER the PV matmul: divides (T, D) instead of (T, T)
+    o = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
+    )
+    return (o / l).astype(out_dtype)
 
 
-def _qkv_kernel(x_ref, o_ref, *, nh: int):
-    """One batch element: x is (1, T, 3h) — [q|k|v] x heads on the feature
-    axis (timm fused-QKV order); writes all heads of the (1, T, h) output.
+def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int):
+    """`group` batch elements per grid step: x is (G, T, 3h) — [q|k|v] x
+    heads on the feature axis (timm fused-QKV order); writes all heads of
+    the (G, T, h) output.
 
     The per-head Q/K/V carves are static lane slices of the VMEM-resident
     projection output (the in-kernel analogue of the reference's
     ggml_view_3d carves, vit.cpp:826-846) — no HBM-side head-split or
     merge transposes exist anywhere on this path. Mosaic block constraints
     force the full (T, 3h) trailing block, which also keeps VMEM usage
-    flat in H.
+    flat in H. Grouping several images per step amortizes the per-step
+    pipeline overhead of the grid (ViT-B/16 has B*12 small dots to issue).
     """
-    x = x_ref[0]
-    h = x.shape[1] // 3
+    h = x_ref.shape[2] // 3
     d = h // nh
-    for i in range(nh):
-        q = x[:, i * d : (i + 1) * d]
-        k = x[:, h + i * d : h + (i + 1) * d]
-        v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
-        o_ref[0, :, i * d : (i + 1) * d] = _sdpa(q, k, v, o_ref.dtype)
+    for g in range(group):
+        x = x_ref[g]
+        for i in range(nh):
+            q = x[:, i * d : (i + 1) * d]
+            k = x[:, h + i * d : h + (i + 1) * d]
+            v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
+            o_ref[g, :, i * d : (i + 1) * d] = _sdpa(q, k, v, o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int):
+    """Head-pair variant: refs are (1, T, 128) lane blocks of the fused
+    projection — 128//d heads per grid step. Smaller blocks pipeline
+    deeper than the full (T, 3h) variant at identical total HBM traffic."""
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    for s in range(q.shape[1] // d):
+        sl = slice(s * d, (s + 1) * d)
+        o_ref[0, :, sl] = _sdpa(q[:, sl], k[:, sl], v[:, sl], o_ref.dtype)
+
+
+def _attention_qkv_lane(qkv, num_heads, interpret):
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    hb = h // 128  # lane blocks per q/k/v section
+
+    def sec_spec(section):
+        return pl.BlockSpec(
+            (1, t, 128),
+            lambda i, j, s=section: (i, 0, s * hb + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        functools.partial(_qkv_lane_kernel, d=h // num_heads),
+        grid=(b, hb),
+        in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
+        out_specs=pl.BlockSpec(
+            (1, t, 128), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, h), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t * t * h,
+            bytes_accessed=4 * b * t * h * qkv.dtype.itemsize,
+            transcendentals=b * t * t * num_heads,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "group", "interpret")
+)
 def attention_qkv(
-    qkv: jax.Array, num_heads: int, *, interpret: bool | None = None
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    group: int | None = None,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """(B, T, 3h) fused-projection output -> (B, T, h) attention output."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_h = qkv.shape
     h = three_h // 3
+    if group is None:
+        import os
+
+        env = os.environ.get("VIT_ATTN_GROUP")
+        if env:
+            group = max(0, int(env))
+        else:
+            # one image per step measured fastest on v5e at 3966 img/s
+            # (grouped blocks: 3861 @G=2, 3798 @G=4; lane-block head-pair
+            # variant: 3692 — deeper grids pay more per-step overhead than
+            # they recover in pipelining). Knob for other topologies:
+            # VIT_ATTN_GROUP=N images/step, 0 = lane-block variant.
+            group = 1
+    if group == 0 and h % 128 == 0 and 128 % (h // num_heads) == 0:
+        return _attention_qkv_lane(qkv, num_heads, interpret)
+    group = max(1, group)
+    while b % group:
+        group -= 1
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel, nh=num_heads),
-        grid=(b,),
+        functools.partial(_qkv_kernel, nh=num_heads, group=group),
+        grid=(b // group,),
         in_specs=[
             pl.BlockSpec(
-                (1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (group, t, three_h),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (group, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, h), qkv.dtype),
         cost_estimate=pl.CostEstimate(

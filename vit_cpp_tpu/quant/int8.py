@@ -1,0 +1,74 @@
+"""Channelwise int8 weights for the W8A8 MXU fast path.
+
+The ggml block formats (quant/blocks.py) carry one scale per 32 input
+elements — faithful to the reference's files, but a scale that varies along
+the contraction axis cannot be factored out of a single int8 matmul. For
+the TPU's int8 MXU mode (2x the bf16 FLOP rate on v5e) the serving path
+requantizes Q8_0/Q4/Q5 weights once at load time to per-OUTPUT-CHANNEL
+scales:
+
+    w[k, n] ~= codes[k, n] * scale[n]        codes int8, scale f32
+
+so the whole contraction runs as one int8 x int8 -> int32 dot and the
+rescale is a rank-1 epilogue (activation scale x channel scale). The extra
+quantization error on top of the block formats is small (second int8 pass
+over already-8-bit-ish values); this path is selected explicitly
+(mm_impl="int8"), never for the f16 parity path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vit_cpp_tpu.quant.qlinear import QuantLinear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int8Linear:
+    """codes: (in, out) int8; scale: (out,) f32. w = codes * scale."""
+
+    codes: jax.Array
+    scale: jax.Array
+
+    @property
+    def in_features(self) -> int:
+        return self.codes.shape[-2]
+
+    @property
+    def out_features(self) -> int:
+        return self.codes.shape[-1]
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        return (
+            self.codes.astype(jnp.float32) * self.scale[..., None, :]
+        ).astype(dtype)
+
+
+def from_quant_linear(ql: QuantLinear) -> Int8Linear:
+    """Requantize block-scaled codes to channelwise int8 (runs once on
+    device at load; never materializes f32 weights in HBM for longer than
+    the conversion)."""
+    w = ql.dequantize(jnp.float32)  # ([L,] in, out)
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = (absmax / 127.0).astype(jnp.float32)
+    inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    codes = jnp.clip(jnp.round(w * inv), -127, 127).astype(jnp.int8)
+    return Int8Linear(codes=codes, scale=scale[..., 0, :])
+
+
+def convert_params_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Replace every QuantLinear in a param pytree with Int8Linear."""
+
+    def conv(leaf):
+        if isinstance(leaf, QuantLinear):
+            return from_quant_linear(leaf)
+        return leaf
+
+    return jax.tree.map(
+        conv, params, is_leaf=lambda x: isinstance(x, QuantLinear)
+    )
