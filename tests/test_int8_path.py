@@ -47,10 +47,11 @@ class TestInt8Linear:
             np.random.default_rng(2).standard_normal((17, 160)),
             dtype=jnp.float32,
         )
-        got = np.asarray(w8a8_matmul(x, i8))
         want = np.asarray(x) @ w.T
         scale = np.abs(want).max()
-        assert np.abs(got - want).max() / scale < 0.03
+        for impl in ("xla", "pallas"):
+            got = np.asarray(w8a8_matmul(x, i8, impl=impl))
+            assert np.abs(got - want).max() / scale < 0.03, impl
 
     def test_zero_rows_and_padding(self):
         ql, w = _qlinear(130, 96, seed=3)  # non-multiples of tiles
