@@ -187,3 +187,30 @@ class TestPallasQuantMatmul:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
         )
+
+
+class TestFastSoftmax:
+    def test_fast_matches_safe(self):
+        b, t, nh, d = 2, 197, 12, 64
+        rng = np.random.default_rng(11)
+        qkv = jnp.asarray(
+            rng.standard_normal((b, t, 3 * nh * d)).astype(np.float32)
+        )
+        safe = attention_qkv(qkv, nh, fast=False)
+        fast = attention_qkv(qkv, nh, fast=True)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(safe), atol=2e-5
+        )
+
+    def test_fast_matches_safe_with_large_scores(self):
+        # logits up to ~70 (well past normal but inside the documented
+        # clamp domain): fast mode must stay finite and match safe softmax
+        b, t, nh, d = 1, 64, 2, 64
+        rng = np.random.default_rng(12)
+        qkv = jnp.asarray(
+            (rng.standard_normal((b, t, 3 * nh * d)) * 2.6).astype(np.float32)
+        )
+        safe = np.asarray(attention_qkv(qkv, nh, fast=False))
+        fast = np.asarray(attention_qkv(qkv, nh, fast=True))
+        assert np.isfinite(fast).all()
+        np.testing.assert_allclose(fast, safe, atol=1e-4)

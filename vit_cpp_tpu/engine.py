@@ -61,6 +61,7 @@ class VitEngine:
         matmul_precision: str = "highest",
         attn_impl: str = "xla",
         mm_impl: str = "xla",
+        fold_ln: bool = False,
         verbose: bool = True,
     ):
         t0 = time.perf_counter()
@@ -92,6 +93,12 @@ class VitEngine:
             from vit_cpp_tpu.quant.int8 import convert_params_to_int8
 
             self.params = convert_params_to_int8(self.params)
+        if fold_ln:
+            # serving-mode: absorb LN affines into the adjacent matmuls
+            # (models/fold.py); numerics shift only by f32 re-association
+            from vit_cpp_tpu.models.fold import fold_layernorms
+
+            self.params = fold_layernorms(self.params)
         self.matmul_precision = matmul_precision
         self._attn_impl = attn_impl
         self._mm_impl = mm_impl

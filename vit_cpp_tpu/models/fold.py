@@ -1,0 +1,85 @@
+"""Load-time folding of LayerNorm affines into the following matmuls.
+
+    LN(x) @ W + b  ==  n(x) @ (gamma[:, None] * W)  +  (beta @ W + b)
+
+where n(x) is the pure normalization. The gamma/beta elementwise pass over
+every (B, T, h) activation disappears from the compiled program (the
+layernorm op keeps only mean/var/rsqrt); the folded weights are computed
+once at load. Applies to ln1 -> qkv, ln2 -> fc1 and the final norm -> head
+(every LN in the ViT feeds exactly one matmul; the residual stream reads
+the LN *input*, which folding does not touch).
+
+Serving-mode optimization (engine fold_ln=True / bench --fold-ln): the
+numerics change only by f32 re-association, but the parity path keeps the
+reference op order, and export/save always uses unfolded params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from vit_cpp_tpu.quant.int8 import Int8Linear, from_quant_linear
+from vit_cpp_tpu.quant.qlinear import QuantLinear
+
+
+def _fold_into(kernel, bias, gamma, beta):
+    """Returns (kernel', bias') with the LN affine absorbed."""
+    g = jnp.asarray(gamma, jnp.float32)
+    bt = jnp.asarray(beta, jnp.float32)
+    if isinstance(kernel, QuantLinear):
+        # dequantize -> fold -> channelwise int8 (the folded weight no
+        # longer matches the block codes, and serving uses the int8 MXU
+        # path anyway)
+        kernel = from_quant_linear(kernel)
+    if isinstance(kernel, Int8Linear):
+        w = kernel.dequantize(jnp.float32)
+        wf = w * g[..., :, None]
+        absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = (absmax / 127.0).astype(jnp.float32)
+        inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+        codes = jnp.clip(jnp.round(wf * inv), -127, 127).astype(jnp.int8)
+        new_kernel = Int8Linear(codes=codes, scale=scale[..., 0, :])
+        new_bias = (
+            jnp.einsum("...k,...kn->...n", bt, w) + bias.astype(jnp.float32)
+        ).astype(bias.dtype)
+        return new_kernel, new_bias
+    w = kernel.astype(jnp.float32)
+    wf = (w * g[..., :, None]).astype(kernel.dtype)
+    new_bias = (
+        jnp.einsum("...k,...kn->...n", bt, w) + bias.astype(jnp.float32)
+    ).astype(bias.dtype)
+    return wf, new_bias
+
+
+def fold_layernorms(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return a new param pytree with LN affines folded; folded LN nodes
+    carry scale=None/bias=None, which ops.core.layernorm compiles as pure
+    normalization."""
+    p = dict(params)
+    blocks = dict(params["blocks"])
+
+    def fold_pair(ln_key, lin_key):
+        ln = blocks[ln_key]
+        lin = dict(blocks[lin_key])
+        lin["kernel"], lin["bias"] = _fold_into(
+            lin["kernel"], lin["bias"], ln["scale"], ln["bias"]
+        )
+        blocks[lin_key] = lin
+        blocks[ln_key] = {"scale": None, "bias": None}
+
+    fold_pair("ln1", "qkv")
+    fold_pair("ln2", "fc1")
+    p["blocks"] = blocks
+
+    head = dict(params["head"])
+    head["kernel"], head["bias"] = _fold_into(
+        head["kernel"],
+        head["bias"],
+        params["norm"]["scale"],
+        params["norm"]["bias"],
+    )
+    p["head"] = head
+    p["norm"] = {"scale": None, "bias": None}
+    return p

@@ -68,12 +68,13 @@ def transformer_block(
     qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
     # (B, T, 3h): fused QKV with q|k|v contiguous on the feature axis
     # (timm layout; reference carves the same three views, vit.cpp:826-846).
-    if attn_impl == "pallas":
+    if attn_impl in ("pallas", "pallas-fast"):
         # fused kernel slices Q/K/V per head inside VMEM and writes
-        # (B, T, h) directly — no head-split/merge transposes in HBM
+        # (B, T, h) directly — no head-split/merge transposes in HBM;
+        # "pallas-fast" additionally skips the softmax max-subtract
         from vit_cpp_tpu.ops.flash_attention import attention_qkv
 
-        o = attention_qkv(qkv, nh)
+        o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
     else:
         qkv = qkv.reshape(b, t, 3, nh, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -95,11 +96,15 @@ def forward(
     *,
     attn_impl: str = "xla",
     mm_impl: str = "xla",
+    unroll: int = 1,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
 
     Returns (B, num_classes) for classification, or (B, seq_len, num_classes)
     when hp.seq_len is set (ViTSTR sequence head).
+
+    `unroll` forwards to lax.scan over the stacked blocks: >1 trades
+    compile time for fewer scan-carry copies between layers.
     """
     x = embed(params, images, hp)
 
@@ -109,7 +114,7 @@ def forward(
             None,
         )
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
 
     if hp.seq_len is None:
         pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)

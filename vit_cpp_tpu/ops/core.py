@@ -22,16 +22,19 @@ import jax.numpy as jnp
 from vit_cpp_tpu.quant.qlinear import QuantLinear
 
 
-def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+def layernorm(x: jax.Array, scale, bias, eps: float) -> jax.Array:
     """LayerNorm in f32 regardless of activation dtype (parity with the
-    reference's f32 ggml_norm)."""
+    reference's f32 ggml_norm). scale=None means the affine was folded
+    into the following matmul at load (models/fold.py): emit pure
+    normalization only."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     y = xc * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(dtype)
 
 

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sdpa(q, k, v, out_dtype):
+def _sdpa(q, k, v, out_dtype, fast: bool = False):
     """(T, D) f-dim attention math shared by both kernels; f32 softmax.
 
     The 1/sqrt(D) scale is folded into Q (T x D elements) rather than the
@@ -50,8 +50,23 @@ def _sdpa(q, k, v, out_dtype):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
+    if fast:
+        # "fast" softmax: unnormalized exp2 with a constant clamp — skips
+        # the (T, T) max reduce + subtract (the most expensive softmax
+        # passes at ViT sizes; ~5% of the whole forward). Exact — bit-equal
+        # to safe softmax up to the shared division — whenever the max
+        # attention score*log2(e) <= 120, i.e. logits <= ~83; real ViT
+        # attention logits top out around 50-80 even with outlier heads.
+        # Beyond that the clamp ties saturated scores instead of
+        # overflowing p. Opt-in via attn_impl="pallas-fast"; the parity
+        # path keeps the reference's exact max-subtracted softmax.
+        # (A Cauchy-Schwarz row-max bound over (T, D) was tried and is
+        # overflow-proof for any input, but measured slower than the true
+        # (T, T) max on v5e — norm/sqrt/scalar-broadcast lowering.)
+        p = jnp.exp2(jnp.minimum(s, 120.0))
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     # normalize AFTER the PV matmul: divides (T, D) instead of (T, T)
     o = jax.lax.dot_general(
@@ -63,7 +78,7 @@ def _sdpa(q, k, v, out_dtype):
     return (o / l).astype(out_dtype)
 
 
-def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int):
+def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
     """`group` batch elements per grid step: x is (G, T, 3h) — [q|k|v] x
     heads on the feature axis (timm fused-QKV order); writes all heads of
     the (G, T, h) output.
@@ -84,7 +99,9 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int):
             q = x[:, i * d : (i + 1) * d]
             k = x[:, h + i * d : h + (i + 1) * d]
             v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
-            o_ref[g, :, i * d : (i + 1) * d] = _sdpa(q, k, v, o_ref.dtype)
+            o_ref[g, :, i * d : (i + 1) * d] = _sdpa(
+                q, k, v, o_ref.dtype, fast=fast
+            )
 
 
 def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int):
@@ -127,13 +144,14 @@ def _attention_qkv_lane(qkv, num_heads, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "group", "interpret")
+    jax.jit, static_argnames=("num_heads", "group", "fast", "interpret")
 )
 def attention_qkv(
     qkv: jax.Array,
     num_heads: int,
     *,
     group: int | None = None,
+    fast: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """(B, T, 3h) fused-projection output -> (B, T, h) attention output."""
@@ -160,7 +178,7 @@ def attention_qkv(
     while b % group:
         group -= 1
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel, nh=num_heads, group=group),
+        functools.partial(_qkv_kernel, nh=num_heads, group=group, fast=fast),
         grid=(b // group,),
         in_specs=[
             pl.BlockSpec(
