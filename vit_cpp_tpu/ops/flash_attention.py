@@ -91,30 +91,47 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
     flat in H. Grouping several images per step amortizes the per-step
     pipeline overhead of the grid (ViT-B/16 has B*12 small dots to issue).
     """
+    t = x_ref.shape[1]
     h = x_ref.shape[2] // 3
     d = h // nh
+    # Chunk the query rows for long sequences (ViT-B/8 is 785 tokens) so
+    # the (qc, T) score workspace stays inside scoped VMEM; K/V always fit
+    # whole, so no online-softmax rescaling is ever needed.
+    qc = t if t <= 256 else 256
     for g in range(group):
         x = x_ref[g]
         for i in range(nh):
-            q = x[:, i * d : (i + 1) * d]
             k = x[:, h + i * d : h + (i + 1) * d]
             v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
-            o_ref[g, :, i * d : (i + 1) * d] = _sdpa(
-                q, k, v, o_ref.dtype, fast=fast
+            for q0 in range(0, t, qc):
+                q1 = min(q0 + qc, t)
+                q = x[q0:q1, i * d : (i + 1) * d]
+                o_ref[g, q0:q1, i * d : (i + 1) * d] = _sdpa(
+                    q, k, v, o_ref.dtype, fast=fast
+                )
+
+
+def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool):
+    """Head-pair variant: refs are (1, T, 128) lane blocks of the fused
+    projection — 128//d heads per grid step. Smaller blocks than the full
+    (T, 3h) variant at identical total HBM traffic: ~7% slower at T=197
+    (per-step overhead), but the only shape that fits scoped VMEM at
+    T=785 x h=768 (ViT-B/8), where the full-block kernel's stack is ~2x
+    the 16 MB budget. Query rows are chunked so the (qc, T) score
+    workspace stays small; K/V fit whole, so no online-softmax rescale."""
+    t = q_ref.shape[1]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    qc = t if t <= 256 else 256
+    for s in range(q.shape[1] // d):
+        sl = slice(s * d, (s + 1) * d)
+        for q0 in range(0, t, qc):
+            q1 = min(q0 + qc, t)
+            o_ref[0, q0:q1, sl] = _sdpa(
+                q[q0:q1, sl], k[:, sl], v[:, sl], o_ref.dtype, fast=fast
             )
 
 
-def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int):
-    """Head-pair variant: refs are (1, T, 128) lane blocks of the fused
-    projection — 128//d heads per grid step. Smaller blocks pipeline
-    deeper than the full (T, 3h) variant at identical total HBM traffic."""
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    for s in range(q.shape[1] // d):
-        sl = slice(s * d, (s + 1) * d)
-        o_ref[0, :, sl] = _sdpa(q[:, sl], k[:, sl], v[:, sl], o_ref.dtype)
-
-
-def _attention_qkv_lane(qkv, num_heads, interpret):
+def _attention_qkv_lane(qkv, num_heads, fast, interpret):
     b, t, three_h = qkv.shape
     h = three_h // 3
     hb = h // 128  # lane blocks per q/k/v section
@@ -127,7 +144,7 @@ def _attention_qkv_lane(qkv, num_heads, interpret):
         )
 
     return pl.pallas_call(
-        functools.partial(_qkv_lane_kernel, d=h // num_heads),
+        functools.partial(_qkv_lane_kernel, d=h // num_heads, fast=fast),
         grid=(b, hb),
         in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
         out_specs=pl.BlockSpec(
@@ -172,8 +189,13 @@ def attention_qkv(
             # they recover in pipelining). Knob for other topologies:
             # VIT_ATTN_GROUP=N images/step, 0 = lane-block variant.
             group = 1
-    if group == 0 and h % 128 == 0 and 128 % (h // num_heads) == 0:
-        return _attention_qkv_lane(qkv, num_heads, interpret)
+    lane_ok = h % 128 == 0 and 128 % (h // num_heads) == 0
+    # large T x wide h: the full-block kernel's VMEM stack (~2 x in-block +
+    # scores) blows the scoped budget; the lane variant is the shape that
+    # fits (ViT-B/8: 785 tokens x 2304 features)
+    big = t * three_h * qkv.dtype.itemsize > 2 * 1024 * 1024
+    if lane_ok and (group == 0 or big):
+        return _attention_qkv_lane(qkv, num_heads, fast, interpret)
     group = max(1, group)
     while b % group:
         group -= 1
