@@ -44,7 +44,7 @@ def _device_seconds(fn_scan, args_tuple, rtt: float, trials: int = 3) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--chain", type=int, default=30, help="scan length K")
+    ap.add_argument("--chain", type=int, default=None, help="scan length K (default 30; 400 in latency mode so the chain dominates tunnel-rtt noise)")
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="q8_0")
     ap.add_argument("--latency", action="store_true")
@@ -99,7 +99,7 @@ def main() -> int:
         params = fold_layernorms(params)
 
     batch = 1 if args.latency else args.batch
-    K = args.chain
+    K = args.chain if args.chain is not None else (400 if args.latency else 30)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((batch, 3, 224, 224)), dtype=dtype)
 
