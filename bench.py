@@ -49,7 +49,7 @@ def main() -> int:
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="q8_0")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast")
-    ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="int8")
+    ap.add_argument("--mm", choices=["xla", "pallas", "int8", "int8-fused"], default="int8")
     ap.add_argument("--fold-ln", action="store_true", help="fold LN affines into matmuls")
     ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
     args = ap.parse_args()
@@ -85,7 +85,7 @@ def main() -> int:
             write_synthetic_model(f16, hp, ftype=1, seed=0)
             quantize_model_file(f16, qf, itype, verbose=False)
             params = load_params(read_model(qf), dtype=dtype)
-            if args.mm == "int8":
+            if args.mm in ("int8", "int8-fused"):
                 from vit_cpp_tpu.quant.int8 import convert_params_to_int8
 
                 params = convert_params_to_int8(params)

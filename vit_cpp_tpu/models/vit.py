@@ -58,6 +58,38 @@ def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Arra
     return x + params["pos_embed"].astype(dtype)[None]
 
 
+def transformer_block_w8a8(
+    x: jax.Array, bp: Dict[str, Any], hp: VitHParams, *, attn_impl: str
+) -> jax.Array:
+    """Fused W8A8 serving block: every matmul input is produced AND
+    int8-quantized in one Pallas pass (LN+quant, GELU+quant, plain quant
+    for the attention output), then hits the int8 MXU via int8_dot. Same
+    math as the generic block with mm_impl='int8'; opt-in via
+    mm_impl='int8-fused' (see the dispatch note in forward() — measured
+    slower than the plain int8 path on v5e)."""
+    from vit_cpp_tpu.ops.pallas_int8_act import (
+        gelu_quantize,
+        ln_quantize,
+        quantize_act,
+    )
+    from vit_cpp_tpu.quant.int8 import int8_dot
+    from vit_cpp_tpu.ops.flash_attention import attention_qkv
+
+    dtype = x.dtype
+    fast = attn_impl == "pallas-fast"
+
+    cq, cs = ln_quantize(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
+    qkv = int8_dot(cq, cs, bp["qkv"]["kernel"], bp["qkv"]["bias"], dtype)
+    o = attention_qkv(qkv, hp.num_attention_heads, fast=fast)
+    oq, os_ = quantize_act(o)
+    x = x + int8_dot(oq, os_, bp["proj"]["kernel"], bp["proj"]["bias"], dtype)
+
+    cq, cs = ln_quantize(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    h = int8_dot(cq, cs, bp["fc1"]["kernel"], bp["fc1"]["bias"], dtype)
+    hq, hs = gelu_quantize(h)
+    return x + int8_dot(hq, hs, bp["fc2"]["kernel"], bp["fc2"]["bias"], dtype)
+
+
 def transformer_block(
     x: jax.Array, bp: Dict[str, Any], hp: VitHParams, *, attn_impl: str, mm_impl: str
 ) -> jax.Array:
@@ -108,7 +140,25 @@ def forward(
     """
     x = embed(params, images, hp)
 
+    from vit_cpp_tpu.quant.int8 import Int8Linear
+
+    # opt-in (mm_impl="int8-fused"): producer+quant Pallas passes. Measured
+    # SLOWER than the plain int8 path on v5e (4442 vs 4810 img/s at
+    # ViT-B/16) — XLA already folds the activation quantization into the
+    # GEMM input pipeline without materializing int8 codes in HBM — but
+    # kept for kernels research and other topologies.
+    fused_w8a8 = (
+        mm_impl == "int8-fused"
+        and isinstance(params["blocks"]["qkv"]["kernel"], Int8Linear)
+        and attn_impl in ("pallas", "pallas-fast")
+    )
+
     def body(carry, bp):
+        if fused_w8a8:
+            return (
+                transformer_block_w8a8(carry, bp, hp, attn_impl=attn_impl),
+                None,
+            )
         return (
             transformer_block(carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl),
             None,
