@@ -106,17 +106,18 @@ def main() -> int:
     @jax.jit
     def chained(p, x0):
         # thread a (runtime-zero, not compile-time-zero) scalar dependency
-        # through a single input element so the K forwards execute
-        # sequentially on device; the scan carry is one scalar, so the
-        # harness adds no per-step batch copy to the measurement
-        def step(c, _):
-            x = jax.lax.dynamic_update_slice(
-                x0, (x0[:1, :1, :1, :1] + c * 1e-30), (0, 0, 0, 0)
-            )
-            out = forward(p, x, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll)
-            return out[0, 0].astype(x0.dtype), ()
+        # through the 768-element cls_token so the K forwards execute
+        # sequentially on device; the scan carry is one scalar and the
+        # per-step perturbation touches no batch-sized buffer, so the
+        # harness adds nothing measurable to the model under test
+        cls = p["cls_token"]
 
-        cK, _ = jax.lax.scan(step, jnp.zeros((), x0.dtype), None, length=K)
+        def step(c, _):
+            p2 = dict(p, cls_token=cls + (c * 1e-30).astype(cls.dtype))
+            out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll)
+            return out[0, 0].astype(cls.dtype), ()
+
+        cK, _ = jax.lax.scan(step, jnp.zeros((), cls.dtype), None, length=K)
         return cK
 
     # measure tunnel roundtrip with a trivial program

@@ -58,7 +58,7 @@ class VitEngine:
         dtype=jnp.float32,
         eps: Optional[float] = None,
         interpolation: Optional[str] = None,
-        matmul_precision: str = "highest",
+        matmul_precision: Optional[str] = None,
         attn_impl: str = "xla",
         mm_impl: str = "xla",
         fold_ln: bool = False,
@@ -99,6 +99,11 @@ class VitEngine:
             from vit_cpp_tpu.models.fold import fold_layernorms
 
             self.params = fold_layernorms(self.params)
+        if matmul_precision is None:
+            # f32 engines are the reference-parity path -> exact matmuls;
+            # bf16 serving must NOT get 'highest' (XLA would emulate f32
+            # with multi-pass bf16 matmuls, ~3x slower on the MXU)
+            matmul_precision = "highest" if dtype == jnp.float32 else "default"
         self.matmul_precision = matmul_precision
         self._attn_impl = attn_impl
         self._mm_impl = mm_impl
