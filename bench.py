@@ -44,6 +44,11 @@ def _device_seconds(fn_scan, args_tuple, rtt: float, trials: int = 3) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument(
+        "--size", choices=["tiny", "small", "base", "large"], default="base"
+    )
+    ap.add_argument("--patch", type=int, default=16)
+    ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--chain", type=int, default=None, help="scan length K (default 30; 400 in latency mode so the chain dominates tunnel-rtt noise)")
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="q8_0")
@@ -62,13 +67,19 @@ def main() -> int:
     from vit_cpp_tpu.models.vit import forward
     from vit_cpp_tpu.testing.synthetic import random_state_dict
 
+    geo = {
+        "tiny": (192, 12, 3),
+        "small": (384, 12, 6),
+        "base": (768, 12, 12),
+        "large": (1024, 24, 16),
+    }[args.size]
     hp = VitHParams(
-        hidden_size=768,
-        num_hidden_layers=12,
-        num_attention_heads=12,
+        hidden_size=geo[0],
+        num_hidden_layers=geo[1],
+        num_attention_heads=geo[2],
         num_classes=1000,
-        patch_size=16,
-        img_size=224,
+        patch_size=args.patch,
+        img_size=args.img,
     )
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.quant != "none":
@@ -101,7 +112,7 @@ def main() -> int:
     batch = 1 if args.latency else args.batch
     K = args.chain if args.chain is not None else (400 if args.latency else 30)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((batch, 3, 224, 224)), dtype=dtype)
+    images = jnp.asarray(rng.standard_normal((batch, 3, hp.img_size, hp.img_size)), dtype=dtype)
 
     @jax.jit
     def chained(p, x0):
@@ -134,7 +145,7 @@ def main() -> int:
     if args.latency:
         p50_ms = dev_s / K * 1000.0
         result = {
-            "metric": f"p50_latency_ms_vitb16_{suffix}",
+            "metric": f"p50_latency_ms_vit{args.size}{args.patch}_{args.img}_{suffix}",
             "value": round(p50_ms, 3),
             "unit": "ms",
             # reference base f16 single image: 1441 ms (BASELINE.md)
@@ -143,7 +154,7 @@ def main() -> int:
     else:
         ips = batch * K / dev_s
         result = {
-            "metric": f"images_per_sec_vitb16_{suffix}",
+            "metric": f"images_per_sec_vit{args.size}{args.patch}_{args.img}_{suffix}",
             "value": round(ips, 1),
             "unit": "images/sec/chip",
             "vs_baseline": round(ips / 5000.0, 3),
