@@ -69,6 +69,8 @@ def run_eval(
     *,
     batch: int = 32,
     dtype: str = "f32",
+    attn_impl: str = "xla",
+    mm_impl: str = "xla",
     ext: str = ".JPEG",
     classnames: Optional[List[str]] = None,
     verbose: bool = True,
@@ -86,6 +88,8 @@ def run_eval(
     engine = VitEngine(
         model_path,
         dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+        attn_impl=attn_impl,
+        mm_impl=mm_impl,
         verbose=verbose,
     )
     items = collect_images(dataset_dir, per_class, ext)
@@ -167,6 +171,10 @@ def main(argv=None) -> int:
     ap.add_argument("output_file", nargs="?", default="predictions.txt")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument(
+        "--attn", choices=["xla", "pallas", "pallas-fast"], default="xla"
+    )
+    ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="xla")
     ap.add_argument("--ext", default=".JPEG")
     args = ap.parse_args(argv)
     run_eval(
@@ -176,6 +184,8 @@ def main(argv=None) -> int:
         args.output_file,
         batch=args.batch,
         dtype=args.dtype,
+        attn_impl=args.attn,
+        mm_impl=args.mm,
         ext=args.ext,
     )
     return 0
