@@ -77,56 +77,51 @@ def _qmm_2d(
         interpret = jax.default_backend() != "tpu"
     m, k = x.shape
     n = codes.shape[1]
-    # Pad: M to the tile, N to lane multiples, K to 128. K/N padding uses
-    # zero scales, so padded codes contribute exactly 0 regardless of the
-    # code offset.
+    # No host-side padding: K stays a full-dim block (always covered, so
+    # no garbage enters the contraction) and partial tail blocks along
+    # M/N produce out-of-range rows/columns that Pallas clips on write.
+    # (Explicit jnp.pad copies were measured at several ms per layer —
+    # TPU retiling of activation-sized buffers.)
     block_m = min(block_m, _round_up(m, 16))
-    mp = _round_up(m, block_m)
     block_n = min(block_n, _round_up(n, 128))
-    np_ = _round_up(n, block_n)
-    kp = _round_up(k, 128)
-    xf = jnp.pad(x, ((0, mp - m), (0, kp - k)))
-    cf = jnp.pad(codes, ((0, kp - k), (0, np_ - n)))
-    pad_s = ((0, (kp - k) // QK), (0, np_ - n))
-    if has_min:
-        pad_s = ((0, 0),) + pad_s
-    sf = jnp.pad(scales, pad_s)
 
     kernel = functools.partial(_qmm_kernel, offset=offset, has_min=has_min)
     if has_min:
         s_spec = pl.BlockSpec(
-            (2, kp // QK, block_n),
+            (2, k // QK, block_n),
             lambda i, j: (0, 0, j),
             memory_space=pltpu.VMEM,
         )
     else:
         s_spec = pl.BlockSpec(
-            (kp // QK, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            (k // QK, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
         )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(mp // block_m, np_ // block_n),
+        grid=(pl.cdiv(m, block_m), pl.cdiv(n, block_n)),
         in_specs=[
             pl.BlockSpec(
-                (block_m, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (block_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (kp, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (k, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
             s_spec,
         ],
         out_specs=pl.BlockSpec(
             (block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * kp,
-            bytes_accessed=mp * kp * x.dtype.itemsize + np_ * kp + mp * np_ * 4,
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + n * k + m * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xf, cf, sf)
-    return out[:m, :n]
+    )(x, codes, scales)
 
 
 def pallas_quant_matmul(x: jax.Array, w: QuantLinear) -> jax.Array:
