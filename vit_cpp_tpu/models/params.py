@@ -15,7 +15,6 @@ becomes a frozen JAX pytree shaped for TPU execution:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
