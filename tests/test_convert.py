@@ -159,3 +159,19 @@ class TestConvertRoundTrip:
         hp2 = detect_hparams(mf)
         assert hp2.in_chans == 1
         assert hp2.seq_len == 25
+
+
+def test_convert_real_gguf_container(torch_ckpt, tmp_path):
+    path, hp, state = torch_ckpt
+    out = convert(
+        checkpoint=path,
+        output_dir=str(tmp_path),
+        ftype=1,
+        real_gguf=True,
+        verbose=False,
+    )
+    with open(out, "rb") as f:
+        assert f.read(4) == b"GGUF"
+    mf = read_model(out)  # transparent dispatch
+    assert mf.hparams.hidden_size == hp.hidden_size
+    assert len(mf.tensors) == mf.hparams.expected_tensor_count()

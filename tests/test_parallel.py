@@ -117,3 +117,21 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_timer_report(capsys):
+    import time as _time
+
+    from vit_cpp_tpu.utils import Timer, trace
+
+    t = Timer()
+    with t.segment("model load"):
+        _time.sleep(0.01)
+    with t.segment("processing"):
+        _time.sleep(0.01)
+    t.report(prefix="main")
+    out = capsys.readouterr().out
+    assert "main:    model load time =" in out
+    assert "total" in out
+    with trace(None):  # no-op path
+        pass

@@ -1,0 +1,138 @@
+"""On-device TPU validation: kernel parity + family-geometry compile checks.
+
+The pytest suite runs on virtual CPU devices (tests/conftest.py); this
+script is the real-hardware companion, run manually on a TPU host:
+
+    python tools/tpu_checks.py
+
+Checks (each prints a max-abs error vs the XLA reference path):
+  1. fused attention (both entry points) on ViT-B/16 shapes;
+  2. dequant-in-kernel matmul for all five ggml block formats, including
+     non-tile-multiple shapes (partial-block clipping);
+  3. W8A8 int8 matmul;
+  4. full forward pallas-vs-xla across the family geometries that stress
+     the kernel dispatch: ViT-B/8@224 (785 tokens -> lane-block variant),
+     ViT-L/16@384 (577 tokens), ViT-tiny/16@224 (non-128-multiple hidden).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check_attention():
+    from vit_cpp_tpu.ops.core import attention
+    from vit_cpp_tpu.ops.flash_attention import attention_qkv, flash_attention
+
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((2, 197, 3, 12, 64)), dtype=jnp.bfloat16)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ref = attention(q, k, v).astype(jnp.float32)
+    out = (
+        attention_qkv(qkv.reshape(2, 197, 3 * 12 * 64), 12)
+        .reshape(2, 197, 12, 64)
+        .transpose(0, 2, 1, 3)
+        .astype(jnp.float32)
+    )
+    print("attention_qkv    max err:", float(jnp.max(jnp.abs(out - ref))))
+    o2 = flash_attention(q, k, v).astype(jnp.float32)
+    print("flash_attention  max err:", float(jnp.max(jnp.abs(o2 - ref))))
+
+
+def check_quant_matmuls():
+    from vit_cpp_tpu.gguf.dtypes import GGMLDType
+    from vit_cpp_tpu.gguf.reader import TensorRecord
+    from vit_cpp_tpu.ops.pallas_int8_matmul import w8a8_matmul
+    from vit_cpp_tpu.ops.pallas_qmatmul import pallas_quant_matmul
+    from vit_cpp_tpu.ops.qmatmul import quant_matmul
+    from vit_cpp_tpu.quant.blocks import quantize
+    from vit_cpp_tpu.quant.int8 import from_quant_linear
+    from vit_cpp_tpu.quant.qlinear import _quant_linear_from_record
+
+    rng = np.random.default_rng(1)
+    for qt in (
+        GGMLDType.Q4_0,
+        GGMLDType.Q4_1,
+        GGMLDType.Q5_0,
+        GGMLDType.Q5_1,
+        GGMLDType.Q8_0,
+    ):
+        w = rng.standard_normal((704, 768)).astype(np.float32) * 0.2
+        blocks = quantize(w, qt)
+        ql = _quant_linear_from_record(
+            TensorRecord("w", (704, 768), qt, np.frombuffer(blocks.tobytes(), np.uint8))
+        )
+        x = jnp.asarray(rng.standard_normal((197, 768)), dtype=jnp.bfloat16)
+        o = pallas_quant_matmul(x, ql)
+        r = quant_matmul(x, ql, impl="xla")
+        print(
+            f"qmatmul {qt.name:5s}    max err:",
+            float(jnp.max(jnp.abs(o.astype(jnp.float32) - r.astype(jnp.float32)))),
+        )
+    ql8 = _quant_linear_from_record(
+        TensorRecord(
+            "w",
+            (704, 768),
+            GGMLDType.Q8_0,
+            np.frombuffer(
+                quantize(w, GGMLDType.Q8_0).tobytes(), np.uint8
+            ),
+        )
+    )
+    i8 = from_quant_linear(ql8)
+    x = jnp.asarray(rng.standard_normal((197, 768)), dtype=jnp.bfloat16)
+    got = np.asarray(w8a8_matmul(x, i8)).astype(np.float32)
+    want = np.asarray(quant_matmul(x, ql8, impl="xla")).astype(np.float32)
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    print("w8a8             rel err:", float(rel))
+
+
+def check_geometries():
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.models.vit import forward
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    confs = [
+        ("ViT-B/8@224", VitHParams(hidden_size=768, num_hidden_layers=12,
+                                   num_attention_heads=12, num_classes=1000,
+                                   patch_size=8, img_size=224)),
+        ("ViT-L/16@384", VitHParams(hidden_size=1024, num_hidden_layers=24,
+                                    num_attention_heads=16, num_classes=1000,
+                                    patch_size=16, img_size=384)),
+        ("ViT-tiny/16@224", VitHParams(hidden_size=192, num_hidden_layers=12,
+                                       num_attention_heads=3, num_classes=1000,
+                                       patch_size=16, img_size=224)),
+    ]
+    rng = np.random.default_rng(0)
+    for name, hp in confs:
+        params = params_from_state_dict(
+            random_state_dict(hp, seed=0), hp, dtype=jnp.bfloat16
+        )
+        x = jnp.asarray(
+            rng.standard_normal((8, 3, hp.img_size, hp.img_size)),
+            dtype=jnp.bfloat16,
+        )
+        t0 = time.time()
+        a = forward(params, x, hp, attn_impl="pallas").astype(jnp.float32)
+        b = forward(params, x, hp, attn_impl="xla").astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(a - b)))
+        print(
+            f"{name}: tokens={hp.n_tokens} pallas-vs-xla max err "
+            f"{err:.4f} ({time.time() - t0:.0f}s)"
+        )
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    check_attention()
+    check_quant_matmuls()
+    check_geometries()
+    print("ALL CHECKS DONE")

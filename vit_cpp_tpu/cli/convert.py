@@ -166,6 +166,7 @@ def convert(
     ftype: int = 1,
     heads: int | None = None,
     vitstr: bool = False,
+    real_gguf: bool = False,
     verbose: bool = True,
 ) -> str:
     if checkpoint is not None:
@@ -209,7 +210,18 @@ def convert(
     if verbose:
         print(f"hparams: {hp}")
         print(f"writing {out_path} (ftype={ftype})")
-    write_model(out_path, hp, id2label, serialize_state_dict(state, ftype), ftype)
+    if real_gguf:
+        # real GGUF v3 container (gguf/gguf_real.py) instead of the legacy
+        # layout the reference writes under the same extension
+        from vit_cpp_tpu.gguf.gguf_real import write_gguf
+
+        write_gguf(
+            out_path, hp, id2label, serialize_state_dict(state, ftype), ftype
+        )
+    else:
+        write_model(
+            out_path, hp, id2label, serialize_state_dict(state, ftype), ftype
+        )
     if verbose:
         print(f"Done. Output file: {out_path}")
     return out_path
@@ -238,6 +250,11 @@ def main(argv=None) -> int:
         action="store_true",
         help="ViTSTR scene-text model: grayscale conv + 96-token vocab",
     )
+    ap.add_argument(
+        "--gguf",
+        action="store_true",
+        help="write a real GGUF v3 container instead of the legacy layout",
+    )
     args = ap.parse_args(argv)
     convert(
         model_name=None if args.checkpoint else args.model_name,
@@ -246,6 +263,7 @@ def main(argv=None) -> int:
         ftype=args.ftype,
         heads=args.heads,
         vitstr=args.vitstr,
+        real_gguf=args.gguf,
     )
     return 0
 
