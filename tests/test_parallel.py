@@ -135,3 +135,45 @@ def test_timer_report(capsys):
     assert "total" in out
     with trace(None):  # no-op path
         pass
+
+
+def test_train_loss_decreases():
+    """5 train steps on one fixed batch must reduce the loss (convergence
+    smoke for the dp x tp pjit path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.parallel.mesh import make_mesh
+    from vit_cpp_tpu.parallel.train import (
+        create_train_state,
+        make_optimizer,
+        shard_batch,
+        train_step,
+    )
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_classes=8,
+        patch_size=8,
+        img_size=32,
+    )
+    params = params_from_state_dict(random_state_dict(hp, seed=0), hp)
+    mesh = make_mesh(dp=4, tp=2)
+    optimizer = make_optimizer(lr=3e-3)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), dtype=jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 8, (8,)), dtype=jnp.int32)
+    with mesh:
+        st = create_train_state(params, mesh, optimizer)
+        images, labels = shard_batch(images, labels, mesh)
+        losses = []
+        for _ in range(5):
+            st, loss = train_step(st, images, labels, hp, optimizer)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert int(st.step) == 5
