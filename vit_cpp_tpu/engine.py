@@ -82,6 +82,13 @@ class VitEngine:
             print(f"vit_model_load: num_classes            = {hp.num_classes}")
             print(f"vit_model_load: ftype                  = {hp.ftype}")
             print(f"vit_model_load: qntvr                  = {mf.qntvr}")
+            total_bytes = sum(
+                r.dtype.row_bytes(r.n_elements) for r in mf.tensors.values()
+            )
+            print(
+                f"vit_model_load: model size = {total_bytes / 1024 / 1024:8.2f} MB "
+                f"/ num tensors = {len(mf.tensors)}"
+            )
         self.hp = hp
         self.id2label = mf.id2label
         self.params = load_params(mf, dtype=dtype, hparams=hp)
