@@ -11,18 +11,21 @@ with zero HBM traffic for the logits.
 
 Two entry points:
 
-- `attention_qkv(qkv)` — the serving path. Takes the fused QKV projection
-  output in its natural (B, T, 3, H, D) layout and reads the Q/K/V slices
-  via three BlockSpec views of the SAME array, writing (B, T, H, D). This
-  eliminates every transpose/reshape copy the unfused path materializes in
-  HBM around the attention (q/k/v head-split transposes and the merge —
-  pure bandwidth on the usual TPU bottleneck).
+- `attention_qkv(qkv, num_heads)` — the serving path. Takes the raw
+  (B, T, 3h) fused-projection output and carves per-head Q/K/V as static
+  lane slices inside VMEM, writing (B, T, h) directly. This eliminates
+  every transpose/reshape copy the unfused path materializes in HBM around
+  the attention (q/k/v head-split transposes and the merge — pure
+  bandwidth on the usual TPU bottleneck). Two kernel shapes, dispatched by
+  VMEM footprint: full (T, 3h) blocks (fastest at ViT-B/16 sizes) and
+  128-lane head-pair blocks (fits the scoped budget at 785 x 2304).
 - `flash_attention(q, k, v)` — drop-in for ops.core.attention(impl="xla"),
   (B, H, T, D) in/out. Used by tests and any caller with pre-split heads.
 
 No host-side padding: blocks carry the true (T, D) extents and Mosaic pads
 VMEM tiles internally, so there are no padded copies of q/k/v in HBM and no
-key mask is needed (every key column is real).
+key mask is needed (every key column is real). Measured tuning history:
+docs/TUNING.md.
 """
 
 from __future__ import annotations
