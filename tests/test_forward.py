@@ -117,3 +117,27 @@ def test_vitstr_sequence_head(tiny_setup):
     assert logits.shape == (2, 5, 16)
     golden = forward_numpy(state, hp, images)
     np.testing.assert_allclose(np.asarray(logits), golden, atol=2e-4, rtol=1e-4)
+
+
+def test_forward_debug_stage_capture(tiny_setup):
+    """forward_debug (the print_t_f32 analogue, SURVEY.md §4.5) captures
+    every stage and agrees with the scan-based forward."""
+    import numpy as np
+
+    from vit_cpp_tpu.models.vit import forward, forward_debug, print_t
+
+    from vit_cpp_tpu.models import params_from_state_dict
+
+    state, images, golden = tiny_setup
+    params = params_from_state_dict(state, TINY)
+    acts = forward_debug(params, images, TINY)
+    assert set(acts) >= {"embed", "block_0", "pooled", "logits", "probs"}
+    assert f"block_{TINY.num_hidden_layers - 1}" in acts
+    np.testing.assert_allclose(
+        np.asarray(acts["logits"]),
+        np.asarray(forward(params, images, TINY)),
+        atol=1e-5,
+    )
+    # stage capture agrees with the float64 oracle end to end
+    np.testing.assert_allclose(np.asarray(acts["logits"]), golden, atol=1e-3)
+    print_t("embed", acts["embed"])  # smoke: console dump shape

@@ -179,3 +179,66 @@ def predict_probs(params, images, hp, **kw) -> jax.Array:
     """Forward + softmax, the reference's graph output (vit.cpp:931)."""
     logits = forward(params, images, hp, **kw)
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def forward_debug(
+    params: Dict[str, Any], images: jax.Array, hp: VitHParams, **kw
+) -> Dict[str, jax.Array]:
+    """Forward pass that captures every stage's activations.
+
+    The analogue of the reference's print_t_f32 parity-debugging hook
+    (vit.cpp:54-84, call sites vit.cpp:1038 — SURVEY.md §4.5): returns
+    {'embed', 'block_0'.., 'pooled', 'logits', 'probs'} for stage-by-stage
+    diffing against an oracle. Python loop instead of lax.scan — debug
+    path, compile time does not matter here.
+    """
+    from vit_cpp_tpu.quant.qlinear import QuantLinear
+
+    def layer(tree, i):
+        def slice_leaf(a):
+            if isinstance(a, QuantLinear):
+                return QuantLinear(
+                    codes=a.codes[i],
+                    scales=a.scales[i],
+                    mins=None if a.mins is None else a.mins[i],
+                    qtype=a.qtype,
+                )
+            return a[i]
+
+        return jax.tree.map(
+            slice_leaf, tree, is_leaf=lambda x: isinstance(x, QuantLinear)
+        )
+
+    acts: Dict[str, jax.Array] = {}
+    x = embed(params, images, hp)
+    acts["embed"] = x
+    for i in range(hp.num_hidden_layers):
+        bp = {k: layer(v, i) for k, v in params["blocks"].items()}
+        x = transformer_block(
+            x,
+            bp,
+            hp,
+            attn_impl=kw.get("attn_impl", "xla"),
+            mm_impl=kw.get("mm_impl", "xla"),
+        )
+        acts[f"block_{i}"] = x
+    pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+    pooled = layernorm(
+        pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+    )
+    acts["pooled"] = pooled
+    logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"])
+    acts["logits"] = logits
+    acts["probs"] = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return acts
+
+
+def print_t(name: str, t, n: int = 10) -> None:
+    """Console dump in the reference's print_t_f32 shape: first/last n
+    values + full-tensor sum (vit.cpp:54-84)."""
+    import numpy as np
+
+    a = np.asarray(t, dtype=np.float32).reshape(-1)
+    head = " ".join(f"{v:.5f}" for v in a[:n])
+    tail = " ".join(f"{v:.5f}" for v in a[-n:])
+    print(f"{name}: [{head} ... {tail}], sum = {a.sum():.5f}")
