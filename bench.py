@@ -56,6 +56,10 @@ def main() -> int:
     ap.add_argument("--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast")
     ap.add_argument("--mm", choices=["xla", "pallas", "int8", "int8-fused"], default="int8")
     ap.add_argument("--fold-ln", action="store_true", help="fold LN affines into matmuls")
+    ap.add_argument(
+        "--ln", choices=["xla", "pallas"], default="xla",
+        help="pallas = fused residual-add+LN deferred scan",
+    )
     ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
     args = ap.parse_args()
 

@@ -121,6 +121,40 @@ def transformer_block(
     return x + y
 
 
+def transformer_block_deferred(
+    x: jax.Array,
+    delta: jax.Array,
+    bp: Dict[str, Any],
+    hp: VitHParams,
+    *,
+    attn_impl: str,
+    mm_impl: str,
+):
+    """Block body for the deferred-residual scan (ln_impl="pallas").
+
+    The carry is (x, delta) with the residual add x + delta still pending;
+    each LayerNorm then sits directly after an add, so the fused
+    add_ln kernel (ops/pallas_add_ln.py) computes the residual sum and the
+    normalization in one HBM pass — including across the layer boundary
+    (this layer's ln1 fuses with the PREVIOUS layer's MLP residual).
+    Returns (x', mlp_out) with the next add deferred.
+    """
+    from vit_cpp_tpu.ops.flash_attention import attention_qkv
+    from vit_cpp_tpu.ops.pallas_add_ln import add_ln
+
+    nh = hp.num_attention_heads
+    x, y = add_ln(x, delta, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
+    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
+    o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
+    proj = linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
+
+    x, y = add_ln(x, proj, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
+    y = gelu_tanh(y)
+    mlp = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
+    return x, mlp
+
+
 def forward(
     params: Dict[str, Any],
     images: jax.Array,
@@ -128,6 +162,7 @@ def forward(
     *,
     attn_impl: str = "xla",
     mm_impl: str = "xla",
+    ln_impl: str = "xla",
     unroll: int = 1,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
@@ -137,8 +172,37 @@ def forward(
 
     `unroll` forwards to lax.scan over the stacked blocks: >1 trades
     compile time for fewer scan-carry copies between layers.
+    `ln_impl="pallas"` (requires a pallas attn_impl) runs the
+    deferred-residual scan where every layernorm fuses with its preceding
+    residual add in one Pallas pass.
     """
     x = embed(params, images, hp)
+
+    if ln_impl == "pallas" and attn_impl in ("pallas", "pallas-fast"):
+
+        def body_d(carry, bp):
+            return (
+                transformer_block_deferred(
+                    *carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl
+                ),
+                None,
+            )
+
+        (x, delta), _ = jax.lax.scan(
+            body_d, (x, jnp.zeros_like(x)), params["blocks"], unroll=unroll
+        )
+        x = x + delta
+        if hp.seq_len is None:
+            pooled = x[:, 0]
+        else:
+            pooled = x[:, : hp.seq_len]
+        pooled = layernorm(
+            pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
+        logits = linear(
+            pooled, params["head"]["kernel"], params["head"]["bias"], impl=mm_impl
+        )
+        return logits
 
     from vit_cpp_tpu.quant.int8 import Int8Linear
 
