@@ -49,6 +49,10 @@ def main() -> int:
     )
     ap.add_argument("--patch", type=int, default=16)
     ap.add_argument("--img", type=int, default=224)
+    ap.add_argument(
+        "--vitstr", action="store_true",
+        help="ViTSTR scene-text geometry: in_chans=1, 25-token head, 96 classes",
+    )
     ap.add_argument("--chain", type=int, default=None, help="scan length K (default 30; 400 in latency mode so the chain dominates tunnel-rtt noise)")
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="q8_0")
@@ -81,9 +85,11 @@ def main() -> int:
         hidden_size=geo[0],
         num_hidden_layers=geo[1],
         num_attention_heads=geo[2],
-        num_classes=1000,
+        num_classes=96 if args.vitstr else 1000,
         patch_size=args.patch,
         img_size=args.img,
+        in_chans=1 if args.vitstr else 3,
+        seq_len=25 if args.vitstr else None,
     )
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.quant != "none":
@@ -116,7 +122,7 @@ def main() -> int:
     batch = 1 if args.latency else args.batch
     K = args.chain if args.chain is not None else (400 if args.latency else 30)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((batch, 3, hp.img_size, hp.img_size)), dtype=dtype)
+    images = jnp.asarray(rng.standard_normal((batch, hp.in_chans, hp.img_size, hp.img_size)), dtype=dtype)
 
     @jax.jit
     def chained(p, x0):
@@ -130,7 +136,8 @@ def main() -> int:
         def step(c, _):
             p2 = dict(p, cls_token=cls + (c * 1e-30).astype(cls.dtype))
             out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll)
-            return out[0, 0].astype(cls.dtype), ()
+            dep = out[0, 0, 0] if out.ndim == 3 else out[0, 0]
+            return dep.astype(cls.dtype), ()
 
         cK, _ = jax.lax.scan(step, jnp.zeros((), cls.dtype), None, length=K)
         return cK
@@ -158,7 +165,7 @@ def main() -> int:
     else:
         ips = batch * K / dev_s
         result = {
-            "metric": f"images_per_sec_vit{args.size}{args.patch}_{args.img}_{suffix}",
+            "metric": f"images_per_sec_{'vitstr' if args.vitstr else 'vit'}{args.size}{args.patch}_{args.img}_{suffix}",
             "value": round(ips, 1),
             "unit": "images/sec/chip",
             "vs_baseline": round(ips / 5000.0, 3),

@@ -1,0 +1,72 @@
+"""Run the headline benchmark configurations and collect BENCH_DETAILS.json.
+
+One bench.py subprocess per config (each jit-compiles its own program;
+through the axon remote-compile helper a config takes 5-15 minutes):
+
+    python tools/bench_all.py [--out BENCH_DETAILS.json]
+
+Configs mirror BASELINE.json: Q8_0 W8A8 (bench default / configs[2]),
+dense bf16 (configs[0-1] compute path), Q4_0 (configs[3] family),
+ViT-L/16@384 Q5_1 bs=64 (configs[3]), ViTSTR-base (configs[4]), and the
+p50 single-image latencies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+
+CONFIGS = [
+    ("q8_0_w8a8", ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"]),
+    ("bf16_dense", ["--quant", "none", "--attn", "pallas-fast"]),
+    ("bf16_dense_safe_softmax", ["--quant", "none", "--attn", "pallas"]),
+    ("q4_0_w8a8", ["--quant", "q4_0", "--mm", "int8", "--attn", "pallas-fast"]),
+    (
+        "vitl16_384_q5_1_w8a8_bs64",
+        ["--size", "large", "--img", "384", "--quant", "q5_1", "--mm", "int8",
+         "--attn", "pallas-fast", "--batch", "64", "--chain", "12"],
+    ),
+    (
+        "vitstr_base_bf16",
+        ["--vitstr", "--quant", "none", "--attn", "pallas-fast"],
+    ),
+    (
+        "latency_q8_0_w8a8",
+        ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
+    ),
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_DETAILS.json")
+    ap.add_argument("--timeout", type=int, default=1800, help="per config, s")
+    args = ap.parse_args(argv)
+
+    results = {}
+    for name, flags in CONFIGS:
+        print(f"=== {name}: bench.py {' '.join(flags)}", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "bench.py", *flags],
+                capture_output=True,
+                text=True,
+                timeout=args.timeout,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            results[name] = json.loads(line) if line.startswith("{") else {
+                "error": (proc.stderr or "no output")[-500:]
+            }
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as exc:
+            results[name] = {"error": str(exc)[:500]}
+        print(f"    -> {results[name]}", file=sys.stderr)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
