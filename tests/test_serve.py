@@ -115,3 +115,63 @@ class TestServeCli:
         out = capsys.readouterr().out.strip().splitlines()
         assert len(out) >= 3  # broken.jpg goes to stderr
         assert all("\t" in l for l in out)
+
+
+class TestServeVitstrAutoDetect:
+    def test_serve_cli_dispatches_vitstr(self, tmp_path, capsys):
+        from PIL import Image
+
+        from vit_cpp_tpu.cli.serve import main
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models.vitstr import vitstr_id2label
+        from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+        hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_classes=96,
+            patch_size=16,
+            img_size=96,
+            in_chans=1,
+            seq_len=25,
+        )
+        model = tmp_path / "vitstr.gguf"
+        write_synthetic_model(
+            str(model), hp, ftype=1, seed=3, id2label=vitstr_id2label()
+        )
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(2):
+            p = tmp_path / f"w{i}.png"
+            Image.fromarray(
+                rng.integers(0, 256, (30, 90, 3), dtype=np.uint8)
+            ).save(p)
+            paths.append(str(p))
+        rc = main(["-m", str(model), "--dtype", "f32", "--attn", "xla", *paths])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2  # path<TAB>text<TAB>conf per file
+
+    def test_classifier_engine_rejects_vitstr_model(self, tmp_path):
+        import pytest as _pytest
+
+        from vit_cpp_tpu.engine import VitEngine
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+        hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_classes=96,
+            patch_size=16,
+            img_size=96,
+            in_chans=1,
+            seq_len=25,
+        )
+        model = tmp_path / "vitstr.gguf"
+        write_synthetic_model(str(model), hp, ftype=1, seed=3)
+        eng = VitEngine(str(model), verbose=False)
+        with _pytest.raises(ValueError, match="sequence head"):
+            eng.classify_file("/nonexistent.jpg")

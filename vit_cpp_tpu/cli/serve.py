@@ -52,12 +52,38 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from vit_cpp_tpu.engine import VitEngine
-    from vit_cpp_tpu.serve import serve_files
+    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
+    from vit_cpp_tpu.gguf.reader import read_model
+    from vit_cpp_tpu.serve import recognize_files, serve_files
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    # sequence-head (ViTSTR) checkpoints are served with the greedy decoder
+    is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
+    if is_vitstr:
+        engine = VitstrEngine(
+            args.model, dtype=dtype, attn_impl=args.attn, verbose=False
+        )
+        t0 = time.perf_counter()
+        n_ok = 0
+        for r in recognize_files(
+            engine, paths, batch=args.batch, decode_threads=args.decode_threads
+        ):
+            if r.confidence < 0:
+                print(f"{r.path}\t<decode failed>", file=sys.stderr)
+                continue
+            n_ok += 1
+            print(f"{r.path}\t{r.text}\t{r.confidence:.2f}")
+        dt = time.perf_counter() - t0
+        print(
+            f"serve: {n_ok}/{len(paths)} images in {dt:.2f}s "
+            f"= {n_ok / max(dt, 1e-9):.1f} images/sec",
+            file=sys.stderr,
+        )
+        return 0
 
     engine = VitEngine(
         args.model,
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        dtype=dtype,
         attn_impl=args.attn,
         verbose=False,
     )

@@ -161,6 +161,11 @@ class VitEngine:
         self, path: str, topk: int = 5, verbose: bool = True
     ) -> List[Tuple[int, float, str]]:
         """Decode, preprocess, predict, return [(class_id, prob, label)]."""
+        if self.hp.seq_len is not None and type(self) is VitEngine:
+            raise ValueError(
+                "this checkpoint has a sequence head (ViTSTR); use "
+                "VitstrEngine / the vitstr CLI instead of the classifier"
+            )
         img = load_image_rgb(path)
         if verbose:
             print(
