@@ -65,6 +65,10 @@ def main() -> int:
         help="pallas = fused residual-add+LN deferred scan",
     )
     ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler device trace of the timed runs",
+    )
     args = ap.parse_args()
 
     import jax
@@ -151,7 +155,10 @@ def main() -> int:
     rtt = (time.perf_counter() - t0) / 5
 
     _ = np.asarray(chained(params, images))  # compile + warmup
-    dev_s = _device_seconds(chained, (params, images), rtt)
+    from vit_cpp_tpu.utils import trace
+
+    with trace(args.profile):
+        dev_s = _device_seconds(chained, (params, images), rtt)
 
     if args.latency:
         p50_ms = dev_s / K * 1000.0

@@ -96,3 +96,24 @@ class TestEngineIntegration:
         native = load_image_rgb(MAGPIE, prefer_native=True)
         pil = load_image_rgb(MAGPIE, prefer_native=False)
         np.testing.assert_array_equal(native, pil)
+
+
+def test_pil_fallback_when_native_unavailable(monkeypatch):
+    """load_image_rgb must fall back to PIL if the native lib can't load."""
+    import builtins
+    import sys as _sys
+
+    from vit_cpp_tpu.io.image import load_image_rgb
+
+    real_import = builtins.__import__
+
+    def broken_import(name, *a, **k):
+        if name.startswith("vit_cpp_tpu.native"):
+            raise ImportError("simulated missing toolchain")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(_sys.modules, "vit_cpp_tpu.native.decoder", raising=False)
+    monkeypatch.delitem(_sys.modules, "vit_cpp_tpu.native", raising=False)
+    monkeypatch.setattr(builtins, "__import__", broken_import)
+    img = load_image_rgb(MAGPIE)
+    assert img.shape == (470, 500, 3)
