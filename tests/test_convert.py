@@ -175,3 +175,17 @@ def test_convert_real_gguf_container(torch_ckpt, tmp_path):
     mf = read_model(out)  # transparent dispatch
     assert mf.hparams.hidden_size == hp.hidden_size
     assert len(mf.tensors) == mf.hparams.expected_tensor_count()
+
+
+def test_timm_path_fails_gracefully_without_timm():
+    """Converting by model name without the timm wheel must exit with a
+    clear pointer to the offline --checkpoint path (this environment has
+    no timm and no network egress)."""
+    try:
+        import timm  # noqa: F401
+
+        pytest.skip("timm installed; gated path not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(SystemExit, match="--checkpoint"):
+        convert(model_name="vit_tiny_patch16_224", verbose=False)
