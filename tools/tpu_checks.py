@@ -110,6 +110,11 @@ def check_geometries():
         ("ViT-tiny/16@224", VitHParams(hidden_size=192, num_hidden_layers=12,
                                        num_attention_heads=3, num_classes=1000,
                                        patch_size=16, img_size=224)),
+        # long sequence x non-128-multiple hidden: exercises the full-block
+        # kernel at T=785 where the lane variant is unavailable
+        ("ViT-tiny/8@224", VitHParams(hidden_size=192, num_hidden_layers=12,
+                                      num_attention_heads=3, num_classes=1000,
+                                      patch_size=8, img_size=224)),
     ]
     rng = np.random.default_rng(0)
     for name, hp in confs:
