@@ -177,3 +177,56 @@ def test_train_loss_decreases():
             losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert int(st.step) == 5
+
+
+def test_checkpoint_save_restore(tmp_path):
+    """Orbax round trip of a sharded TrainState: resume must continue from
+    the same params/opt_state/step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.parallel.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+    from vit_cpp_tpu.parallel.mesh import make_mesh
+    from vit_cpp_tpu.parallel.train import (
+        create_train_state,
+        make_optimizer,
+        shard_batch,
+        train_step,
+    )
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_classes=8,
+        patch_size=8,
+        img_size=32,
+    )
+    params = params_from_state_dict(random_state_dict(hp, seed=0), hp)
+    mesh = make_mesh(dp=4, tp=2)
+    optimizer = make_optimizer()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), dtype=jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 8, (8,)), dtype=jnp.int32)
+    with mesh:
+        st = create_train_state(params, mesh, optimizer)
+        images, labels = shard_batch(images, labels, mesh)
+        st, _ = train_step(st, images, labels, hp, optimizer)
+        save_train_state(str(tmp_path / "ckpt"), st)
+
+        like = create_train_state(params, mesh, optimizer)
+        restored = restore_train_state(str(tmp_path / "ckpt"), like)
+        assert int(restored.step) == 1
+        # continuing from the restored state matches continuing in-memory
+        a, loss_a = train_step(st, images, labels, hp, optimizer)
+        b, loss_b = train_step(restored, images, labels, hp, optimizer)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)

@@ -64,12 +64,26 @@ def create_train_state(
 ) -> TrainState:
     """Shard params onto the mesh and build matching optimizer state.
 
-    The optimizer state mirrors the param tree; jitting `optimizer.init`
-    with sharded inputs lets XLA lay out mu/nu with the same shardings.
+    optimizer.init runs EAGERLY: zeros_like on sharded params inherits
+    each parameter's sharding leaf-for-leaf, so the Adam moments live
+    where their parameters live. (A jitted init loses the propagation and
+    gathers the whole optimizer state onto one device.) Scalars (step,
+    Adam count) are explicitly replicated over the mesh.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     params = shard_params(params, mesh)
-    opt_state = jax.jit(optimizer.init)(params)
-    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    opt_state = optimizer.init(params)
+    replicated = NamedSharding(mesh, P())
+
+    def fix_scalars(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 0:
+            return jax.device_put(leaf, replicated)
+        return leaf
+
+    opt_state = jax.tree.map(fix_scalars, opt_state)
+    step = jax.device_put(jnp.zeros((), jnp.int32), replicated)
+    return TrainState(params=params, opt_state=opt_state, step=step)
 
 
 def shard_batch(images, labels, mesh: Mesh):
