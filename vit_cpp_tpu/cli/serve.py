@@ -61,7 +61,11 @@ def main(argv=None) -> int:
     is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
     if is_vitstr:
         engine = VitstrEngine(
-            args.model, dtype=dtype, attn_impl=args.attn, verbose=False
+            args.model,
+            dtype=dtype,
+            attn_impl=args.attn,
+            mm_impl=args.mm,
+            verbose=False,
         )
         t0 = time.perf_counter()
         n_ok = 0
@@ -85,6 +89,7 @@ def main(argv=None) -> int:
         args.model,
         dtype=dtype,
         attn_impl=args.attn,
+        mm_impl=args.mm,
         verbose=False,
     )
     t0 = time.perf_counter()
