@@ -31,7 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("-k", "--topk", type=int, default=1)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     ap.add_argument(
-        "--attn", choices=["xla", "pallas"], default="pallas",
+        "--mm", choices=["xla", "pallas", "int8"], default="xla",
+        help="matmul path; int8 = W8A8 MXU serving for quantized models",
+    )
+    ap.add_argument(
+        "--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas",
         help="attention kernel (fused Pallas is the TPU serving default)",
     )
     ap.add_argument("--decode-threads", type=int, default=0)
