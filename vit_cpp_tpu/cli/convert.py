@@ -174,7 +174,6 @@ def convert(
 
         raw = torch.load(checkpoint, map_location="cpu", weights_only=False)
         state = normalize_state_dict(raw)
-        stem = os.path.splitext(os.path.basename(checkpoint))[0]
     elif model_name is not None:
         try:
             import timm
@@ -185,7 +184,6 @@ def convert(
             )
         model = timm.create_model(model_name, pretrained=True)
         state = normalize_state_dict(model.state_dict())
-        stem = model_name
     else:
         raise ValueError("either model_name or --checkpoint is required")
 
