@@ -42,6 +42,13 @@ def check_attention():
         .astype(jnp.float32)
     )
     print("attention_qkv    max err:", float(jnp.max(jnp.abs(out - ref))))
+    fast = (
+        attention_qkv(qkv.reshape(2, 197, 3 * 12 * 64), 12, fast=True)
+        .reshape(2, 197, 12, 64)
+        .transpose(0, 2, 1, 3)
+        .astype(jnp.float32)
+    )
+    print("attn fast-softmax max err:", float(jnp.max(jnp.abs(fast - ref))))
     o2 = flash_attention(q, k, v).astype(jnp.float32)
     print("flash_attention  max err:", float(jnp.max(jnp.abs(o2 - ref))))
 
