@@ -1,0 +1,108 @@
+"""Loader strictness parity with the reference's validations.
+
+vit_model_load rejects: unknown tensor names (vit.cpp:618-622), element
+count mismatches (:627-632), per-dim shape mismatches (:634-641), 64-
+misaligned quantized rows (:655-671), truncated data (:680-685) and a
+wrong final tensor count (:697-701). The pytree builder + reader must
+fail the same ways, with clear messages.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vit_cpp_tpu.gguf.dtypes import GGMLDType
+from vit_cpp_tpu.gguf.reader import read_model
+from vit_cpp_tpu.gguf.writer import write_header, write_tensor
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.models import load_params
+from vit_cpp_tpu.testing.synthetic import (
+    random_state_dict,
+    state_dict_records,
+    write_synthetic_model,
+)
+
+
+def _hp():
+    return VitHParams(
+        hidden_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_classes=4,
+        patch_size=8,
+        img_size=16,
+    )
+
+
+def _write(path, hp, records, ftype=0):
+    with open(path, "wb") as f:
+        write_header(f, hp, {}, ftype)
+        for name, shape, dt, payload in records:
+            write_tensor(f, name, shape, dt, payload)
+
+
+def test_unknown_tensor_rejected(tmp_path):
+    hp = _hp()
+    state = random_state_dict(hp, seed=0)
+    state["blocks.0.attn.bogus.weight"] = np.zeros((4, 4), np.float32)
+    p = tmp_path / "m.gguf"
+    _write(p, hp, state_dict_records(state, 0))
+    with pytest.raises(ValueError, match="unexpected tensors"):
+        load_params(read_model(str(p)))
+
+
+def test_missing_tensor_rejected(tmp_path):
+    hp = _hp()
+    state = random_state_dict(hp, seed=0)
+    del state["norm.bias"]
+    p = tmp_path / "m.gguf"
+    _write(p, hp, state_dict_records(state, 0))
+    with pytest.raises(KeyError, match="norm.bias"):
+        load_params(read_model(str(p)))
+
+
+def test_shape_mismatch_rejected(tmp_path):
+    hp = _hp()
+    state = random_state_dict(hp, seed=0)
+    state["blocks.0.attn.qkv.weight"] = np.zeros((192, 32), np.float32)
+    p = tmp_path / "m.gguf"
+    _write(p, hp, state_dict_records(state, 0))
+    with pytest.raises(ValueError, match="attn.qkv.weight"):
+        load_params(read_model(str(p)))
+
+
+def test_truncated_tensor_data_rejected(tmp_path):
+    hp = _hp()
+    p = tmp_path / "m.gguf"
+    write_synthetic_model(str(p), hp, ftype=0, seed=0)
+    data = p.read_bytes()
+    p.write_bytes(data[:-100])
+    with pytest.raises(ValueError, match="truncated"):
+        read_model(str(p))
+
+
+def test_misaligned_quantized_row_rejected(tmp_path):
+    # ne[0] % 64 != 0 for a quant dtype must be rejected (vit.cpp:655-671,
+    # stricter than the 32-elem block, preserved deliberately)
+    hp = _hp()
+    p = tmp_path / "m.gguf"
+    with open(p, "wb") as f:
+        write_header(f, hp, {}, ftype=8)
+        # 96 % 64 != 0 -> header says Q8_0 with ne[0]=96
+        f.write(struct.pack("<iii", 2, len(b"w"), int(GGMLDType.Q8_0)))
+        f.write(struct.pack("<ii", 96, 2))  # reversed dims: ne0=96
+        f.write(b"w")
+        f.write(b"\x00" * GGMLDType.Q8_0.row_bytes(192))
+    with pytest.raises(ValueError, match="64-aligned"):
+        read_model(str(p))
+
+
+def test_duplicate_tensor_rejected(tmp_path):
+    hp = _hp()
+    state = random_state_dict(hp, seed=0)
+    recs = list(state_dict_records(state, 0))
+    p = tmp_path / "m.gguf"
+    _write(p, hp, recs + [recs[0]])
+    with pytest.raises(ValueError, match="duplicate"):
+        read_model(str(p))
