@@ -105,3 +105,33 @@ def test_quantized_tensors_in_gguf(tmp_path):
         GGMLDType.Q8_0,
     ).reshape(rec.shape)
     np.testing.assert_allclose(rec.as_f32(), want)
+
+
+def test_quantize_accepts_real_gguf_input(tmp_path):
+    """The quantize tool must read either container (read_model dispatch)
+    and produce a loadable quantized file."""
+    import numpy as np
+
+    from vit_cpp_tpu.cli.quantize import quantize_model_file
+    from vit_cpp_tpu.models import load_params
+    from vit_cpp_tpu.models.vit import forward
+
+    hp = _hp()
+    state = random_state_dict(hp, seed=3)
+    src = tmp_path / "real.gguf"
+    write_gguf(
+        str(src),
+        hp,
+        {i: f"L{i}" for i in range(hp.num_classes)},
+        state_dict_records(state, ftype=1),
+        ftype=1,
+    )
+    out = tmp_path / "q8.gguf"
+    assert quantize_model_file(str(src), str(out), 8, verbose=False)
+    mf = read_model(str(out))
+    assert mf.hparams == read_model(str(src)).hparams
+    params = load_params(mf)
+    x = np.random.default_rng(0).standard_normal((1, 3, 32, 32)).astype(np.float32)
+    ref = np.asarray(forward(load_params(read_model(str(src))), x, hp))
+    got = np.asarray(forward(params, x, hp))
+    np.testing.assert_allclose(got, ref, atol=0.05)
