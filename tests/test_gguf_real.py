@@ -128,8 +128,11 @@ def test_quantize_accepts_real_gguf_input(tmp_path):
     )
     out = tmp_path / "q8.gguf"
     assert quantize_model_file(str(src), str(out), 8, verbose=False)
+    import dataclasses
+
     mf = read_model(str(out))
-    assert mf.hparams == read_model(str(src)).hparams
+    assert mf.hparams.ftype == 8  # quantize rewrites file ftype := itype
+    assert dataclasses.replace(mf.hparams, ftype=1) == read_model(str(src)).hparams
     params = load_params(mf)
     x = np.random.default_rng(0).standard_normal((1, 3, 32, 32)).astype(np.float32)
     ref = np.asarray(forward(load_params(read_model(str(src))), x, hp))
