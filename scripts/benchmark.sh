@@ -16,7 +16,7 @@ RUNS=3
 SIZES="tiny small"
 QUANTIZE=0
 IMG_SIZE=224
-IMAGE="/root/reference/assets/magpie.jpeg"
+IMAGE="$(cd "$(dirname "$0")/.." && pwd)/assets/magpie.jpeg"
 WORK=$(mktemp -d)
 trap 'rm -rf "$WORK"' EXIT
 

@@ -12,7 +12,13 @@ from PIL import Image
 
 decoder = pytest.importorskip("vit_cpp_tpu.native.decoder")
 
-MAGPIE = "/root/reference/assets/magpie.jpeg"
+import os
+
+MAGPIE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets",
+    "magpie.jpeg",
+)
 
 
 def _rand_img(rng, h, w):
@@ -87,6 +93,53 @@ class TestBatch:
         single = decoder.decode_rgb(MAGPIE)
         (batched,) = decoder.decode_batch([MAGPIE])
         np.testing.assert_array_equal(single, batched)
+
+
+class TestBmpPnm:
+    """Native BMP/PNM decode — the stb_image format breadth the reference
+    inherits via stbi_load (vit.h:5)."""
+
+    @pytest.mark.parametrize("ext", ["bmp", "ppm", "pgm"])
+    def test_matches_pil(self, tmp_path, ext):
+        rng = np.random.default_rng(7)
+        arr = _rand_img(rng, 23, 31)
+        img = Image.fromarray(arr)
+        if ext == "pgm":
+            img = img.convert("L")
+        p = tmp_path / f"img.{ext}"
+        img.save(p)
+        got = decoder.decode_rgb(str(p))
+        want = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
+
+    def test_truncated_bmp_rejected(self, tmp_path):
+        rng = np.random.default_rng(8)
+        p = tmp_path / "t.bmp"
+        Image.fromarray(_rand_img(rng, 16, 16)).save(p)
+        data = p.read_bytes()
+        p.write_bytes(data[: len(data) // 2])
+        assert decoder.decode_rgb(str(p)) is None
+
+
+class TestBatchFallback:
+    def test_pil_retry_for_non_native_format(self, tmp_path):
+        """A GIF in a batch must come back decoded (per-file PIL retry),
+        not None — the whole-batch native path alone would skip it."""
+        from vit_cpp_tpu.io.image import load_images_rgb_batch
+
+        rng = np.random.default_rng(9)
+        jpg = tmp_path / "a.jpg"
+        Image.fromarray(_rand_img(rng, 12, 14)).save(jpg)
+        gif = tmp_path / "b.gif"
+        gif_img = Image.fromarray(_rand_img(rng, 9, 11))
+        gif_img.save(gif)
+        bad = tmp_path / "c.jpg"
+        bad.write_bytes(b"not an image")
+        outs = load_images_rgb_batch([str(jpg), str(gif), str(bad)])
+        assert outs[0] is not None and outs[0].shape == (12, 14, 3)
+        assert outs[1] is not None and outs[1].shape == (9, 11, 3)
+        assert outs[2] is None
 
 
 class TestEngineIntegration:

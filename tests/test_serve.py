@@ -95,6 +95,22 @@ class TestServe:
             assert r.top1 == want[0]
             np.testing.assert_allclose(r.prob, want[1], atol=1e-5)
 
+    def test_producer_exception_propagates(self, serve_setup, monkeypatch):
+        """A crash in the producer thread must surface in the consumer
+        instead of hanging it forever on q.get()."""
+        import vit_cpp_tpu.serve as serve_mod
+        from vit_cpp_tpu.engine import VitEngine
+
+        model, paths = serve_setup
+        engine = VitEngine(model, verbose=False)
+
+        def boom(*a, **k):
+            raise RuntimeError("decode stage exploded")
+
+        monkeypatch.setattr(serve_mod, "preprocess_batch", boom)
+        with pytest.raises(RuntimeError, match="decode stage exploded"):
+            list(serve_mod.serve_files(engine, paths, batch=3))
+
     def test_throughput_helper(self, serve_setup):
         from vit_cpp_tpu.engine import VitEngine
         from vit_cpp_tpu.serve import throughput

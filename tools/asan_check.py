@@ -1,0 +1,92 @@
+"""Build the native decoder with AddressSanitizer and fuzz-smoke it.
+
+The SURVEY §5 sanitizer gap closed as a tool: compiles vitnative.cpp +
+asan_driver.cpp with -fsanitize=address, generates valid AND malformed
+inputs (truncated files, bit-flipped scanlines, lying headers — the exact
+inputs the setjmp recovery paths exist for), and runs the driver. A
+non-zero exit or an ASan report fails the check.
+
+Usage: python tools/asan_check.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vit_cpp_tpu.native.build import CXX, LIBS, SRC  # noqa: E402
+
+DRIVER = os.path.join(os.path.dirname(SRC), "asan_driver.cpp")
+
+
+def make_inputs(d: str) -> list:
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 256, (37, 53, 3), dtype=np.uint8))
+    paths = []
+
+    def put(name: str, data: bytes) -> None:
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+
+    for fmt, ext in [("JPEG", "jpg"), ("PNG", "png"), ("BMP", "bmp"), ("PPM", "ppm")]:
+        buf = io.BytesIO()
+        img.save(buf, format=fmt)
+        data = buf.getvalue()
+        put(f"ok.{ext}", data)
+        # truncations: header-only, mid-data, off-by-one
+        for frac, tag in [(0.1, "head"), (0.6, "mid"), (1.0, "last")]:
+            n = max(4, int(len(data) * frac) - (1 if frac == 1.0 else 0))
+            put(f"trunc_{tag}.{ext}", data[:n])
+        # bit flips in the payload
+        for i, off in enumerate([len(data) // 3, len(data) // 2, -10]):
+            flipped = bytearray(data)
+            flipped[off] ^= 0xFF
+            put(f"flip{i}.{ext}", bytes(flipped))
+    # lying BMP header: claims a huge image in a tiny file
+    lying = bytearray(open(os.path.join(d, "ok.bmp"), "rb").read())
+    lying[18:22] = (2**20).to_bytes(4, "little")
+    put("lying.bmp", bytes(lying))
+    # garbage with each magic
+    put("garbage.jpg", b"\xff\xd8" + bytes(rng.integers(0, 256, 300, dtype=np.uint8)))
+    put("garbage.png", b"\x89PNG\r\n\x1a\n" + bytes(rng.integers(0, 256, 300, dtype=np.uint8)))
+    put("garbage.pnm", b"P6 10 10 255 short")
+    put("empty", b"")
+    return paths
+
+
+def main() -> int:
+    with tempfile.TemporaryDirectory() as d:
+        exe = os.path.join(d, "asan_driver")
+        cmd = [
+            CXX, "-fsanitize=address", "-fno-omit-frame-pointer", "-g", "-O1",
+            "-std=c++17", "-Wall", SRC, DRIVER, "-o", exe, *LIBS,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            print(proc.stderr, file=sys.stderr)
+            print("ASAN BUILD FAILED", file=sys.stderr)
+            return 1
+        paths = make_inputs(d)
+        env = dict(os.environ, ASAN_OPTIONS="detect_leaks=1:abort_on_error=0")
+        run = subprocess.run([exe, *paths], capture_output=True, text=True, env=env)
+        sys.stdout.write(run.stdout)
+        sys.stderr.write(run.stderr)
+        if run.returncode != 0 or "ERROR: AddressSanitizer" in run.stderr:
+            print("ASAN CHECK FAILED", file=sys.stderr)
+            return 1
+        print("asan check: clean")
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

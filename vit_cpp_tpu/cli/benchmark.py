@@ -78,7 +78,7 @@ def run_eval(
     import jax.numpy as jnp
 
     from vit_cpp_tpu.engine import VitEngine
-    from vit_cpp_tpu.io.image import load_image_rgb
+    from vit_cpp_tpu.io.image import load_images_rgb_batch
 
     if classnames is None:
         classnames = read_class_names(
@@ -97,26 +97,15 @@ def run_eval(
         print(f"no *{ext} images under {dataset_dir}", file=sys.stderr)
         return 0.0
 
-    try:
-        from vit_cpp_tpu.native import decoder as native_decoder
-    except Exception:
-        native_decoder = None
-
     correct = total = 0
     t0 = time.perf_counter()
     with open(output_file, "w") as out:
         for start in range(0, len(items), batch):
             chunk = items[start : start + batch]
             paths = [p for p, _ in chunk]
-            if native_decoder is not None:
-                images = native_decoder.decode_batch(paths)
-            else:
-                images = []
-                for p in paths:
-                    try:
-                        images.append(load_image_rgb(p))
-                    except OSError:
-                        images.append(None)
+            # native threaded batch decode with per-file PIL retry for
+            # formats the native decoder rejects (GIF/TGA/...)
+            images = load_images_rgb_batch(paths)
 
             pixels, kept = [], []
             for (path, cls), img in zip(chunk, images):

@@ -29,3 +29,31 @@ def load_image_rgb(path: str, prefer_native: bool = True) -> np.ndarray:
 
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def load_images_rgb_batch(paths, n_threads: int = 0):
+    """Decode many files -> list of (H, W, 3) uint8 or None per file.
+
+    The throughput path: native threaded batch decode
+    (JPEG/PNG/BMP/PNM), then a per-file PIL retry for anything the native
+    decoder rejected (GIF/TGA/WebP/...) — matching the reference's
+    stb_image format breadth (vit.h:5) without giving up the native pool.
+    None marks a file no decoder could read (harness-style skip,
+    reference tests/benchmark.cpp:108-125).
+    """
+    paths = list(paths)
+    try:
+        from vit_cpp_tpu.native import decoder
+
+        images = decoder.decode_batch(paths, n_threads=n_threads)
+    except Exception:
+        images = [None] * len(paths)
+    out = []
+    for p, im in zip(paths, images):
+        if im is None:
+            try:
+                im = load_image_rgb(p, prefer_native=False)
+            except OSError:
+                im = None
+        out.append(im)
+    return out

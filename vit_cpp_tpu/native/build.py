@@ -30,24 +30,41 @@ CXXFLAGS = [
 LIBS = ["-ljpeg", "-lpng", "-lz", "-lpthread"]
 
 
-def build(force: bool = False, quiet: bool = True) -> str:
-    """Compile if stale; returns the shared-library path."""
+LIB_ASAN = os.path.join(_DIR, "libvitnative-asan.so")
+ASAN_FLAGS = ["-fsanitize=address", "-fno-omit-frame-pointer", "-g", "-O1"]
+
+
+def build(force: bool = False, quiet: bool = True, asan: bool = False) -> str:
+    """Compile if stale; returns the shared-library path.
+
+    asan=True builds a separate AddressSanitizer instrumented library
+    (libvitnative-asan.so) — the SURVEY §5 "keep C++ host tools ASan-clean"
+    target; driven by tools/asan_check.py against malformed inputs.
+    """
+    lib = LIB_ASAN if asan else LIB
     if (
         not force
-        and os.path.exists(LIB)
-        and os.path.getmtime(LIB) >= os.path.getmtime(SRC)
+        and os.path.exists(lib)
+        and os.path.getmtime(lib) >= os.path.getmtime(SRC)
     ):
-        return LIB
-    cmd = [CXX, *CXXFLAGS, SRC, "-o", LIB, *LIBS]
+        return lib
+    flags = list(CXXFLAGS)
+    if asan:
+        flags = [f for f in flags if f != "-O3"] + ASAN_FLAGS
+    cmd = [CXX, *flags, SRC, "-o", lib, *LIBS]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(
             f"vitnative build failed: {' '.join(cmd)}\n{proc.stderr}"
         )
     if not quiet:
-        print(f"built {LIB}")
-    return LIB
+        print(f"built {lib}")
+    return lib
 
 
 if __name__ == "__main__":
-    build(force="--force" in sys.argv, quiet=False)
+    build(
+        force="--force" in sys.argv,
+        quiet=False,
+        asan="--asan" in sys.argv,
+    )

@@ -64,7 +64,11 @@ uint8_t *decode_jpeg(const uint8_t *buf, size_t len, int *w, int *h) {
     jerr.mgr.emit_message = jpeg_silent;
     jerr.mgr.output_message = jpeg_silent_msg;
 
-    uint8_t *out = nullptr;
+    // `out` is written between setjmp and a potential longjmp (the malloc
+    // below) and read in the recovery branch; it must be volatile or its
+    // value after longjmp is indeterminate (C11 7.13.2.1) — under -O3 the
+    // free() could see a stale register copy on a mid-scanline error.
+    uint8_t *volatile out = nullptr;
     if (setjmp(jerr.jmp)) {
         std::free(out);
         jpeg_destroy_decompress(&cinfo);
@@ -136,10 +140,15 @@ uint8_t *decode_png(const uint8_t *buf, size_t len, int *w, int *h) {
         png_destroy_read_struct(&png, nullptr, nullptr);
         return nullptr;
     }
-    uint8_t *out = nullptr;
-    std::vector<png_bytep> rows;
+    // Same setjmp rule as decode_jpeg: both buffers are allocated after
+    // setjmp and freed in the recovery branch, so the pointers must be
+    // volatile (a std::vector would have indeterminate internals after
+    // longjmp — use a plain malloc'd row-pointer array instead).
+    uint8_t *volatile out = nullptr;
+    png_bytep *volatile rows = nullptr;
     if (setjmp(png_jmpbuf(png))) {
         std::free(out);
+        std::free(rows);
         png_destroy_read_struct(&png, &info, nullptr);
         return nullptr;
     }
@@ -173,14 +182,124 @@ uint8_t *decode_png(const uint8_t *buf, size_t len, int *w, int *h) {
         png_destroy_read_struct(&png, &info, nullptr);
         return nullptr;
     }
-    rows.resize(height);
+    rows = static_cast<png_bytep *>(
+        std::malloc(sizeof(png_bytep) * static_cast<size_t>(height)));
+    if (!rows) {
+        std::free(out);
+        png_destroy_read_struct(&png, &info, nullptr);
+        return nullptr;
+    }
     for (int y = 0; y < height; ++y)
         rows[y] = out + static_cast<size_t>(width) * 3 * y;
-    png_read_image(png, rows.data());
+    png_read_image(png, rows);
     png_read_end(png, nullptr);
+    uint8_t *result = out;
+    std::free(rows);
     png_destroy_read_struct(&png, &info, nullptr);
     *w = width;
     *h = height;
+    return result;
+}
+
+// ----------------------------------------------------------------- BMP ----
+// Uncompressed 24/32-bit BI_RGB bitmaps (the overwhelmingly common case the
+// reference's stb_image path accepts, vit.h:5). Bottom-up and top-down rows.
+
+uint8_t *decode_bmp(const uint8_t *buf, size_t len, int *w, int *h) {
+    auto rd32 = [&](size_t off) -> uint32_t {
+        return static_cast<uint32_t>(buf[off]) |
+               (static_cast<uint32_t>(buf[off + 1]) << 8) |
+               (static_cast<uint32_t>(buf[off + 2]) << 16) |
+               (static_cast<uint32_t>(buf[off + 3]) << 24);
+    };
+    auto rd16 = [&](size_t off) -> uint16_t {
+        return static_cast<uint16_t>(buf[off]) |
+               (static_cast<uint16_t>(buf[off + 1]) << 8);
+    };
+    if (len < 54 || buf[0] != 'B' || buf[1] != 'M') return nullptr;
+    const uint32_t data_off = rd32(10);
+    const uint32_t hdr_size = rd32(14);
+    if (hdr_size < 40) return nullptr;  // BITMAPINFOHEADER+
+    const int32_t width = static_cast<int32_t>(rd32(18));
+    const int32_t height_raw = static_cast<int32_t>(rd32(22));
+    const uint16_t bpp = rd16(28);
+    const uint32_t compression = rd32(30);
+    if (width <= 0 || height_raw == 0) return nullptr;
+    if (compression != 0 || (bpp != 24 && bpp != 32)) return nullptr;
+    const bool top_down = height_raw < 0;
+    const int height = top_down ? -height_raw : height_raw;
+    const size_t src_stride = ((static_cast<size_t>(width) * bpp / 8) + 3) & ~size_t(3);
+    if (data_off + src_stride * height > len) return nullptr;
+    uint8_t *out = static_cast<uint8_t *>(
+        std::malloc(static_cast<size_t>(width) * height * 3));
+    if (!out) return nullptr;
+    const int bytes = bpp / 8;
+    for (int y = 0; y < height; ++y) {
+        const uint8_t *src =
+            buf + data_off + src_stride * (top_down ? y : height - 1 - y);
+        uint8_t *dst = out + static_cast<size_t>(width) * 3 * y;
+        for (int x = 0; x < width; ++x) {
+            dst[3 * x + 0] = src[bytes * x + 2];  // BGR(A) -> RGB
+            dst[3 * x + 1] = src[bytes * x + 1];
+            dst[3 * x + 2] = src[bytes * x + 0];
+        }
+    }
+    *w = width;
+    *h = height;
+    return out;
+}
+
+// ----------------------------------------------------------------- PNM ----
+// Binary P5 (gray) / P6 (RGB) portable anymaps, maxval <= 255.
+
+uint8_t *decode_pnm(const uint8_t *buf, size_t len, int *w, int *h) {
+    if (len < 2 || buf[0] != 'P' || (buf[1] != '5' && buf[1] != '6'))
+        return nullptr;
+    const bool rgb = buf[1] == '6';
+    size_t pos = 2;
+    auto next_int = [&](long *out_val) -> bool {
+        // skip whitespace and '#' comments
+        for (;;) {
+            while (pos < len && (buf[pos] == ' ' || buf[pos] == '\t' ||
+                                 buf[pos] == '\n' || buf[pos] == '\r'))
+                ++pos;
+            if (pos < len && buf[pos] == '#') {
+                while (pos < len && buf[pos] != '\n') ++pos;
+            } else {
+                break;
+            }
+        }
+        long v = 0;
+        bool any = false;
+        while (pos < len && buf[pos] >= '0' && buf[pos] <= '9') {
+            v = v * 10 + (buf[pos] - '0');
+            ++pos;
+            any = true;
+        }
+        *out_val = v;
+        return any;
+    };
+    long width, height, maxval;
+    if (!next_int(&width) || !next_int(&height) || !next_int(&maxval))
+        return nullptr;
+    if (width <= 0 || height <= 0 || maxval <= 0 || maxval > 255)
+        return nullptr;
+    ++pos;  // single whitespace after maxval
+    const size_t npix = static_cast<size_t>(width) * height;
+    const size_t need = npix * (rgb ? 3 : 1);
+    if (pos + need > len) return nullptr;
+    uint8_t *out = static_cast<uint8_t *>(std::malloc(npix * 3));
+    if (!out) return nullptr;
+    const uint8_t *src = buf + pos;
+    if (rgb) {
+        std::memcpy(out, src, npix * 3);
+    } else {
+        for (size_t i = 0; i < npix; ++i) {
+            out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = src[i];
+        }
+    }
+    *w = static_cast<int>(width);
+    *h = static_cast<int>(height);
     return out;
 }
 
@@ -215,9 +334,12 @@ uint8_t *read_file(const char *path, size_t *len) {
 
 uint8_t *vn_decode_mem(const uint8_t *buf, size_t len, int *w, int *h) {
     if (!buf || len < 4) return nullptr;
-    // dispatch on magic: JPEG SOI / PNG signature
+    // dispatch on magic: JPEG SOI / PNG signature / BMP / binary PNM
     if (buf[0] == 0xFF && buf[1] == 0xD8) return decode_jpeg(buf, len, w, h);
     if (buf[0] == 0x89 && buf[1] == 'P') return decode_png(buf, len, w, h);
+    if (buf[0] == 'B' && buf[1] == 'M') return decode_bmp(buf, len, w, h);
+    if (buf[0] == 'P' && (buf[1] == '5' || buf[1] == '6'))
+        return decode_pnm(buf, len, w, h);
     // fall through: try both (some JPEGs lack the classic prefix check)
     uint8_t *out = decode_jpeg(buf, len, w, h);
     if (out) return out;

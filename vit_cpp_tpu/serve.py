@@ -26,7 +26,7 @@ from typing import Iterable, Iterator, List, Optional, Sequence
 import numpy as np
 
 from vit_cpp_tpu.engine import VitEngine
-from vit_cpp_tpu.io.image import load_image_rgb
+from vit_cpp_tpu.io.image import load_images_rgb_batch
 from vit_cpp_tpu.ops.preprocess import preprocess_batch
 
 
@@ -38,19 +38,15 @@ class Prediction:
     probs: Optional[np.ndarray] = None
 
 
-def _decode_many(paths: Sequence[str], n_threads: int) -> List[Optional[np.ndarray]]:
-    try:
-        from vit_cpp_tpu.native import decoder
+class _ProducerError:
+    """Queue marker carrying an exception out of the producer thread."""
 
-        return decoder.decode_batch(paths, n_threads=n_threads)
-    except Exception:
-        out: List[Optional[np.ndarray]] = []
-        for p in paths:
-            try:
-                out.append(load_image_rgb(p, prefer_native=False))
-            except OSError:
-                out.append(None)
-        return out
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def _decode_many(paths: Sequence[str], n_threads: int) -> List[Optional[np.ndarray]]:
+    return load_images_rgb_batch(paths, n_threads=n_threads)
 
 
 def serve_files(
@@ -77,28 +73,33 @@ def serve_files(
     stop = threading.Event()
 
     def producer():
-        for chunk in chunks:
-            if stop.is_set():
-                return
-            images = _decode_many(chunk, decode_threads)
-            kept = [(p, im) for p, im in zip(chunk, images) if im is not None]
-            ok = [im is not None for im in images]
-            pixels = None
-            if kept:
-                # stage the device transfer + preprocessing einsum from the
-                # producer thread: it overlaps the consumer's forward pass.
-                # Short chunks are padded to the full batch size up front so
-                # preprocess AND forward each compile exactly once.
-                imgs = [im for _, im in kept]
-                while len(imgs) < batch:
-                    imgs.append(imgs[0])
-                pixels = preprocess_batch(
-                    imgs,
-                    engine.hp.img_size,
-                    mode=engine.hp.interpolation,
-                )
-            q.put((chunk, ok, pixels))
-        q.put(None)
+        # any failure must reach the consumer: a silently dead producer
+        # would leave the consumer blocked on q.get() forever
+        try:
+            for chunk in chunks:
+                if stop.is_set():
+                    return
+                images = _decode_many(chunk, decode_threads)
+                kept = [(p, im) for p, im in zip(chunk, images) if im is not None]
+                ok = [im is not None for im in images]
+                pixels = None
+                if kept:
+                    # stage the device transfer + preprocessing einsum from the
+                    # producer thread: it overlaps the consumer's forward pass.
+                    # Short chunks are padded to the full batch size up front so
+                    # preprocess AND forward each compile exactly once.
+                    imgs = [im for _, im in kept]
+                    while len(imgs) < batch:
+                        imgs.append(imgs[0])
+                    pixels = preprocess_batch(
+                        imgs,
+                        engine.hp.img_size,
+                        mode=engine.hp.interpolation,
+                    )
+                q.put((chunk, ok, pixels))
+            q.put(None)
+        except BaseException as e:  # re-raised in the consumer
+            q.put(_ProducerError(e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -107,6 +108,8 @@ def serve_files(
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, _ProducerError):
+                raise item.exc
             chunk, ok, pixels = item
             probs = top = None
             if pixels is not None:
@@ -167,19 +170,22 @@ def recognize_files(
     stop = threading.Event()
 
     def producer():
-        for chunk in chunks:
-            if stop.is_set():
-                return
-            images = _decode_many(chunk, decode_threads)
-            ok = [im is not None for im in images]
-            pixels = None
-            if any(ok):
-                imgs = [im for im in images if im is not None]
-                while len(imgs) < batch:
-                    imgs.append(imgs[0])
-                pixels = preprocess_grayscale_batch(imgs, engine.hp.img_size)
-            q.put((chunk, ok, pixels))
-        q.put(None)
+        try:
+            for chunk in chunks:
+                if stop.is_set():
+                    return
+                images = _decode_many(chunk, decode_threads)
+                ok = [im is not None for im in images]
+                pixels = None
+                if any(ok):
+                    imgs = [im for im in images if im is not None]
+                    while len(imgs) < batch:
+                        imgs.append(imgs[0])
+                    pixels = preprocess_grayscale_batch(imgs, engine.hp.img_size)
+                q.put((chunk, ok, pixels))
+            q.put(None)
+        except BaseException as e:  # re-raised in the consumer
+            q.put(_ProducerError(e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -188,6 +194,8 @@ def recognize_files(
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, _ProducerError):
+                raise item.exc
             chunk, ok, pixels = item
             toks = valid = conf = None
             if pixels is not None:
