@@ -57,7 +57,11 @@ def main() -> int:
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="q8_0")
     ap.add_argument("--latency", action="store_true")
-    ap.add_argument("--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast")
+    ap.add_argument(
+        "--attn",
+        choices=["xla", "pallas", "pallas-fast", "proj", "proj-head"],
+        default="pallas-fast",
+    )
     ap.add_argument("--mm", choices=["xla", "pallas", "int8", "int8-fused"], default="int8")
     ap.add_argument("--fold-ln", action="store_true", help="fold LN affines into matmuls")
     ap.add_argument(
@@ -118,10 +122,17 @@ def main() -> int:
     else:
         params = params_from_state_dict(random_state_dict(hp, seed=0), hp, dtype=dtype)
         suffix = args.dtype
+        if args.mm in ("int8", "int8-fused"):
+            # f16/bf16 checkpoint on the W8A8 serving path: dense kernels
+            # dynamically quantized channelwise at load (quant/int8.py)
+            from vit_cpp_tpu.quant.int8 import convert_params_to_int8
+
+            params = convert_params_to_int8(params)
+            suffix = args.dtype + "_w8a8"
     if args.fold_ln:
         from vit_cpp_tpu.models.fold import fold_layernorms
 
-        params = fold_layernorms(params)
+        params = fold_layernorms(params, mm_impl=args.mm)
 
     batch = 1 if args.latency else args.batch
     K = args.chain if args.chain is not None else (400 if args.latency else 30)

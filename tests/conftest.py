@@ -21,6 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-geometry parity tests (minutes on 1 CPU core)"
+    )
+
+
 def pytest_sessionstart(session):
     devs = jax.devices()
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"

@@ -189,3 +189,90 @@ def test_timm_path_fails_gracefully_without_timm():
         pass
     with pytest.raises(SystemExit, match="--checkpoint"):
         convert(model_name="vit_tiny_patch16_224", verbose=False)
+
+
+class TestTimmLabelParity:
+    """Pin the exact timm labeling call shape the reference uses
+    (convert-pth-to-ggml.py:85-93): non-detailed index_to_description over
+    dataset_info.num_classes() entries; infer_imagenet_subset receives the
+    MODEL object. Mocked timm — no wheel/network in this harness."""
+
+    def _install_fake_timm(self, monkeypatch, subset):
+        import sys
+        import types
+
+        calls = {"detailed": [], "count_source": None, "subset_arg": None}
+
+        class FakeInfo:
+            def __init__(self, s):
+                assert s == subset
+
+            def num_classes(self):
+                calls["count_source"] = "dataset_info"
+                return 3
+
+            def index_to_description(self, i, detailed=False):
+                calls["detailed"].append(detailed)
+                return f"desc_{i}"
+
+        def fake_infer(model):
+            calls["subset_arg"] = model
+            return subset
+
+        data = types.ModuleType("timm.data")
+        data.ImageNetInfo = FakeInfo
+        data.infer_imagenet_subset = fake_infer
+        timm_mod = types.ModuleType("timm")
+        timm_mod.data = data
+        monkeypatch.setitem(sys.modules, "timm", timm_mod)
+        monkeypatch.setitem(sys.modules, "timm.data", data)
+        return calls
+
+    def test_label_call_shape(self, monkeypatch):
+        from vit_cpp_tpu.cli.convert import _timm_id2label
+
+        calls = self._install_fake_timm(monkeypatch, "imagenet-1k")
+        model = object()
+        labels = _timm_id2label(model, num_classes=1000)
+        # count comes from dataset_info.num_classes(), not the model
+        assert labels == {0: "desc_0", 1: "desc_1", 2: "desc_2"}
+        assert calls["count_source"] == "dataset_info"
+        assert calls["subset_arg"] is model
+        # reference calls index_to_description WITHOUT detailed=True
+        assert all(d is False for d in calls["detailed"])
+
+    def test_fallback_without_subset(self, monkeypatch):
+        import sys
+        import types
+
+        from vit_cpp_tpu.cli.convert import _timm_id2label
+
+        data = types.ModuleType("timm.data")
+        data.ImageNetInfo = lambda s: None
+        data.infer_imagenet_subset = lambda model: None
+        timm_mod = types.ModuleType("timm")
+        timm_mod.data = data
+        monkeypatch.setitem(sys.modules, "timm", timm_mod)
+        monkeypatch.setitem(sys.modules, "timm.data", data)
+        labels = _timm_id2label(object(), num_classes=4)
+        assert labels == {i: f"LABEL_{i}" for i in range(4)}
+
+
+def test_list_flag(monkeypatch, capsys):
+    """--list prints family examples via timm.list_pretrained and exits 1
+    (reference convert-pth-to-ggml.py:52-77)."""
+    import sys
+    import types
+
+    from vit_cpp_tpu.cli.convert import main
+
+    timm_mod = types.ModuleType("timm")
+    timm_mod.list_pretrained = lambda pat: [pat.replace("*", "_demo")]
+    monkeypatch.setitem(sys.modules, "timm", timm_mod)
+    rc = main(["--list"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "Here are some model names (not all are supported!) : " in out
+    for size in ["TINY", "SMALL", "BASE", "LARGE"]:
+        assert f"---- {size} ----" in out
+    assert "vit_tiny_demo" in out

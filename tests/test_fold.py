@@ -81,3 +81,36 @@ def test_engine_fold_ln(tmp_path):
         np.asarray(ref.predict_probs_batch(x)),
         atol=1e-4,
     )
+
+
+def test_fold_quantlinear_respects_mm_impl(tmp_path):
+    """fold_ln on a block-quantized tree must NOT silently move matmuls to
+    the int8 path when the caller selected a non-int8 implementation
+    (ADVICE r1): with mm_impl != int8 the folded kernels become dense."""
+    from vit_cpp_tpu.cli.quantize import quantize_model_file
+    from vit_cpp_tpu.gguf import read_model
+    from vit_cpp_tpu.models import load_params
+    from vit_cpp_tpu.quant.int8 import Int8Linear
+    from vit_cpp_tpu.quant.qlinear import QuantLinear
+    from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+    hp = _hp()
+    write_synthetic_model(f"{tmp_path}/m.gguf", hp, ftype=1, seed=4)
+    quantize_model_file(f"{tmp_path}/m.gguf", f"{tmp_path}/q.gguf", 8, verbose=False)
+    qparams = load_params(read_model(f"{tmp_path}/q.gguf"))
+    assert isinstance(qparams["blocks"]["qkv"]["kernel"], QuantLinear)
+
+    dense_folded = fold_layernorms(qparams, mm_impl="pallas")
+    assert isinstance(dense_folded["blocks"]["qkv"]["kernel"], jnp.ndarray)
+    assert not isinstance(dense_folded["head"]["kernel"], (QuantLinear, Int8Linear))
+
+    int8_folded = fold_layernorms(qparams, mm_impl="int8")
+    assert isinstance(int8_folded["blocks"]["qkv"]["kernel"], Int8Linear)
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 3, 32, 32)),
+        dtype=jnp.float32,
+    )
+    a = np.asarray(predict_probs(qparams, x, hp, mm_impl="pallas"))
+    b = np.asarray(predict_probs(dense_folded, x, hp))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)

@@ -1,0 +1,97 @@
+"""Gated real-pretrained golden test: the reference README's quick example.
+
+The reference's de-facto regression test is magpie.jpeg through
+ViT-tiny/16 f16 -> top-5 `magpie 0.87, goose 0.02, toucan 0.01, drake
+0.01, king penguin 0.01` (reference README.md:83-87). This harness has no
+network egress (no timm download), so the full check is gated on a real
+checkpoint being present:
+
+    VIT_REAL_CHECKPOINT=/path/to/vit_tiny.pth pytest tests/test_golden_magpie.py
+
+(or a converted model file via VIT_REAL_MODEL=/path/to/ggml-model-f16.gguf).
+The moment real weights exist, this runs the complete convert -> load ->
+classify pipeline and asserts the README's top-5 labels and probabilities.
+The ungated half of the file runs always: it exercises the identical
+pipeline end-to-end on a synthetic checkpoint (pinning mechanism, not
+values).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAGPIE = os.path.join(REPO, "assets", "magpie.jpeg")
+
+REAL_CKPT = os.environ.get("VIT_REAL_CHECKPOINT")
+REAL_MODEL = os.environ.get("VIT_REAL_MODEL")
+
+# README.md:83-87 — (label prefix, prob, abs tolerance). Probabilities in
+# the README are printed at 2 decimals; allow the preprocessing delta
+# between the reference bicubic and ours (validated <1 u8 step elsewhere).
+GOLDEN_TOP5 = [
+    ("magpie", 0.87, 0.03),
+    ("goose", 0.02, 0.02),
+    ("toucan", 0.01, 0.02),
+    ("drake", 0.01, 0.02),
+    ("king penguin", 0.01, 0.02),
+]
+
+
+def _classify(model_path):
+    from vit_cpp_tpu.engine import VitEngine
+
+    engine = VitEngine(model_path, verbose=False)
+    return engine.classify_file(MAGPIE, topk=5, verbose=False)
+
+
+@pytest.mark.skipif(
+    not (REAL_CKPT or REAL_MODEL),
+    reason="real pretrained weights unavailable (no network egress); "
+    "set VIT_REAL_CHECKPOINT or VIT_REAL_MODEL to run the README golden",
+)
+def test_readme_magpie_top5(tmp_path):
+    if REAL_MODEL:
+        model_path = REAL_MODEL
+    else:
+        from vit_cpp_tpu.cli.convert import convert
+
+        model_path = convert(
+            checkpoint=REAL_CKPT, output_dir=str(tmp_path), verbose=False
+        )
+    top5 = _classify(model_path)
+    for (want_label, want_p, tol), (idx, p, label) in zip(GOLDEN_TOP5, top5):
+        assert want_label in label.lower(), (want_label, label)
+        assert abs(p - want_p) <= tol, (want_label, p, want_p)
+
+
+def test_pipeline_shape_on_synthetic(tmp_path):
+    """Always-on: the exact pipeline the golden test uses (convert a torch
+    .pth -> model file -> engine -> magpie top-5), on synthetic weights."""
+    import torch
+
+    from vit_cpp_tpu.cli.convert import convert
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = VitHParams(
+        hidden_size=192,
+        num_hidden_layers=2,
+        num_attention_heads=3,
+        num_classes=1000,
+        patch_size=16,
+        img_size=224,
+    )
+    state = {k: torch.from_numpy(v) for k, v in random_state_dict(hp, seed=3).items()}
+    ckpt = tmp_path / "synthetic.pth"
+    torch.save(state, ckpt)
+    model_path = convert(
+        checkpoint=str(ckpt), output_dir=str(tmp_path), heads=3, verbose=False
+    )
+    top5 = _classify(model_path)
+    assert len(top5) == 5
+    probs = [p for _, p, _ in top5]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert probs == sorted(probs, reverse=True)
+    assert np.isfinite(probs).all()

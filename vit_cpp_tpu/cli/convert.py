@@ -140,22 +140,36 @@ def collapse_to_grayscale(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
     return state
 
 
-def _timm_id2label(model_name: str, num_classes: int) -> Dict[int, str]:
-    """The reference infers the label set from the timm pretrained tag
-    (convert-pth-to-ggml.py:80-93), falling back to LABEL_i."""
+def _timm_id2label(timm_model, num_classes: int) -> Dict[int, str]:
+    """The reference infers the label set from the timm model
+    (convert-pth-to-ggml.py:80-93): non-detailed descriptions over
+    `dataset_info.num_classes()` entries, falling back to LABEL_i —
+    exactly that call shape, so converted files print identical label
+    strings."""
     try:
         from timm.data import ImageNetInfo, infer_imagenet_subset
 
-        dataset_info = ImageNetInfo()
-        subset = infer_imagenet_subset(model_name)
+        subset = infer_imagenet_subset(timm_model)
         if subset:
             dataset_info = ImageNetInfo(subset)
-        return {
-            i: dataset_info.index_to_description(i, detailed=True)
-            for i in range(num_classes)
-        }
+            return {
+                i: dataset_info.index_to_description(i)
+                for i in range(dataset_info.num_classes())
+            }
     except Exception:
-        return {i: f"LABEL_{i}" for i in range(num_classes)}
+        pass
+    return {i: f"LABEL_{i}" for i in range(num_classes)}
+
+
+def list_model_names() -> None:
+    """`--list`: print example timm model names per family size
+    (convert-pth-to-ggml.py:52-77, 65-71)."""
+    import timm
+
+    print("Here are some model names (not all are supported!) : ")
+    for size in ["tiny", "small", "base", "large"]:
+        print(f"---- {size.upper()} ----")
+        print(", ".join(timm.list_pretrained(f"vit_{size}*")))
 
 
 def convert(
@@ -169,6 +183,7 @@ def convert(
     real_gguf: bool = False,
     verbose: bool = True,
 ) -> str:
+    timm_model = None
     if checkpoint is not None:
         import torch
 
@@ -182,8 +197,8 @@ def convert(
                 f"converting '{model_name}' by name requires the timm package "
                 f"({exc}); use --checkpoint for offline conversion"
             )
-        model = timm.create_model(model_name, pretrained=True)
-        state = normalize_state_dict(model.state_dict())
+        timm_model = timm.create_model(model_name, pretrained=True)
+        state = normalize_state_dict(timm_model.state_dict())
     else:
         raise ValueError("either model_name or --checkpoint is required")
 
@@ -195,8 +210,8 @@ def convert(
         from vit_cpp_tpu.models.vitstr import vitstr_id2label
 
         id2label = vitstr_id2label()
-    elif model_name is not None:
-        id2label = _timm_id2label(model_name, hp.num_classes)
+    elif timm_model is not None:
+        id2label = _timm_id2label(timm_model, hp.num_classes)
     else:
         id2label = {i: f"LABEL_{i}" for i in range(hp.num_classes)}
 
@@ -253,7 +268,15 @@ def main(argv=None) -> int:
         action="store_true",
         help="write a real GGUF v3 container instead of the legacy layout",
     )
+    ap.add_argument(
+        "--list",
+        action="store_true",
+        help="List some examples of the supported model names.",
+    )
     args = ap.parse_args(argv)
+    if args.list:
+        list_model_names()
+        return 1  # reference exits 1 after listing (py:77)
     convert(
         model_name=None if args.checkpoint else args.model_name,
         checkpoint=args.checkpoint,

@@ -105,7 +105,7 @@ class VitEngine:
             # (models/fold.py); numerics shift only by f32 re-association
             from vit_cpp_tpu.models.fold import fold_layernorms
 
-            self.params = fold_layernorms(self.params)
+            self.params = fold_layernorms(self.params, mm_impl=mm_impl)
         if matmul_precision is None:
             # f32 engines are the reference-parity path -> exact matmuls;
             # bf16 serving must NOT get 'highest' (XLA would emulate f32

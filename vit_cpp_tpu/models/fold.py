@@ -24,15 +24,21 @@ from vit_cpp_tpu.quant.int8 import Int8Linear, from_quant_linear
 from vit_cpp_tpu.quant.qlinear import QuantLinear
 
 
-def _fold_into(kernel, bias, gamma, beta):
-    """Returns (kernel', bias') with the LN affine absorbed."""
+def _fold_into(kernel, bias, gamma, beta, *, int8: bool):
+    """Returns (kernel', bias') with the LN affine absorbed.
+
+    A folded weight no longer matches its ggml block codes, so a
+    QuantLinear must be re-represented: as channelwise Int8Linear when the
+    caller serves on the int8 MXU path, otherwise as a DENSE kernel in the
+    bias dtype — never silently switching the matmul implementation the
+    caller selected (ADVICE r1)."""
     g = jnp.asarray(gamma, jnp.float32)
     bt = jnp.asarray(beta, jnp.float32)
     if isinstance(kernel, QuantLinear):
-        # dequantize -> fold -> channelwise int8 (the folded weight no
-        # longer matches the block codes, and serving uses the int8 MXU
-        # path anyway)
-        kernel = from_quant_linear(kernel)
+        if int8:
+            kernel = from_quant_linear(kernel)
+        else:
+            kernel = kernel.dequantize(bias.dtype)
     if isinstance(kernel, Int8Linear):
         w = kernel.dequantize(jnp.float32)
         wf = w * g[..., :, None]
@@ -53,10 +59,15 @@ def _fold_into(kernel, bias, gamma, beta):
     return wf, new_bias
 
 
-def fold_layernorms(params: Dict[str, Any]) -> Dict[str, Any]:
+def fold_layernorms(
+    params: Dict[str, Any], mm_impl: str = "int8"
+) -> Dict[str, Any]:
     """Return a new param pytree with LN affines folded; folded LN nodes
     carry scale=None/bias=None, which ops.core.layernorm compiles as pure
-    normalization."""
+    normalization. `mm_impl` is the matmul path the caller serves with —
+    it decides how folded QuantLinear weights are re-represented (int8
+    codes for the W8A8 path, dense otherwise)."""
+    int8 = mm_impl in ("int8", "int8-fused")
     p = dict(params)
     blocks = dict(params["blocks"])
 
@@ -64,7 +75,7 @@ def fold_layernorms(params: Dict[str, Any]) -> Dict[str, Any]:
         ln = blocks[ln_key]
         lin = dict(blocks[lin_key])
         lin["kernel"], lin["bias"] = _fold_into(
-            lin["kernel"], lin["bias"], ln["scale"], ln["bias"]
+            lin["kernel"], lin["bias"], ln["scale"], ln["bias"], int8=int8
         )
         blocks[lin_key] = lin
         blocks[ln_key] = {"scale": None, "bias": None}
@@ -79,6 +90,7 @@ def fold_layernorms(params: Dict[str, Any]) -> Dict[str, Any]:
         head["bias"],
         params["norm"]["scale"],
         params["norm"]["bias"],
+        int8=int8,
     )
     p["head"] = head
     p["norm"] = {"scale": None, "bias": None}

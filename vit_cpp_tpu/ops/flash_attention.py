@@ -164,7 +164,7 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "group", "fast", "interpret")
+    jax.jit, static_argnames=("num_heads", "group", "fast", "pair", "interpret")
 )
 def attention_qkv(
     qkv: jax.Array,
@@ -172,11 +172,16 @@ def attention_qkv(
     *,
     group: int | None = None,
     fast: bool = False,
+    pair: bool | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """(B, T, 3h) fused-projection output -> (B, T, h) attention output."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pair is None:
+        import os as _os
+
+        pair = _os.environ.get("VIT_ATTN_PAIR", "1") != "0"
     b, t, three_h = qkv.shape
     h = three_h // 3
     if group is None:
@@ -199,11 +204,19 @@ def attention_qkv(
     big = t * three_h * qkv.dtype.itemsize > 2 * 1024 * 1024
     if lane_ok and (group == 0 or big):
         return _attention_qkv_lane(qkv, num_heads, fast, interpret)
-    group = max(1, group)
-    while b % group:
-        group -= 1
+    pair = pair and h // num_heads == 64 and num_heads >= 2
+    if pair:
+        kern = functools.partial(_qkv_pair_kernel, nh=num_heads, fast=fast)
+        group = 1
+    else:
+        group = max(1, group)
+        while b % group:
+            group -= 1
+        kern = functools.partial(
+            _qkv_kernel, nh=num_heads, group=group, fast=fast
+        )
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel, nh=num_heads, group=group, fast=fast),
+        kern,
         grid=(b // group,),
         in_specs=[
             pl.BlockSpec(
@@ -227,6 +240,192 @@ def attention_qkv(
         interpret=interpret,
     )(qkv)
     return out
+
+
+def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
+    """Masked head-pair variant of _qkv_kernel for head_dim == 64.
+
+    Every 64-lane head carve in _qkv_kernel at an odd multiple of 64 costs
+    a cross-lane relayout (half the heads). Here Q/K/V are loaded as
+    128-lane PAIRS (always register-aligned) and each head's scores come
+    from a full-width dot against a lane-masked copy of the pair:
+
+        S_i = Q_pair · (K_pair ⊙ mask_i)^T
+
+    — the zeroed half kills the other head's contribution, the contraction
+    runs the MXU at full 128-lane width (a d=64 dot wastes half the
+    systolic array, so the nominal 2x FLOPs are wall-clock free), and the
+    (T, 128) output pair stores are aligned. Two VPU mask-multiplies per
+    pair replace two relayouts."""
+    t = x_ref.shape[1]
+    h = x_ref.shape[2] // 3
+    d = h // nh
+    x = x_ref[0]
+    qc = t if t <= 256 else 256
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    mask_lo = (lanes < d).astype(x.dtype)
+    mask_hi = (lanes >= d).astype(x.dtype)
+    scale = 1.4426950408889634 / (d**0.5)
+
+    def scores(qp, kp):
+        s = jax.lax.dot_general(
+            qp,
+            kp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if fast:
+            return jnp.exp2(jnp.minimum(s, 120.0))
+        return jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+
+    for i in range(0, nh - 1, 2):
+        kp = x[:, h + i * d : h + (i + 2) * d]
+        vp = x[:, 2 * h + i * d : 2 * h + (i + 2) * d]
+        k_lo, k_hi = kp * mask_lo, kp * mask_hi
+        v_lo, v_hi = vp * mask_lo, vp * mask_hi
+        for q0 in range(0, t, qc):
+            q1 = min(q0 + qc, t)
+            qp = (x[q0:q1, i * d : (i + 2) * d].astype(jnp.float32) * scale).astype(
+                x.dtype
+            )
+            p_lo = scores(qp, k_lo)
+            p_hi = scores(qp, k_hi)
+            l_lo = jnp.sum(p_lo, axis=-1, keepdims=True)
+            l_hi = jnp.sum(p_hi, axis=-1, keepdims=True)
+            # normalize AFTER PV, on (qc, 128) instead of (qc, T); the
+            # masked V halves make the two normalized terms disjoint on
+            # the lane axis, so the sum assembles the aligned output pair
+            o_pair = jax.lax.dot_general(
+                p_lo.astype(x.dtype),
+                v_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l_lo + jax.lax.dot_general(
+                p_hi.astype(x.dtype),
+                v_hi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l_hi
+            o_ref[0, q0:q1, i * d : (i + 2) * d] = o_pair.astype(o_ref.dtype)
+    if nh % 2:  # odd head count (ViT-tiny nh=3): last head the plain way
+        i = nh - 1
+        k = x[:, h + i * d : h + (i + 1) * d]
+        v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
+        for q0 in range(0, t, qc):
+            q1 = min(q0 + qc, t)
+            q = x[q0:q1, i * d : (i + 1) * d]
+            o_ref[0, q0:q1, i * d : (i + 1) * d] = _sdpa(
+                q, k, v, o_ref.dtype, fast=fast
+            )
+
+
+def _qkv_proj_kernel(
+    x_ref, w_ref, b_ref, r_ref, o_ref, *, nh: int, fast: bool, pair: bool
+):
+    """Attention + output-projection + residual in one kernel.
+
+    x_ref: (1, T, 3h) fused QKV projection output; w_ref: (h, h) proj
+    weight; b_ref: (1, h) proj bias; r_ref: (1, T, h) residual input.
+    Writes r + concat_heads(attn) @ w + b.
+
+    Folding the proj GEMM here kills two costs the split path pays:
+    (a) every per-head output was a (T, 64) VMEM store at a 64-lane offset
+    (relayout); here each head's output feeds an MXU dot against its
+    (64, h) weight rows and lands in a (T, h) f32 accumulator — no
+    misaligned stores anywhere; (b) the (B, T, h) attention output never
+    exists in HBM (the split path writes it, then the proj GEMM re-reads
+    it — pure HBM bandwidth). `pair` concatenates adjacent head outputs
+    to (T, 128) before the dot so the proj contraction runs at full MXU
+    width."""
+    t = x_ref.shape[1]
+    h = x_ref.shape[2] // 3
+    d = h // nh
+    x = x_ref[0]
+    qc = t if t <= 256 else 256
+
+    def head_out(i):
+        k = x[:, h + i * d : h + (i + 1) * d]
+        v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
+        parts = []
+        for q0 in range(0, t, qc):
+            q1 = min(q0 + qc, t)
+            q = x[q0:q1, i * d : (i + 1) * d]
+            parts.append(_sdpa(q, k, v, x.dtype, fast=fast))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    acc = None
+    step = 2 if (pair and nh % 2 == 0) else 1
+    for i in range(0, nh, step):
+        if step == 2:
+            o_i = jnp.concatenate([head_out(i), head_out(i + 1)], axis=1)
+        else:
+            o_i = head_out(i)
+        w_i = w_ref[i * d : (i + step) * d, :]
+        contrib = jax.lax.dot_general(
+            o_i,
+            w_i,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = contrib if acc is None else acc + contrib
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = r_ref[0] + acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "fast", "pair", "interpret")
+)
+def attention_qkv_proj(
+    qkv: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    residual: jax.Array,
+    num_heads: int,
+    *,
+    fast: bool = False,
+    pair: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """residual + attention(qkv) @ w + b, fused (see _qkv_proj_kernel).
+
+    Falls back to attention_qkv + an XLA proj GEMM when the (T, 3h) block
+    footprint would blow the scoped VMEM budget (large-T geometries like
+    ViT-B/8; same dispatch rule as attention_qkv)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b2, t, three_h = qkv.shape
+    h = three_h // 3
+    big = t * three_h * qkv.dtype.itemsize > 2 * 1024 * 1024
+    if big:
+        o = attention_qkv(qkv, num_heads, fast=fast, interpret=interpret)
+        y = jnp.dot(
+            o, w.astype(o.dtype), preferred_element_type=jnp.float32
+        ).astype(o.dtype)
+        return residual + y + b.astype(o.dtype)
+    bias2d = b.reshape(1, h)
+    return pl.pallas_call(
+        functools.partial(_qkv_proj_kernel, nh=num_heads, fast=fast, pair=pair),
+        grid=(b2,),
+        in_specs=[
+            pl.BlockSpec((1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b2, t, h), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b2 * t * t * h + 2 * b2 * t * h * h,
+            bytes_accessed=6 * b2 * t * h * qkv.dtype.itemsize,
+            transcendentals=b2 * t * t * num_heads,
+        ),
+        interpret=interpret,
+    )(qkv, w.astype(qkv.dtype), bias2d, residual)
 
 
 def _bhtd_kernel(q_ref, k_ref, v_ref, o_ref):

@@ -49,16 +49,21 @@ class Int8Linear:
         ).astype(dtype)
 
 
+def channelwise_int8(w: jax.Array) -> Int8Linear:
+    """Quantize a dense ([L,] in, out) weight to per-output-channel int8."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = (absmax / 127.0).astype(jnp.float32)
+    inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    codes = jnp.clip(jnp.round(wf * inv), -127, 127).astype(jnp.int8)
+    return Int8Linear(codes=codes, scale=scale[..., 0, :])
+
+
 def from_quant_linear(ql: QuantLinear) -> Int8Linear:
     """Requantize block-scaled codes to channelwise int8 (runs once on
     device at load; never materializes f32 weights in HBM for longer than
     the conversion)."""
-    w = ql.dequantize(jnp.float32)  # ([L,] in, out)
-    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-    scale = (absmax / 127.0).astype(jnp.float32)
-    inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
-    codes = jnp.clip(jnp.round(w * inv), -127, 127).astype(jnp.int8)
-    return Int8Linear(codes=codes, scale=scale[..., 0, :])
+    return channelwise_int8(ql.dequantize(jnp.float32))
 
 
 def int8_dot(codes, sx, w: Int8Linear, bias=None, out_dtype=jnp.bfloat16):
@@ -81,13 +86,32 @@ def int8_dot(codes, sx, w: Int8Linear, bias=None, out_dtype=jnp.bfloat16):
 
 
 def convert_params_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Replace every QuantLinear in a param pytree with Int8Linear."""
+    """Rewrite a param pytree for W8A8 serving.
 
-    def conv(leaf):
-        if isinstance(leaf, QuantLinear):
-            return from_quant_linear(leaf)
-        return leaf
-
-    return jax.tree.map(
-        conv, params, is_leaf=lambda x: isinstance(x, QuantLinear)
-    )
+    QuantLinear leaves (block-quantized checkpoints) are requantized to
+    channelwise int8. Dense f16/f32 kernels are dynamically quantized at
+    the SAME tensor positions the reference quantizer targets (the 2-D
+    `.*weight` rule, quantize.cpp:207-223): blocks.{qkv,proj,fc1,fc2} and
+    the head — so mm_impl="int8" serves f16 checkpoints on the int8 MXU
+    too instead of silently no-oping. patch_embed / biases / norms stay
+    in the float path, as in quantized reference files.
+    """
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in ("qkv", "proj", "fc1", "fc2"):
+        leaf = dict(blocks[name])
+        k = leaf["kernel"]
+        if isinstance(k, QuantLinear):
+            leaf["kernel"] = from_quant_linear(k)
+        elif not isinstance(k, Int8Linear):
+            leaf["kernel"] = channelwise_int8(k)
+        blocks[name] = leaf
+    out["blocks"] = blocks
+    head = dict(params["head"])
+    hk = head["kernel"]
+    if isinstance(hk, QuantLinear):
+        head["kernel"] = from_quant_linear(hk)
+    elif not isinstance(hk, Int8Linear):
+        head["kernel"] = channelwise_int8(hk)
+    out["head"] = head
+    return out

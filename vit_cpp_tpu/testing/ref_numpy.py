@@ -80,3 +80,52 @@ def forward_numpy(
 
 def probs_numpy(state, hp, images):
     return _softmax(forward_numpy(state, hp, images))
+
+
+def forward_numpy_debug(
+    state: Dict[str, np.ndarray], hp: VitHParams, images: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """Per-stage f64 activations, keyed like models.vit.forward_debug
+    ({'embed', 'block_i', 'pooled', 'logits', 'probs'}) — the oracle half
+    of the print_t_f32-style parity harness (vit.cpp:54-84, SURVEY §4)."""
+    f = lambda n: state[n].astype(np.float64)
+    h, p = hp.hidden_size, hp.patch_size
+    b, c, hh, ww = images.shape
+    gh, gw = hh // p, ww // p
+    acts: Dict[str, np.ndarray] = {}
+
+    x = images.astype(np.float64).reshape(b, c, gh, p, gw, p)
+    patches = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
+    pe_w = f("patch_embed.proj.weight").reshape(h, -1)
+    x = patches @ pe_w.T + f("patch_embed.proj.bias").reshape(h)
+    cls = np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))
+    x = np.concatenate([cls, x], axis=1)
+    x = x + f("pos_embed").reshape(1, hp.n_tokens, h)
+    acts["embed"] = x
+
+    nh, hd = hp.num_attention_heads, hp.head_dim
+    for i in range(hp.num_hidden_layers):
+        pref = f"blocks.{i}."
+        y = _ln(x, f(pref + "norm1.weight"), f(pref + "norm1.bias"), hp.eps)
+        qkv = y @ f(pref + "attn.qkv.weight").T + f(pref + "attn.qkv.bias")
+        qkv = qkv.reshape(b, -1, 3, nh, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        o = np.einsum("bhqk,bhkd->bhqd", _softmax(logits), v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, -1, h)
+        x = x + o @ f(pref + "attn.proj.weight").T + f(pref + "attn.proj.bias")
+        y = _ln(x, f(pref + "norm2.weight"), f(pref + "norm2.bias"), hp.eps)
+        y = y @ f(pref + "mlp.fc1.weight").T + f(pref + "mlp.fc1.bias")
+        y = _gelu_tanh(y)
+        y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
+        x = x + y
+        acts[f"block_{i}"] = x
+
+    pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+    pooled = _ln(pooled, f("norm.weight"), f("norm.bias"), hp.eps)
+    acts["pooled"] = pooled
+    acts["logits"] = pooled @ f("head.weight").T + f("head.bias")
+    acts["probs"] = _softmax(acts["logits"])
+    return acts
