@@ -1,0 +1,121 @@
+"""Prove the serving pipeline's double-buffering (VERDICT r1 weak #6/#7).
+
+Round 1 tested serve_files' correctness but its throughput story — decode
+staged on the producer thread WHILE the device runs the previous batch —
+rested on extrapolation. Here a stubbed decoder and a stubbed device with
+fixed, known costs pin the overlap property: end-to-end wall time must
+track max(decode, device) per batch, not their sum.
+
+Also pins the recompile-avoidance contract: a short final chunk is padded
+to the full batch by the producer (serve.py), so the jitted forward
+compiles exactly once across full and short chunks.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import vit_cpp_tpu.serve as serve_mod
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+DECODE_S = 0.08
+DEVICE_S = 0.08
+N_CHUNKS = 8
+BATCH = 4
+
+
+class _StubEngine:
+    """Fixed-cost 'device': sleeps DEVICE_S per batch (releases the GIL,
+    like a real dispatch+fetch does)."""
+
+    def __init__(self):
+        self.hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=1,
+            num_attention_heads=2,
+            num_classes=7,
+            patch_size=8,
+            img_size=16,
+        )
+        self.calls = 0
+        self.active = 0
+        self.max_active = 0
+        self._lock = threading.Lock()
+
+    def predict_probs_batch(self, pixels):
+        with self._lock:
+            self.active += 1
+            self.max_active = max(self.max_active, self.active)
+        time.sleep(DEVICE_S)
+        with self._lock:
+            self.active -= 1
+        self.calls += 1
+        rng = np.random.default_rng(self.calls)
+        p = rng.random((pixels.shape[0], self.hp.num_classes)).astype(np.float32)
+        return p / p.sum(-1, keepdims=True)
+
+
+def test_pipeline_overlap(monkeypatch):
+    stages = []
+
+    def stub_decode(paths, n_threads):
+        time.sleep(DECODE_S)
+        stages.append(("decode", time.perf_counter()))
+        return [np.zeros((16, 16, 3), np.uint8) for _ in paths]
+
+    def stub_preprocess(imgs, size, mode=None):
+        return np.zeros((len(imgs), 3, size, size), np.float32)
+
+    monkeypatch.setattr(serve_mod, "_decode_many", stub_decode)
+    monkeypatch.setattr(serve_mod, "preprocess_batch", stub_preprocess)
+
+    engine = _StubEngine()
+    paths = [f"img_{i}.jpg" for i in range(N_CHUNKS * BATCH)]
+    t0 = time.perf_counter()
+    results = list(serve_mod.serve_files(engine, paths, batch=BATCH))
+    wall = time.perf_counter() - t0
+
+    assert len(results) == len(paths)
+    serial = N_CHUNKS * (DECODE_S + DEVICE_S)
+    overlapped = N_CHUNKS * max(DECODE_S, DEVICE_S) + min(DECODE_S, DEVICE_S)
+    # the pipeline must clearly beat serial and track the overlapped bound
+    # (generous slack: CI timers + thread scheduling on 1 core)
+    assert wall < serial * 0.80, (
+        f"no overlap: wall {wall:.2f}s vs serial {serial:.2f}s"
+    )
+    assert wall < overlapped * 1.45, (
+        f"wall {wall:.2f}s vs overlapped bound {overlapped:.2f}s"
+    )
+
+
+def test_no_recompile_for_short_final_chunk(tmp_path):
+    """5 files at batch=3 -> one full + one short chunk; the padded
+    producer keeps the forward at exactly one compiled shape."""
+    from vit_cpp_tpu.engine import VitEngine
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_classes=7,
+        patch_size=8,
+        img_size=16,
+    )
+    model = tmp_path / "m.gguf"
+    write_synthetic_model(str(model), hp, ftype=1, seed=0)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+
+    engine = VitEngine(str(model), verbose=False)
+    results = list(serve_mod.serve_files(engine, paths, batch=3))
+    assert len(results) == 5 and all(r.top1 >= 0 for r in results)
+    n_compiles = engine._predict._cache_size()
+    assert n_compiles == 1, f"forward compiled {n_compiles}x (want 1)"
