@@ -58,9 +58,7 @@ def main() -> int:
     ap.add_argument("--quant", choices=["none", "q8_0", "q4_0", "q5_1"], default="q8_0")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument(
-        "--attn",
-        choices=["xla", "pallas", "pallas-fast", "proj", "proj-head"],
-        default="pallas-fast",
+        "--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast"
     )
     ap.add_argument("--mm", choices=["xla", "pallas", "int8", "int8-fused"], default="int8")
     ap.add_argument("--fold-ln", action="store_true", help="fold LN affines into matmuls")
@@ -171,6 +169,32 @@ def main() -> int:
     with trace(args.profile):
         dev_s = _device_seconds(chained, (params, images), rtt)
 
+    # Per-image dense-equivalent FLOPs (2*MACs): patch embed + L x
+    # (qkv/proj/fc1/fc2 GEMMs + the two T^2 attention dots) + head.
+    t = hp.n_tokens
+    h = hp.hidden_size
+    gemm_flops = hp.num_hidden_layers * 2 * t * (
+        h * 3 * h + h * h + 2 * h * hp.mlp_dim
+    )
+    attn_flops = hp.num_hidden_layers * 2 * 2 * t * t * h
+    embed_head = (
+        2 * (t - 1) * (hp.in_chans * hp.patch_size**2) * h
+        + 2 * h * hp.num_classes * (hp.seq_len or 1)
+    )
+    flops_per_img = gemm_flops + attn_flops + embed_head
+    # v5e nominal peaks: 394 int8 TOP/s, 197 bf16 TFLOP/s. MFU uses the
+    # peak of the precision the GEMMs actually run in, so large-geometry
+    # regressions are visible per config (VERDICT r1 weak #3).
+    peak = 394e12 if args.mm in ("int8", "int8-fused") else 197e12
+    imgs_per_s = (batch * K) / dev_s
+    mfu = flops_per_img * imgs_per_s / peak
+    flagship = (
+        args.size == "base"
+        and args.patch == 16
+        and args.img == 224
+        and not args.vitstr
+    )
+
     if args.latency:
         p50_ms = dev_s / K * 1000.0
         result = {
@@ -178,15 +202,18 @@ def main() -> int:
             "value": round(p50_ms, 3),
             "unit": "ms",
             # reference base f16 single image: 1441 ms (BASELINE.md)
-            "vs_baseline": round(1441.0 / p50_ms, 2),
+            "vs_baseline": round(1441.0 / p50_ms, 2) if flagship else None,
+            "mfu": round(mfu, 4),
         }
     else:
-        ips = batch * K / dev_s
         result = {
             "metric": f"images_per_sec_{'vitstr' if args.vitstr else 'vit'}{args.size}{args.patch}_{args.img}_{suffix}",
-            "value": round(ips, 1),
+            "value": round(imgs_per_s, 1),
             "unit": "images/sec/chip",
-            "vs_baseline": round(ips / 5000.0, 3),
+            # the 5000 img/s target is defined for ViT-B/16 @224 only
+            "vs_baseline": round(imgs_per_s / 5000.0, 3) if flagship else None,
+            "mfu": round(mfu, 4),
+            "gflop_per_image": round(flops_per_img / 1e9, 2),
         }
     print(json.dumps(result))
     return 0

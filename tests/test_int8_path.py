@@ -49,9 +49,8 @@ class TestInt8Linear:
         )
         want = np.asarray(x) @ w.T
         scale = np.abs(want).max()
-        for impl in ("xla", "pallas"):
-            got = np.asarray(w8a8_matmul(x, i8, impl=impl))
-            assert np.abs(got - want).max() / scale < 0.03, impl
+        got = np.asarray(w8a8_matmul(x, i8))
+        assert np.abs(got - want).max() / scale < 0.03
 
     def test_zero_rows_and_padding(self):
         ql, w = _qlinear(130, 96, seed=3)  # non-multiples of tiles

@@ -261,3 +261,36 @@ class TestDeferredResidualLn:
         ref = forward(params, x, hp, attn_impl="pallas")
         out = forward(params, x, hp, attn_impl="pallas", ln_impl="pallas")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+class TestMaskedPairKernel:
+    """The masked head-pair kernel (d=64): 128-lane-aligned loads/stores,
+    per-head scores via lane-masked K/V (see _qkv_pair_kernel). Must be
+    numerically identical to the per-head carve kernel."""
+
+    @pytest.mark.parametrize(
+        "t,h,nh",
+        [
+            (197, 768, 12),  # ViT-B/16
+            (197, 1024, 16),  # ViT-L/16
+            (50, 192, 3),  # ViT-tiny (odd head count -> tail path)
+            (577, 1024, 16),  # ViT-L/16 @384 (q-chunked, raised VMEM limit)
+        ],
+    )
+    def test_pair_matches_carve(self, t, h, nh):
+        rng = np.random.default_rng(42)
+        qkv = jnp.asarray(rng.standard_normal((2, t, 3 * h)), dtype=jnp.float32)
+        for fast in (False, True):
+            ref = attention_qkv(qkv, nh, fast=fast, pair=False, group=1)
+            got = attention_qkv(qkv, nh, fast=fast, pair=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
+            )
+
+    def test_pair_requires_d64(self):
+        # d=32 (h=256, nh=8): pair dispatch must fall back, still correct
+        rng = np.random.default_rng(7)
+        qkv = jnp.asarray(rng.standard_normal((1, 64, 3 * 256)), dtype=jnp.float32)
+        ref = attention_qkv(qkv, 8, pair=False, group=1)
+        got = attention_qkv(qkv, 8, pair=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -90,19 +90,6 @@ def transformer_block_w8a8(
     return x + int8_dot(hq, hs, bp["fc2"]["kernel"], bp["fc2"]["bias"], dtype)
 
 
-def _dense_proj_weight(kernel, dtype) -> jax.Array:
-    """Proj weight as a dense array for the fused attention+proj kernel
-    (Int8Linear/QuantLinear dequantize once per layer — the bf16 copy is
-    transient and its HBM traffic is noise next to the o-tensor round trip
-    the fusion removes)."""
-    from vit_cpp_tpu.quant.int8 import Int8Linear
-    from vit_cpp_tpu.quant.qlinear import QuantLinear
-
-    if isinstance(kernel, (Int8Linear, QuantLinear)):
-        return kernel.dequantize(dtype)
-    return kernel.astype(dtype)
-
-
 def transformer_block(
     x: jax.Array, bp: Dict[str, Any], hp: VitHParams, *, attn_impl: str, mm_impl: str
 ) -> jax.Array:
@@ -113,35 +100,19 @@ def transformer_block(
     qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
     # (B, T, 3h): fused QKV with q|k|v contiguous on the feature axis
     # (timm layout; reference carves the same three views, vit.cpp:826-846).
-    if attn_impl in ("proj", "proj-head"):
-        # one kernel: attention + output projection + residual — the
-        # per-head outputs feed MXU dots instead of 64-lane-offset VMEM
-        # stores, and the (B, T, h) attention output never touches HBM
-        from vit_cpp_tpu.ops.flash_attention import attention_qkv_proj
+    if attn_impl in ("pallas", "pallas-fast"):
+        # fused kernel computes whole heads inside VMEM and writes
+        # (B, T, h) directly — no head-split/merge transposes in HBM;
+        # "pallas-fast" additionally skips the softmax max-subtract
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv
 
-        x = attention_qkv_proj(
-            qkv,
-            _dense_proj_weight(bp["proj"]["kernel"], x.dtype),
-            bp["proj"]["bias"],
-            x,
-            nh,
-            fast=True,
-            pair=attn_impl == "proj",
-        )
+        o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
     else:
-        if attn_impl in ("pallas", "pallas-fast"):
-            # fused kernel slices Q/K/V per head inside VMEM and writes
-            # (B, T, h) directly — no head-split/merge transposes in HBM;
-            # "pallas-fast" additionally skips the softmax max-subtract
-            from vit_cpp_tpu.ops.flash_attention import attention_qkv
-
-            o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
-        else:
-            qkv = qkv.reshape(b, t, 3, nh, hd)
-            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-            o = attention(q, k, v, impl=attn_impl)
-            o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
-        x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
+        qkv = qkv.reshape(b, t, 3, nh, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        o = attention(q, k, v, impl=attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
+    x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
 
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
     y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)

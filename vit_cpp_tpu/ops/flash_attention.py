@@ -198,13 +198,16 @@ def attention_qkv(
             # VIT_ATTN_GROUP=N images/step, 0 = lane-block variant.
             group = 1
     lane_ok = h % 128 == 0 and 128 % (h // num_heads) == 0
+    pair = pair and h // num_heads == 64 and num_heads >= 2
     # large T x wide h: the full-block kernel's VMEM stack (~2 x in-block +
     # scores) blows the scoped budget; the lane variant is the shape that
-    # fits (ViT-B/8: 785 tokens x 2304 features)
-    big = t * three_h * qkv.dtype.itemsize > 2 * 1024 * 1024
+    # fits. The masked-pair kernel's stack is leaner (no relayout copies,
+    # (qc, T) score workspace), so it carries up to ~4.5 MB blocks
+    # (covers ViT-L/16@384: 577 x 3072).
+    limit = (4.5 if pair else 2) * 1024 * 1024
+    big = t * three_h * qkv.dtype.itemsize > limit
     if lane_ok and (group == 0 or big):
         return _attention_qkv_lane(qkv, num_heads, fast, interpret)
-    pair = pair and h // num_heads == 64 and num_heads >= 2
     if pair:
         kern = functools.partial(_qkv_pair_kernel, nh=num_heads, fast=fast)
         group = 1
@@ -319,113 +322,15 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
             )
 
 
-def _qkv_proj_kernel(
-    x_ref, w_ref, b_ref, r_ref, o_ref, *, nh: int, fast: bool, pair: bool
-):
-    """Attention + output-projection + residual in one kernel.
-
-    x_ref: (1, T, 3h) fused QKV projection output; w_ref: (h, h) proj
-    weight; b_ref: (1, h) proj bias; r_ref: (1, T, h) residual input.
-    Writes r + concat_heads(attn) @ w + b.
-
-    Folding the proj GEMM here kills two costs the split path pays:
-    (a) every per-head output was a (T, 64) VMEM store at a 64-lane offset
-    (relayout); here each head's output feeds an MXU dot against its
-    (64, h) weight rows and lands in a (T, h) f32 accumulator — no
-    misaligned stores anywhere; (b) the (B, T, h) attention output never
-    exists in HBM (the split path writes it, then the proj GEMM re-reads
-    it — pure HBM bandwidth). `pair` concatenates adjacent head outputs
-    to (T, 128) before the dot so the proj contraction runs at full MXU
-    width."""
-    t = x_ref.shape[1]
-    h = x_ref.shape[2] // 3
-    d = h // nh
-    x = x_ref[0]
-    qc = t if t <= 256 else 256
-
-    def head_out(i):
-        k = x[:, h + i * d : h + (i + 1) * d]
-        v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
-        parts = []
-        for q0 in range(0, t, qc):
-            q1 = min(q0 + qc, t)
-            q = x[q0:q1, i * d : (i + 1) * d]
-            parts.append(_sdpa(q, k, v, x.dtype, fast=fast))
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-
-    acc = None
-    step = 2 if (pair and nh % 2 == 0) else 1
-    for i in range(0, nh, step):
-        if step == 2:
-            o_i = jnp.concatenate([head_out(i), head_out(i + 1)], axis=1)
-        else:
-            o_i = head_out(i)
-        w_i = w_ref[i * d : (i + step) * d, :]
-        contrib = jax.lax.dot_general(
-            o_i,
-            w_i,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = contrib if acc is None else acc + contrib
-    acc = acc + b_ref[0].astype(jnp.float32)
-    o_ref[0] = r_ref[0] + acc.astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "fast", "pair", "interpret")
-)
-def attention_qkv_proj(
-    qkv: jax.Array,
-    w: jax.Array,
-    b: jax.Array,
-    residual: jax.Array,
-    num_heads: int,
-    *,
-    fast: bool = False,
-    pair: bool = True,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """residual + attention(qkv) @ w + b, fused (see _qkv_proj_kernel).
-
-    Falls back to attention_qkv + an XLA proj GEMM when the (T, 3h) block
-    footprint would blow the scoped VMEM budget (large-T geometries like
-    ViT-B/8; same dispatch rule as attention_qkv)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    b2, t, three_h = qkv.shape
-    h = three_h // 3
-    big = t * three_h * qkv.dtype.itemsize > 2 * 1024 * 1024
-    if big:
-        o = attention_qkv(qkv, num_heads, fast=fast, interpret=interpret)
-        y = jnp.dot(
-            o, w.astype(o.dtype), preferred_element_type=jnp.float32
-        ).astype(o.dtype)
-        return residual + y + b.astype(o.dtype)
-    bias2d = b.reshape(1, h)
-    return pl.pallas_call(
-        functools.partial(_qkv_proj_kernel, nh=num_heads, fast=fast, pair=pair),
-        grid=(b2,),
-        in_specs=[
-            pl.BlockSpec((1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b2, t, h), qkv.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b2 * t * t * h + 2 * b2 * t * h * h,
-            bytes_accessed=6 * b2 * t * h * qkv.dtype.itemsize,
-            transcendentals=b2 * t * t * num_heads,
-        ),
-        interpret=interpret,
-    )(qkv, w.astype(qkv.dtype), bias2d, residual)
+# NOTE (kernels research record, r2): a fused attention+proj+residual
+# kernel was built here — per-head outputs fed MXU dots against (64, h)
+# proj-weight rows instead of 64-offset VMEM stores, and the (B, T, h)
+# attention output never touched HBM. Measured SLOWER on both flagship
+# configs (Q8_0 W8A8 4,495 vs 4,810; bf16 dense 3,507 vs 4,188): moving
+# the proj GEMM in-kernel forfeits the int8 MXU rate (W8A8) and the d=64
+# contraction ran at half MXU width (bf16), costing more than the o-tensor
+# round trip saved. Deleted; the masked head-pair kernel above recovers
+# the relayout overhead without touching the proj GEMM (docs/TUNING.md).
 
 
 def _bhtd_kernel(q_ref, k_ref, v_ref, o_ref):
