@@ -20,8 +20,16 @@ import sys
 
 CONFIGS = [
     ("q8_0_w8a8", ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"]),
-    ("bf16_dense", ["--quant", "none", "--attn", "pallas-fast"]),
-    ("bf16_dense_safe_softmax", ["--quant", "none", "--attn", "pallas"]),
+    # f16/bf16 checkpoint on the W8A8 serving path (dense kernels
+    # dynamically quantized at load — the `--quant none` serving default;
+    # accuracy cost quantified in tests/test_w8a8_accuracy.py)
+    ("bf16_w8a8", ["--quant", "none", "--mm", "int8", "--attn", "pallas-fast"]),
+    # honest dense bf16 (parity-faithful compute path)
+    ("bf16_dense", ["--quant", "none", "--mm", "xla", "--attn", "pallas-fast"]),
+    (
+        "bf16_dense_safe_softmax",
+        ["--quant", "none", "--mm", "xla", "--attn", "pallas"],
+    ),
     ("q4_0_w8a8", ["--quant", "q4_0", "--mm", "int8", "--attn", "pallas-fast"]),
     (
         "vitl16_384_q5_1_w8a8_bs64",
@@ -30,7 +38,7 @@ CONFIGS = [
     ),
     (
         "vitstr_base_bf16",
-        ["--vitstr", "--quant", "none", "--attn", "pallas-fast"],
+        ["--vitstr", "--quant", "none", "--mm", "xla", "--attn", "pallas-fast"],
     ),
     (
         "latency_q8_0_w8a8",

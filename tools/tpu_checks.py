@@ -51,6 +51,11 @@ def check_attention():
     print("attn fast-softmax max err:", float(jnp.max(jnp.abs(fast - ref))))
     o2 = flash_attention(q, k, v).astype(jnp.float32)
     print("flash_attention  max err:", float(jnp.max(jnp.abs(o2 - ref))))
+    # masked head-pair kernel (the d=64 default) vs the carve kernel
+    flat = qkv.reshape(2, 197, 3 * 12 * 64)
+    carve = attention_qkv(flat, 12, fast=True, pair=False).astype(jnp.float32)
+    paired = attention_qkv(flat, 12, fast=True, pair=True).astype(jnp.float32)
+    print("attn pair-vs-carve max err:", float(jnp.max(jnp.abs(paired - carve))))
 
 
 def check_quant_matmuls():
