@@ -124,74 +124,3 @@ class TestInt8Forward:
         a = np.asarray(eng.predict_probs_batch(x))
         b = np.asarray(ref.predict_probs_batch(x))
         assert (a.argmax(-1) == b.argmax(-1)).all()
-
-
-class TestFusedW8A8Block:
-    def test_fused_quant_kernels_match_xla(self):
-        from vit_cpp_tpu.ops.pallas_int8_act import (
-            gelu_quantize,
-            ln_quantize,
-            quantize_act,
-        )
-
-        rng = np.random.default_rng(7)
-        x = jnp.asarray(rng.standard_normal((37, 96)), dtype=jnp.float32)
-        g = jnp.asarray(1 + 0.1 * rng.standard_normal(96), dtype=jnp.float32)
-        b = jnp.asarray(0.1 * rng.standard_normal(96), dtype=jnp.float32)
-
-        def ref_quant(y):
-            absmax = np.abs(y).max(-1, keepdims=True)
-            sx = absmax / 127.0
-            inv = np.where(sx > 0, 1 / sx, 0)
-            return np.round(y * inv).astype(np.int8), sx
-
-        xf = np.asarray(x, np.float64)
-        ln = (xf - xf.mean(-1, keepdims=True)) / np.sqrt(
-            xf.var(-1, keepdims=True) + 1e-6
-        ) * np.asarray(g) + np.asarray(b)
-        want_c, want_s = ref_quant(ln)
-        got_c, got_s = ln_quantize(x, g, b, 1e-6)
-        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4)
-        # codes may differ by 1 on rounding boundaries
-        assert np.abs(np.asarray(got_c).astype(int) - want_c.astype(int)).max() <= 1
-
-        gl = 0.5 * ln * (1 + np.tanh(np.sqrt(2 / np.pi) * (ln + 0.044715 * ln**3)))
-        want_c, want_s = ref_quant(gl)
-        got_c, got_s = gelu_quantize(jnp.asarray(ln, jnp.float32))
-        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-3)
-
-        want_c, want_s = ref_quant(xf)
-        got_c, got_s = quantize_act(x)
-        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4)
-
-    def test_fused_block_matches_generic_int8(self, tmp_path):
-        from vit_cpp_tpu.cli.quantize import quantize_model_file
-        from vit_cpp_tpu.gguf import read_model
-        from vit_cpp_tpu.hparams import VitHParams
-        from vit_cpp_tpu.models import load_params
-        from vit_cpp_tpu.models.vit import predict_probs
-        from vit_cpp_tpu.testing.synthetic import write_synthetic_model
-
-        hp = VitHParams(
-            hidden_size=64,
-            num_hidden_layers=2,
-            num_attention_heads=2,
-            num_classes=10,
-            patch_size=8,
-            img_size=32,
-        )
-        write_synthetic_model(f"{tmp_path}/m.gguf", hp, ftype=1, seed=9)
-        quantize_model_file(f"{tmp_path}/m.gguf", f"{tmp_path}/q.gguf", 8, verbose=False)
-        iparams = convert_params_to_int8(load_params(read_model(f"{tmp_path}/q.gguf")))
-        x = jnp.asarray(
-            np.random.default_rng(4).standard_normal((2, 3, 32, 32)),
-            dtype=jnp.float32,
-        )
-        generic = np.asarray(predict_probs(iparams, x, hp, mm_impl="int8"))
-        fused = np.asarray(
-            predict_probs(
-                iparams, x, hp, attn_impl="pallas", mm_impl="int8-fused"
-            )
-        )
-        assert (generic.argmax(-1) == fused.argmax(-1)).all()
-        np.testing.assert_allclose(fused, generic, atol=0.02)

@@ -216,53 +216,6 @@ class TestFastSoftmax:
         np.testing.assert_allclose(fast, safe, atol=1e-4)
 
 
-class TestDeferredResidualLn:
-    def test_add_ln_matches_unfused(self):
-        from vit_cpp_tpu.ops.pallas_add_ln import add_ln
-        from vit_cpp_tpu.ops.core import layernorm
-
-        rng = np.random.default_rng(13)
-        a = jnp.asarray(rng.standard_normal((2, 37, 96)), dtype=jnp.float32)
-        b = jnp.asarray(rng.standard_normal((2, 37, 96)), dtype=jnp.float32)
-        g = jnp.asarray(1 + 0.1 * rng.standard_normal(96), dtype=jnp.float32)
-        bt = jnp.asarray(0.1 * rng.standard_normal(96), dtype=jnp.float32)
-        x, y = add_ln(a, b, g, bt, 1e-6)
-        np.testing.assert_allclose(np.asarray(x), np.asarray(a + b), atol=1e-6)
-        np.testing.assert_allclose(
-            np.asarray(y), np.asarray(layernorm(a + b, g, bt, 1e-6)), atol=1e-5
-        )
-        # folded-affine variant
-        x2, y2 = add_ln(a, b, None, None, 1e-6)
-        np.testing.assert_allclose(
-            np.asarray(y2),
-            np.asarray(layernorm(a + b, None, None, 1e-6)),
-            atol=1e-5,
-        )
-
-    def test_forward_ln_pallas_matches_xla(self):
-        from vit_cpp_tpu.hparams import VitHParams
-        from vit_cpp_tpu.models import params_from_state_dict
-        from vit_cpp_tpu.models.vit import forward
-        from vit_cpp_tpu.testing.synthetic import random_state_dict
-
-        hp = VitHParams(
-            hidden_size=64,
-            num_hidden_layers=3,
-            num_attention_heads=2,
-            num_classes=10,
-            patch_size=8,
-            img_size=32,
-        )
-        params = params_from_state_dict(random_state_dict(hp, seed=2), hp)
-        x = jnp.asarray(
-            np.random.default_rng(3).standard_normal((2, 3, 32, 32)),
-            dtype=jnp.float32,
-        )
-        ref = forward(params, x, hp, attn_impl="pallas")
-        out = forward(params, x, hp, attn_impl="pallas", ln_impl="pallas")
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-
 class TestMaskedPairKernel:
     """The masked head-pair kernel (d=64): 128-lane-aligned loads/stores,
     per-head scores via lane-masked K/V (see _qkv_pair_kernel). Must be

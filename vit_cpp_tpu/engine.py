@@ -92,7 +92,7 @@ class VitEngine:
         self.hp = hp
         self.id2label = mf.id2label
         self.params = load_params(mf, dtype=dtype, hparams=hp)
-        if mm_impl in ("int8", "int8-fused"):
+        if mm_impl == "int8":
             # W8A8 serving: requantize block-scaled weights to channelwise
             # int8 once, then every matmul runs on the int8 MXU path
             # (ops/pallas_int8_matmul.py). Selected explicitly; the f16

@@ -67,7 +67,7 @@ def fold_layernorms(
     normalization. `mm_impl` is the matmul path the caller serves with —
     it decides how folded QuantLinear weights are re-represented (int8
     codes for the W8A8 path, dense otherwise)."""
-    int8 = mm_impl in ("int8", "int8-fused")
+    int8 = mm_impl == "int8"
     p = dict(params)
     blocks = dict(params["blocks"])
 

@@ -58,36 +58,19 @@ def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Arra
     return x + params["pos_embed"].astype(dtype)[None]
 
 
-def transformer_block_w8a8(
-    x: jax.Array, bp: Dict[str, Any], hp: VitHParams, *, attn_impl: str
-) -> jax.Array:
-    """Fused W8A8 serving block: every matmul input is produced AND
-    int8-quantized in one Pallas pass (LN+quant, GELU+quant, plain quant
-    for the attention output), then hits the int8 MXU via int8_dot. Same
-    math as the generic block with mm_impl='int8'; opt-in via
-    mm_impl='int8-fused' (see the dispatch note in forward() — measured
-    slower than the plain int8 path on v5e)."""
-    from vit_cpp_tpu.ops.pallas_int8_act import (
-        gelu_quantize,
-        ln_quantize,
-        quantize_act,
-    )
-    from vit_cpp_tpu.quant.int8 import int8_dot
-    from vit_cpp_tpu.ops.flash_attention import attention_qkv
-
-    dtype = x.dtype
-    fast = attn_impl == "pallas-fast"
-
-    cq, cs = ln_quantize(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
-    qkv = int8_dot(cq, cs, bp["qkv"]["kernel"], bp["qkv"]["bias"], dtype)
-    o = attention_qkv(qkv, hp.num_attention_heads, fast=fast)
-    oq, os_ = quantize_act(o)
-    x = x + int8_dot(oq, os_, bp["proj"]["kernel"], bp["proj"]["bias"], dtype)
-
-    cq, cs = ln_quantize(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
-    h = int8_dot(cq, cs, bp["fc1"]["kernel"], bp["fc1"]["bias"], dtype)
-    hq, hs = gelu_quantize(h)
-    return x + int8_dot(hq, hs, bp["fc2"]["kernel"], bp["fc2"]["bias"], dtype)
+# NOTE (kernels research record): two opt-in block variants were built,
+# measured, and deleted per the r1 review's "win somewhere or go" rule:
+# - "int8-fused" (producer+quant Pallas passes: LN+quant, GELU+quant,
+#   quant before every int8 GEMM): 4,442 vs 4,810 img/s at ViT-B/16 — XLA
+#   already folds activation quantization into the GEMM pipeline without
+#   materializing codes in HBM — and VMEM-OOMs outright at ViT-L/16@384
+#   (the (64, 577, 4096) gelu+quant block wants 23.4 MB of scoped VMEM).
+# - deferred-residual add+LN scan (fused residual-sum + normalize,
+#   ln_impl="pallas"): 4,793 vs 4,810 at ViT-B/16, 467.3 vs 467.7 at
+#   ViT-L/16@384 — the kernel saves the LN's re-read of the residual sum
+#   but must materialize its output, which XLA otherwise streams straight
+#   into the next GEMM's input pipeline. Neutral everywhere, deleted.
+# Measurements in docs/TUNING.md.
 
 
 def transformer_block(
@@ -121,40 +104,6 @@ def transformer_block(
     return x + y
 
 
-def transformer_block_deferred(
-    x: jax.Array,
-    delta: jax.Array,
-    bp: Dict[str, Any],
-    hp: VitHParams,
-    *,
-    attn_impl: str,
-    mm_impl: str,
-):
-    """Block body for the deferred-residual scan (ln_impl="pallas").
-
-    The carry is (x, delta) with the residual add x + delta still pending;
-    each LayerNorm then sits directly after an add, so the fused
-    add_ln kernel (ops/pallas_add_ln.py) computes the residual sum and the
-    normalization in one HBM pass — including across the layer boundary
-    (this layer's ln1 fuses with the PREVIOUS layer's MLP residual).
-    Returns (x', mlp_out) with the next add deferred.
-    """
-    from vit_cpp_tpu.ops.flash_attention import attention_qkv
-    from vit_cpp_tpu.ops.pallas_add_ln import add_ln
-
-    nh = hp.num_attention_heads
-    x, y = add_ln(x, delta, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
-    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
-    o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
-    proj = linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
-
-    x, y = add_ln(x, proj, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
-    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
-    y = gelu_tanh(y)
-    mlp = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
-    return x, mlp
-
-
 def forward(
     params: Dict[str, Any],
     images: jax.Array,
@@ -162,7 +111,6 @@ def forward(
     *,
     attn_impl: str = "xla",
     mm_impl: str = "xla",
-    ln_impl: str = "xla",
     unroll: int = 1,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
@@ -172,57 +120,10 @@ def forward(
 
     `unroll` forwards to lax.scan over the stacked blocks: >1 trades
     compile time for fewer scan-carry copies between layers.
-    `ln_impl="pallas"` (requires a pallas attn_impl) runs the
-    deferred-residual scan where every layernorm fuses with its preceding
-    residual add in one Pallas pass.
     """
     x = embed(params, images, hp)
 
-    if ln_impl == "pallas" and attn_impl in ("pallas", "pallas-fast"):
-
-        def body_d(carry, bp):
-            return (
-                transformer_block_deferred(
-                    *carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl
-                ),
-                None,
-            )
-
-        (x, delta), _ = jax.lax.scan(
-            body_d, (x, jnp.zeros_like(x)), params["blocks"], unroll=unroll
-        )
-        x = x + delta
-        if hp.seq_len is None:
-            pooled = x[:, 0]
-        else:
-            pooled = x[:, : hp.seq_len]
-        pooled = layernorm(
-            pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
-        )
-        logits = linear(
-            pooled, params["head"]["kernel"], params["head"]["bias"], impl=mm_impl
-        )
-        return logits
-
-    from vit_cpp_tpu.quant.int8 import Int8Linear
-
-    # opt-in (mm_impl="int8-fused"): producer+quant Pallas passes. Measured
-    # SLOWER than the plain int8 path on v5e (4442 vs 4810 img/s at
-    # ViT-B/16) — XLA already folds the activation quantization into the
-    # GEMM input pipeline without materializing int8 codes in HBM — but
-    # kept for kernels research and other topologies.
-    fused_w8a8 = (
-        mm_impl == "int8-fused"
-        and isinstance(params["blocks"]["qkv"]["kernel"], Int8Linear)
-        and attn_impl in ("pallas", "pallas-fast")
-    )
-
     def body(carry, bp):
-        if fused_w8a8:
-            return (
-                transformer_block_w8a8(carry, bp, hp, attn_impl=attn_impl),
-                None,
-            )
         return (
             transformer_block(carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl),
             None,

@@ -69,7 +69,7 @@ def from_quant_linear(ql: QuantLinear) -> Int8Linear:
 def int8_dot(codes, sx, w: Int8Linear, bias=None, out_dtype=jnp.bfloat16):
     """Pre-quantized activation x int8 weight GEMM with rank-1 rescale.
 
-    codes: (..., K) int8 from ops.pallas_int8_act; sx: (..., 1) f32 token
+    codes: (..., K) pre-quantized int8 activations; sx: (..., 1) f32 token
     scales. Runs on the int8 MXU via the XLA-native dot (see
     ops/pallas_int8_matmul._w8a8_xla for the measured rates).
     """
