@@ -198,12 +198,23 @@ def attention_qkv(
             # VIT_ATTN_GROUP=N images/step, 0 = lane-block variant.
             group = 1
     lane_ok = h % 128 == 0 and 128 % (h // num_heads) == 0
-    pair = pair and h // num_heads == 64 and num_heads >= 2
+    # Masked-pair kernel dispatch: d=64 geometries up to T<=600. Its VMEM
+    # stack carries ViT-L/16@384 (T=577, 3.54 MB blocks — measured 467.7
+    # img/s) in fast-softmax mode, but the safe softmax's extra (qc, T)
+    # max/subtract temporaries push T=577 to 20.8 MB and Mosaic's stack
+    # accounting blows past the 16 MB scoped limit at ViT-B/8 outright
+    # (T=785: 31.8 MB). Those cases fall back to the lane-block variant
+    # below, exactly as in round 1.
+    pair = (
+        pair
+        and h // num_heads == 64
+        and num_heads >= 2
+        and t <= 600
+        and (fast or t <= 512)
+    )
     # large T x wide h: the full-block kernel's VMEM stack (~2 x in-block +
     # scores) blows the scoped budget; the lane variant is the shape that
-    # fits. The masked-pair kernel's stack is leaner (no relayout copies,
-    # (qc, T) score workspace), so it carries up to ~4.5 MB blocks
-    # (covers ViT-L/16@384: 577 x 3072).
+    # fits (ViT-B/8: 785 tokens x 2304 features).
     limit = (4.5 if pair else 2) * 1024 * 1024
     big = t * three_h * qkv.dtype.itemsize > limit
     if lane_ok and (group == 0 or big):
