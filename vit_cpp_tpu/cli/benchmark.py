@@ -81,9 +81,18 @@ def run_eval(
     from vit_cpp_tpu.io.image import load_images_rgb_batch
 
     if classnames is None:
-        classnames = read_class_names(
-            os.path.join(os.path.dirname(os.path.abspath(dataset_dir)), "classnames.json")
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(dataset_dir)), "classnames.json"
         )
+        if not os.path.exists(path):
+            # bundled copy of the reference's tests/classnames.json (kept
+            # byte-identical for interop — including its 998-entry quirk)
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "data",
+                "classnames.json",
+            )
+        classnames = read_class_names(path)
 
     engine = VitEngine(
         model_path,

@@ -150,6 +150,26 @@ class VitEngine:
     def preprocess_image(self, img_u8: np.ndarray) -> jax.Array:
         return preprocess(img_u8, self.hp.img_size, mode=self.hp.interpolation)
 
+    def _print_preprocess_scale(self, img_u8: np.ndarray) -> None:
+        """Reference console parity: the resampler's scale report —
+        bicubic prints `scale = max(tx, ty)` (vit.cpp:230-231), bilinear
+        prints per-axis scales (vit.cpp:141-144)."""
+        import sys
+
+        ny, nx = img_u8.shape[:2]
+        t = self.hp.img_size
+        if self.hp.interpolation == "bilinear":
+            print(
+                f"vit_image_preprocess: x_scale = {nx / t:f}, "
+                f"y_scale = {ny / t:f}",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"vit_image_preprocess: scale = {max(nx / t, ny / t):f}",
+                file=sys.stderr,
+            )
+
     def predict_probs_batch(self, images: jax.Array) -> jax.Array:
         """images: (B, C, S, S) preprocessed -> (B, classes) probabilities."""
         sharding = getattr(self, "_batch_sharding", None)
@@ -174,6 +194,7 @@ class VitEngine:
             )
         pixels = self.preprocess_image(img)
         if verbose:
+            self._print_preprocess_scale(img)
             print(
                 f"processed, out dims : ({self.hp.img_size} x {self.hp.img_size})"
             )
