@@ -12,12 +12,13 @@ dependency threads each iteration) and timed with a single scalar fetch;
 the measured tunnel roundtrip is subtracted.
 
 Default config: ViT-B/16 Q8_0 on the W8A8 int8-MXU path with the fused
-capped-fast attention kernel — the production serving configuration
+masked-pair attention kernel — the production serving configuration
 (BASELINE.json configs[2]). Flags: --batch N, --chain K, --dtype bf16|f32,
 --quant none|q8_0|q4_0|q5_1, --mm xla|pallas|int8, --attn
 xla|pallas|pallas-fast, --fold-ln, --unroll N, --latency (p50 B=1).
-Dense bf16 reference point: `--quant none` (attn pallas-fast) ~= 4200
-img/s; Q8_0 W8A8 ~= 4800 img/s on one v5e chip.
+Round-2 reference points on one v5e chip (canonical: BENCH_DETAILS.json):
+Q8_0 W8A8 ~5,290 img/s; `--quant none` (f16 ckpt -> dense-W8A8) ~5,300;
+honest dense bf16 (`--mm xla`) ~4,560.
 """
 
 from __future__ import annotations
@@ -61,7 +62,14 @@ def main() -> int:
         "--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast"
     )
     ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="int8")
-    ap.add_argument("--fold-ln", action="store_true", help="fold LN affines into matmuls")
+    ap.add_argument(
+        "--fold-ln",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="fold LN affines into matmuls (models/fold.py). Default: on "
+        "for the int8 serving path (measured +1.4% with the pair kernel, "
+        "5,369 vs 5,293 img/s), off for the parity-faithful paths.",
+    )
     ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
@@ -123,7 +131,8 @@ def main() -> int:
 
             params = convert_params_to_int8(params)
             suffix = args.dtype + "_w8a8"
-    if args.fold_ln:
+    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
+    if fold_ln:
         from vit_cpp_tpu.models.fold import fold_layernorms
 
         params = fold_layernorms(params, mm_impl=args.mm)
