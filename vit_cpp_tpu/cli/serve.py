@@ -19,7 +19,11 @@ import sys
 import time
 
 
-IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".JPEG", ".JPG", ".PNG"}
+# native decode: jpg/png/bmp/pnm; gif/tga/webp via the per-file PIL retry
+IMAGE_EXTS = {
+    ".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".pnm", ".gif",
+    ".tga", ".webp", ".JPEG", ".JPG", ".PNG", ".BMP",
+}
 
 
 def main(argv=None) -> int:
@@ -31,15 +35,30 @@ def main(argv=None) -> int:
     ap.add_argument("-k", "--topk", type=int, default=1)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     ap.add_argument(
-        "--mm", choices=["xla", "pallas", "int8"], default="xla",
-        help="matmul path; int8 = W8A8 MXU serving for quantized models",
+        "--mm", choices=["xla", "pallas", "int8"], default="int8",
+        help="matmul path. Default int8 = W8A8 MXU serving (quantized "
+        "checkpoints are requantized channelwise, f16 checkpoints are "
+        "dynamically quantized at load; accuracy cost quantified in "
+        "tests/test_w8a8_accuracy.py). Use xla for the parity-faithful "
+        "compute path.",
     )
     ap.add_argument(
-        "--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas",
-        help="attention kernel (fused Pallas is the TPU serving default)",
+        "--attn", choices=["xla", "pallas", "pallas-fast"],
+        default="pallas-fast",
+        help="attention kernel (fused masked-pair Pallas + capped-exp2 "
+        "softmax is the TPU serving default; 'pallas' keeps the exact "
+        "max-subtracted softmax)",
+    )
+    ap.add_argument(
+        "--fold-ln",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="fold LN affines into adjacent matmuls (default: on for the "
+        "int8 serving path, off otherwise)",
     )
     ap.add_argument("--decode-threads", type=int, default=0)
     args = ap.parse_args(argv)
+    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
 
     paths = list(args.files)
     if args.dir:
@@ -69,6 +88,7 @@ def main(argv=None) -> int:
             dtype=dtype,
             attn_impl=args.attn,
             mm_impl=args.mm,
+            fold_ln=fold_ln,
             verbose=False,
         )
         t0 = time.perf_counter()
@@ -94,6 +114,7 @@ def main(argv=None) -> int:
         dtype=dtype,
         attn_impl=args.attn,
         mm_impl=args.mm,
+        fold_ln=fold_ln,
         verbose=False,
     )
     t0 = time.perf_counter()
