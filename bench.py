@@ -67,7 +67,7 @@ def main() -> int:
         action=argparse.BooleanOptionalAction,
         default=None,
         help="fold LN affines into matmuls (models/fold.py). Default: on "
-        "for the int8 serving path (measured +1.4% with the pair kernel, "
+        "for the int8 serving path (measured +1.4%% with the pair kernel, "
         "5,369 vs 5,293 img/s), off for the parity-faithful paths.",
     )
     ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
