@@ -70,6 +70,12 @@ def main() -> int:
         "for the int8 serving path (measured +1.4%% with the pair kernel, "
         "5,369 vs 5,293 img/s), off for the parity-faithful paths.",
     )
+    ap.add_argument(
+        "--act", choices=["dynamic", "static"], default="dynamic",
+        help="W8A8 activation quantization: per-token dynamic (default) or "
+        "static calibrated scales (quant/calibrate.py — removes the absmax "
+        "pass before every int8 GEMM)",
+    )
     ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
@@ -136,6 +142,19 @@ def main() -> int:
         from vit_cpp_tpu.models.fold import fold_layernorms
 
         params = fold_layernorms(params, mm_impl=args.mm)
+    if args.act == "static":
+        if args.mm != "int8":
+            raise SystemExit("--act static requires --mm int8")
+        from vit_cpp_tpu.quant.calibrate import calibrate_act_scales
+
+        cal = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (32, hp.in_chans, hp.img_size, hp.img_size)
+            ),
+            dtype=dtype,
+        )
+        params = calibrate_act_scales(params, cal, hp)
+        suffix += "_static"
 
     batch = 1 if args.latency else args.batch
     K = args.chain if args.chain is not None else (400 if args.latency else 30)

@@ -137,3 +137,89 @@ def test_dense_conversion_covers_all_matmuls(q8_files):
     np.testing.assert_array_equal(
         np.asarray(conv["pos_embed"]), np.asarray(params["pos_embed"])
     )
+
+
+class TestStaticActQuant:
+    """Static calibrated activation scales (quant/calibrate.py): the
+    production int8 serving mode that deletes the per-GEMM absmax pass.
+    Accuracy must stay within the dynamic path's envelope on the
+    calibration distribution."""
+
+    def test_static_matches_dynamic_closely(self, q8_files):
+        from vit_cpp_tpu.quant.calibrate import calibrate_act_scales
+
+        imgs = _structured_images(48)
+        params = convert_params_to_int8(load_params(q8_files["q8_0"]))
+        cal = imgs[:16]
+        static = calibrate_act_scales(params, cal, HP)
+        dyn = np.asarray(forward(params, imgs, HP, mm_impl="int8"))
+        st = np.asarray(forward(static, imgs, HP, mm_impl="int8"))
+        top1 = (dyn.argmax(-1) == st.argmax(-1)).mean()
+        mae = np.abs(dyn - st).mean() / max(np.abs(dyn).mean(), 1e-9)
+        print(
+            f"[w8a8-accuracy] static-vs-dynamic: top1 agreement "
+            f"{top1 * 100:.1f}% rel logit MAE {mae * 100:.2f}%"
+        )
+        assert top1 >= 0.90
+        assert mae < 0.05
+
+    def test_act_scale_shapes_and_clipping(self, q8_files):
+        from vit_cpp_tpu.quant.calibrate import calibrate_act_scales
+        from vit_cpp_tpu.quant.int8 import Int8Linear
+
+        params = convert_params_to_int8(load_params(q8_files["q8_0"]))
+        static = calibrate_act_scales(params, _structured_images(8), HP)
+        L = HP.num_hidden_layers
+        for name in ("qkv", "proj", "fc1", "fc2"):
+            k = static["blocks"][name]["kernel"]
+            assert isinstance(k, Int8Linear)
+            assert k.act_scale.shape == (L, 1, 1)
+            assert np.all(np.asarray(k.act_scale) > 0)
+        assert static["head"]["kernel"].act_scale.shape == (1, 1)
+
+    def test_static_w8a8_matmul_unit(self):
+        from vit_cpp_tpu.ops.pallas_int8_matmul import w8a8_matmul
+        from vit_cpp_tpu.quant.int8 import channelwise_int8
+        import dataclasses
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        w = rng.standard_normal((64, 96)).astype(np.float32) * 0.1
+        x = rng.standard_normal((9, 64)).astype(np.float32)
+        i8 = channelwise_int8(jnp.asarray(w))
+        s = np.abs(x).max() / 127.0
+        st = dataclasses.replace(i8, act_scale=jnp.asarray([[s]], jnp.float32))
+        got = np.asarray(w8a8_matmul(jnp.asarray(x), st))
+        want = x @ w
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 0.03
+        # out-of-range inputs clip instead of wrapping
+        x_hot = x.copy()
+        x_hot[0, 0] = 1e6
+        got_hot = np.asarray(w8a8_matmul(jnp.asarray(x_hot), st))
+        assert np.isfinite(got_hot).all()
+
+    def test_engine_lazy_calibration(self, q8_files, tmp_path):
+        import tempfile
+
+        from vit_cpp_tpu.engine import VitEngine
+        from vit_cpp_tpu.gguf.writer import write_model
+        from vit_cpp_tpu.cli.quantize import quantize_model_file
+        from vit_cpp_tpu.testing.synthetic import (
+            state_dict_records,
+            write_synthetic_model,
+        )
+
+        f16 = tmp_path / "m.gguf"
+        q8 = tmp_path / "q.gguf"
+        write_synthetic_model(str(f16), HP, ftype=1, seed=13)
+        quantize_model_file(str(f16), str(q8), 8, verbose=False)
+        eng = VitEngine(
+            str(q8), mm_impl="int8", act_quant="static", verbose=False
+        )
+        ref = VitEngine(str(q8), mm_impl="int8", verbose=False)
+        imgs = _structured_images(8)
+        a = np.asarray(eng.predict_probs_batch(imgs))
+        assert not eng._needs_calibration
+        b = np.asarray(ref.predict_probs_batch(imgs))
+        assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.8

@@ -62,6 +62,7 @@ class VitEngine:
         attn_impl: str = "xla",
         mm_impl: str = "xla",
         fold_ln: bool = False,
+        act_quant: str = "dynamic",
         verbose: bool = True,
     ):
         t0 = time.perf_counter()
@@ -114,6 +115,14 @@ class VitEngine:
         self.matmul_precision = matmul_precision
         self._attn_impl = attn_impl
         self._mm_impl = mm_impl
+        if act_quant not in ("dynamic", "static"):
+            raise ValueError(f"act_quant must be dynamic|static, got {act_quant!r}")
+        if act_quant == "static" and mm_impl != "int8":
+            raise ValueError("act_quant='static' requires mm_impl='int8'")
+        # static activation scales are calibrated lazily on the first
+        # served batch (quant/calibrate.py); callers with a representative
+        # sample can call .calibrate(images) explicitly instead
+        self._needs_calibration = act_quant == "static"
 
         def _predict(params, images):
             with jax.default_matmul_precision(self.matmul_precision):
@@ -170,8 +179,20 @@ class VitEngine:
                 file=sys.stderr,
             )
 
+    def calibrate(self, images: jax.Array) -> None:
+        """Fix static activation scales from a representative batch
+        (quant/calibrate.py); no-op unless act_quant='static'."""
+        if not self._needs_calibration:
+            return
+        from vit_cpp_tpu.quant.calibrate import calibrate_act_scales
+
+        self.params = calibrate_act_scales(self.params, images, self.hp)
+        self._needs_calibration = False
+
     def predict_probs_batch(self, images: jax.Array) -> jax.Array:
         """images: (B, C, S, S) preprocessed -> (B, classes) probabilities."""
+        if self._needs_calibration:
+            self.calibrate(images)
         sharding = getattr(self, "_batch_sharding", None)
         if sharding is not None:
             images = jax.device_put(images, sharding)

@@ -74,12 +74,24 @@ def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Arra
 
 
 def transformer_block(
-    x: jax.Array, bp: Dict[str, Any], hp: VitHParams, *, attn_impl: str, mm_impl: str
+    x: jax.Array,
+    bp: Dict[str, Any],
+    hp: VitHParams,
+    *,
+    attn_impl: str,
+    mm_impl: str,
+    tap=None,
 ) -> jax.Array:
+    """One encoder block. `tap(name, array)`, when given, observes every
+    matmul input ('qkv_in'/'proj_in'/'fc1_in'/'fc2_in') — used by the
+    static-activation-scale calibrator (quant/calibrate.py); None (the
+    jitted serving path) compiles it away entirely."""
     b, t, h = x.shape
     nh, hd = hp.num_attention_heads, hp.head_dim
 
     y = layernorm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
+    if tap is not None:
+        tap("qkv_in", y)
     qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
     # (B, T, 3h): fused QKV with q|k|v contiguous on the feature axis
     # (timm layout; reference carves the same three views, vit.cpp:826-846).
@@ -95,11 +107,17 @@ def transformer_block(
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         o = attention(q, k, v, impl=attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
+    if tap is not None:
+        tap("proj_in", o)
     x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
 
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    if tap is not None:
+        tap("fc1_in", y)
     y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
     y = gelu_tanh(y)
+    if tap is not None:
+        tap("fc2_in", y)
     y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
     return x + y
 
@@ -146,6 +164,36 @@ def predict_probs(params, images, hp, **kw) -> jax.Array:
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
+def slice_block_params(tree, i: int):
+    """Layer i's params out of a stacked blocks subtree (the Python-loop
+    analogue of what lax.scan does per step); handles dense arrays plus
+    QuantLinear / Int8Linear leaves."""
+    from vit_cpp_tpu.quant.int8 import Int8Linear
+    from vit_cpp_tpu.quant.qlinear import QuantLinear
+
+    def slice_leaf(a):
+        if isinstance(a, QuantLinear):
+            return QuantLinear(
+                codes=a.codes[i],
+                scales=a.scales[i],
+                mins=None if a.mins is None else a.mins[i],
+                qtype=a.qtype,
+            )
+        if isinstance(a, Int8Linear):
+            return Int8Linear(
+                codes=a.codes[i],
+                scale=a.scale[i],
+                act_scale=None if a.act_scale is None else a.act_scale[i],
+            )
+        return a[i]
+
+    return jax.tree.map(
+        slice_leaf,
+        tree,
+        is_leaf=lambda x: isinstance(x, (QuantLinear, Int8Linear)),
+    )
+
+
 def forward_debug(
     params: Dict[str, Any], images: jax.Array, hp: VitHParams, **kw
 ) -> Dict[str, jax.Array]:
@@ -157,28 +205,11 @@ def forward_debug(
     diffing against an oracle. Python loop instead of lax.scan — debug
     path, compile time does not matter here.
     """
-    from vit_cpp_tpu.quant.qlinear import QuantLinear
-
-    def layer(tree, i):
-        def slice_leaf(a):
-            if isinstance(a, QuantLinear):
-                return QuantLinear(
-                    codes=a.codes[i],
-                    scales=a.scales[i],
-                    mins=None if a.mins is None else a.mins[i],
-                    qtype=a.qtype,
-                )
-            return a[i]
-
-        return jax.tree.map(
-            slice_leaf, tree, is_leaf=lambda x: isinstance(x, QuantLinear)
-        )
-
     acts: Dict[str, jax.Array] = {}
     x = embed(params, images, hp)
     acts["embed"] = x
     for i in range(hp.num_hidden_layers):
-        bp = {k: layer(v, i) for k, v in params["blocks"].items()}
+        bp = {k: slice_block_params(v, i) for k, v in params["blocks"].items()}
         x = transformer_block(
             x,
             bp,

@@ -30,9 +30,15 @@ from vit_cpp_tpu.quant.int8 import Int8Linear
 
 def _w8a8_xla(x: jax.Array, w: Int8Linear) -> jax.Array:
     xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    sx = absmax * (1.0 / 127.0)
-    xq = jnp.round(xf * jnp.where(sx > 0, 1.0 / sx, 0.0)).astype(jnp.int8)
+    if w.act_scale is not None:
+        # static calibrated scale: quantize is elementwise (fuses into the
+        # producer epilogue) — no absmax read of the activations
+        sx = w.act_scale
+        xq = jnp.round(jnp.clip(xf / sx, -127.0, 127.0)).astype(jnp.int8)
+    else:
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = absmax * (1.0 / 127.0)
+        xq = jnp.round(xf * jnp.where(sx > 0, 1.0 / sx, 0.0)).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq,
         w.codes,

@@ -1,0 +1,113 @@
+"""Offline calibration of STATIC activation scales for W8A8 serving.
+
+The dynamic W8A8 path quantizes every GEMM input per token, which costs an
+absmax reduction over the activations before each of the 4 GEMMs per layer
+(one extra HBM read each — the "act-quant fusions" tail in the
+docs/TUNING.md breakdowns). Production int8 serving replaces those with
+scales measured offline on representative data: quantization becomes a
+pure elementwise round that XLA folds into the producing op's epilogue.
+
+    params_i8 = convert_params_to_int8(load_params(...))
+    params_st = calibrate_act_scales(params_i8, sample_images, hp)
+    forward(params_st, images, hp, mm_impl="int8")   # no absmax passes
+
+Accuracy: static per-tensor scales are coarser than per-token dynamic
+ones; out-of-range activations clip at ±127 codes. The cost is quantified
+next to the dynamic path's in tests/test_w8a8_accuracy.py; `margin`
+leaves headroom above the calibration batch's maxima.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.quant.int8 import Int8Linear
+
+_GEMMS = ("qkv", "proj", "fc1", "fc2")
+
+
+def collect_act_maxima(
+    params: Dict[str, Any],
+    images: jax.Array,
+    hp: VitHParams,
+    *,
+    attn_impl: str = "xla",
+) -> Dict[str, Any]:
+    """Forward pass over the calibration batch recording the absmax of
+    every GEMM input: {'qkv'|'proj'|'fc1'|'fc2': (L,) f32, 'head': ()}.
+
+    Runs the actual int8 forward (dynamic quantization) layer by layer so
+    the observed activations are the ones static serving will see.
+    """
+    from vit_cpp_tpu.models.vit import (
+        embed,
+        slice_block_params,
+        transformer_block,
+    )
+    from vit_cpp_tpu.ops.core import layernorm
+
+    maxima = {name: [] for name in _GEMMS}
+    x = embed(params, images, hp)
+    for i in range(hp.num_hidden_layers):
+        bp = {k: slice_block_params(v, i) for k, v in params["blocks"].items()}
+        per_layer = {}
+
+        def tap(name, v, _store=per_layer):
+            _store[name[:-3]] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+        x = transformer_block(
+            x, bp, hp, attn_impl=attn_impl, mm_impl="int8", tap=tap
+        )
+        for name in _GEMMS:
+            maxima[name].append(per_layer[name])
+    pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+    pooled = layernorm(
+        pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+    )
+    out = {name: jnp.stack(maxima[name]) for name in _GEMMS}
+    out["head"] = jnp.max(jnp.abs(pooled.astype(jnp.float32)))
+    return out
+
+
+def calibrate_act_scales(
+    params: Dict[str, Any],
+    images: jax.Array,
+    hp: VitHParams,
+    *,
+    margin: float = 1.05,
+    attn_impl: str = "xla",
+) -> Dict[str, Any]:
+    """Return a new param tree whose Int8Linear leaves carry static
+    act_scale = absmax * margin / 127 measured on `images`."""
+    for name in _GEMMS:
+        if not isinstance(params["blocks"][name]["kernel"], Int8Linear):
+            raise ValueError(
+                "calibrate_act_scales needs an int8-converted tree "
+                "(convert_params_to_int8) — blocks."
+                f"{name}.kernel is {type(params['blocks'][name]['kernel']).__name__}"
+            )
+    maxima = collect_act_maxima(params, images, hp, attn_impl=attn_impl)
+
+    def attach(leaf: Int8Linear, absmax: jax.Array) -> Int8Linear:
+        # ([L] or scalar) -> ([L,] 1, 1) so it broadcasts over (..., K)
+        s = (absmax.astype(jnp.float32) * margin / 127.0)[..., None, None]
+        s = jnp.maximum(s, 1e-12)
+        return dataclasses.replace(leaf, act_scale=s)
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in _GEMMS:
+        leaf = dict(blocks[name])
+        leaf["kernel"] = attach(leaf["kernel"], maxima[name])
+        blocks[name] = leaf
+    out["blocks"] = blocks
+    head = dict(params["head"])
+    if isinstance(head["kernel"], Int8Linear):
+        head["kernel"] = attach(head["kernel"], maxima["head"])
+    out["head"] = head
+    return out

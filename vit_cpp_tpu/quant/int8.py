@@ -30,10 +30,19 @@ from vit_cpp_tpu.quant.qlinear import QuantLinear
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Int8Linear:
-    """codes: (in, out) int8; scale: (out,) f32. w = codes * scale."""
+    """codes: (in, out) int8; scale: (out,) f32. w = codes * scale.
+
+    act_scale (optional, ([L,] 1, 1) f32): STATIC activation scale from
+    offline calibration (quant/calibrate.py). When present, the W8A8
+    matmul quantizes its input as round(x / act_scale) with no per-token
+    absmax reduce — the quantize becomes a pure elementwise op that XLA
+    folds into the producer, deleting one full activation read per GEMM.
+    None = dynamic per-token quantization (the accuracy-safest default).
+    """
 
     codes: jax.Array
     scale: jax.Array
+    act_scale: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
