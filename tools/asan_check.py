@@ -1,10 +1,13 @@
-"""Build the native decoder with AddressSanitizer and fuzz-smoke it.
+"""Build the native decoder under AddressSanitizer AND ThreadSanitizer
+and fuzz-smoke it.
 
 The SURVEY §5 sanitizer gap closed as a tool: compiles vitnative.cpp +
-asan_driver.cpp with -fsanitize=address, generates valid AND malformed
-inputs (truncated files, bit-flipped scanlines, lying headers — the exact
-inputs the setjmp recovery paths exist for), and runs the driver. A
-non-zero exit or an ASan report fails the check.
+asan_driver.cpp with -fsanitize=address (then again with
+-fsanitize=thread), generates valid AND malformed inputs (truncated
+files, bit-flipped scanlines, lying headers — the exact inputs the setjmp
+recovery paths exist for), and runs the driver; the batch path exercises
+the worker pool, which is what TSan watches. A non-zero exit or a
+sanitizer report fails the check.
 
 Usage: python tools/asan_check.py
 """
@@ -64,28 +67,45 @@ def make_inputs(d: str) -> list:
     return paths
 
 
+def _run_sanitizer(d: str, paths: list, flag: str, label: str, env_extra: dict) -> bool:
+    exe = os.path.join(d, f"driver_{label}")
+    cmd = [
+        CXX, f"-fsanitize={flag}", "-fno-omit-frame-pointer", "-g", "-O1",
+        "-std=c++17", "-Wall", SRC, DRIVER, "-o", exe, *LIBS,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(proc.stderr, file=sys.stderr)
+        print(f"{label.upper()} BUILD FAILED", file=sys.stderr)
+        return False
+    env = dict(os.environ, **env_extra)
+    run = subprocess.run([exe, *paths], capture_output=True, text=True, env=env)
+    sys.stdout.write(run.stdout)
+    sys.stderr.write(run.stderr)
+    bad = (
+        run.returncode != 0
+        or "ERROR: AddressSanitizer" in run.stderr
+        or "WARNING: ThreadSanitizer" in run.stderr
+    )
+    if bad:
+        print(f"{label.upper()} CHECK FAILED", file=sys.stderr)
+        return False
+    print(f"{label} check: clean")
+    return True
+
+
 def main() -> int:
     with tempfile.TemporaryDirectory() as d:
-        exe = os.path.join(d, "asan_driver")
-        cmd = [
-            CXX, "-fsanitize=address", "-fno-omit-frame-pointer", "-g", "-O1",
-            "-std=c++17", "-Wall", SRC, DRIVER, "-o", exe, *LIBS,
-        ]
-        proc = subprocess.run(cmd, capture_output=True, text=True)
-        if proc.returncode != 0:
-            print(proc.stderr, file=sys.stderr)
-            print("ASAN BUILD FAILED", file=sys.stderr)
-            return 1
         paths = make_inputs(d)
-        env = dict(os.environ, ASAN_OPTIONS="detect_leaks=1:abort_on_error=0")
-        run = subprocess.run([exe, *paths], capture_output=True, text=True, env=env)
-        sys.stdout.write(run.stdout)
-        sys.stderr.write(run.stderr)
-        if run.returncode != 0 or "ERROR: AddressSanitizer" in run.stderr:
-            print("ASAN CHECK FAILED", file=sys.stderr)
-            return 1
-        print("asan check: clean")
-        return 0
+        ok = _run_sanitizer(
+            d, paths, "address", "asan",
+            {"ASAN_OPTIONS": "detect_leaks=1:abort_on_error=0"},
+        )
+        ok = _run_sanitizer(
+            d, paths, "thread", "tsan",
+            {"TSAN_OPTIONS": "halt_on_error=0 exitcode=66"},
+        ) and ok
+        return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -20,6 +20,13 @@ import sys
 
 CONFIGS = [
     ("q8_0_w8a8", ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"]),
+    # static calibrated activation scales (quant/calibrate.py): the
+    # offline-calibration production mode, +8% over dynamic
+    (
+        "q8_0_w8a8_static",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--act", "static"],
+    ),
     # f16/bf16 checkpoint on the W8A8 serving path (dense kernels
     # dynamically quantized at load — the `--quant none` serving default;
     # accuracy cost quantified in tests/test_w8a8_accuracy.py)

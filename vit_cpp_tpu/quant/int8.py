@@ -75,25 +75,6 @@ def from_quant_linear(ql: QuantLinear) -> Int8Linear:
     return channelwise_int8(ql.dequantize(jnp.float32))
 
 
-def int8_dot(codes, sx, w: Int8Linear, bias=None, out_dtype=jnp.bfloat16):
-    """Pre-quantized activation x int8 weight GEMM with rank-1 rescale.
-
-    codes: (..., K) pre-quantized int8 activations; sx: (..., 1) f32 token
-    scales. Runs on the int8 MXU via the XLA-native dot (see
-    ops/pallas_int8_matmul._w8a8_xla for the measured rates).
-    """
-    acc = jax.lax.dot_general(
-        codes,
-        w.codes,
-        dimension_numbers=(((codes.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * sx * w.scale
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(out_dtype)
-
-
 def convert_params_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
     """Rewrite a param pytree for W8A8 serving.
 
