@@ -88,7 +88,7 @@ def run_eval(
             # bundled copy of the reference's tests/classnames.json (kept
             # byte-identical for interop — including its 998-entry quirk)
             path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "data",
                 "classnames.json",
             )
