@@ -58,7 +58,7 @@ def test_missing_tensor_rejected(tmp_path):
     del state["norm.bias"]
     p = tmp_path / "m.gguf"
     _write(p, hp, state_dict_records(state, 0))
-    with pytest.raises(KeyError, match="norm.bias"):
+    with pytest.raises(ValueError, match="norm.bias"):
         load_params(read_model(str(p)))
 
 
@@ -106,3 +106,35 @@ def test_duplicate_tensor_rejected(tmp_path):
     _write(p, hp, recs + [recs[0]])
     with pytest.raises(ValueError, match="duplicate"):
         read_model(str(p))
+
+
+def test_fuzz_single_byte_corruptions(tmp_path):
+    """Harness-grade robustness: any single-byte corruption of a model
+    file must either still load (payload bytes — values change, structure
+    does not) or fail with a clean, typed error — never an unhandled
+    crash. Mirrors the spirit of the reference's fail-fast loader checks
+    (vit.cpp:618-701) at every byte offset class: magic, hparams, label
+    table, record headers, names, payloads, EOF."""
+    hp = _hp()
+    path = tmp_path / "m.gguf"
+    write_synthetic_model(str(path), hp, ftype=1, seed=0)
+    data = bytearray(path.read_bytes())
+    rng = np.random.default_rng(0)
+    offsets = set(rng.integers(0, len(data), 120).tolist())
+    offsets.update(range(0, 64, 4))  # every header field start
+    ok = clean_fail = 0
+    for off in sorted(offsets):
+        corrupted = bytearray(data)
+        corrupted[off] ^= 0xA5
+        p = tmp_path / "fuzz.gguf"
+        p.write_bytes(corrupted)
+        try:
+            mf = read_model(str(p))
+            load_params(mf)
+            ok += 1
+        except (ValueError, OSError, struct.error, UnicodeDecodeError,
+                EOFError, MemoryError):
+            clean_fail += 1
+    assert ok + clean_fail == len(offsets)
+    # payload corruptions should mostly load; structural ones must fail
+    assert clean_fail > 0 and ok > 0

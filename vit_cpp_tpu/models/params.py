@@ -54,7 +54,9 @@ class _RecordSet:
 
     def rec(self, name: str) -> TensorRecord:
         if name not in self.tensors:
-            raise KeyError(f"checkpoint missing tensor '{name}'")
+            # ValueError, not KeyError: the loader's fail-fast convention
+            # (reference: fprintf + early-exit, vit.cpp:618-622)
+            raise ValueError(f"checkpoint missing tensor '{name}'")
         self.used.add(name)
         return self.tensors[name]
 
