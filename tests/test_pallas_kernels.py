@@ -240,6 +240,27 @@ class TestMaskedPairKernel:
                 np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
             )
 
+    @pytest.mark.parametrize(
+        "t,h,nh",
+        [
+            (785, 768, 12),  # ViT-B/8: the geometry the lane path exists for
+            (197, 768, 12),  # d=64: two masked heads per 128-lane block
+            (64, 256, 8),  # d=32: four masked heads per block
+            (64, 256, 2),  # d=128: single head fills the block (no mask)
+        ],
+    )
+    def test_masked_lane_kernel_matches_carve(self, t, h, nh):
+        # group=0 forces the lane-block dispatch; must equal the per-head
+        # carve kernel bit-for-bit in f32 (masked lanes add exact zeros)
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(rng.standard_normal((1, t, 3 * h)), dtype=jnp.float32)
+        for fast in (False, True):
+            ref = attention_qkv(qkv, nh, fast=fast, pair=False, group=1)
+            got = attention_qkv(qkv, nh, fast=fast, pair=False, group=0)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
+            )
+
     def test_pair_requires_d64(self):
         # d=32 (h=256, nh=8): pair dispatch must fall back, still correct
         rng = np.random.default_rng(7)

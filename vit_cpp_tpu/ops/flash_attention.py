@@ -115,23 +115,78 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
 
 
 def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool):
-    """Head-pair variant: refs are (1, T, 128) lane blocks of the fused
+    """Lane-block variant: refs are (1, T, 128) lane blocks of the fused
     projection — 128//d heads per grid step. Smaller blocks than the full
     (T, 3h) variant at identical total HBM traffic: ~7% slower at T=197
     (per-step overhead), but the only shape that fits scoped VMEM at
     T=785 x h=768 (ViT-B/8), where the full-block kernel's stack is ~2x
     the 16 MB budget. Query rows are chunked so the (qc, T) score
-    workspace stays small; K/V fit whole, so no online-softmax rescale."""
+    workspace stays small; K/V fit whole, so no online-softmax rescale.
+
+    For d < 128 the in-block per-head carves would sit at 64-lane offsets
+    — cross-lane relayouts on the VPU, the exact overhead the masked-pair
+    kernel (_qkv_pair_kernel) removes for the full-block shape. Same fix
+    here: each head's scores come from a full-width dot against a
+    lane-MASKED copy of the K block (S_s = Q_blk · (K_blk ⊙ mask_s)^T —
+    the zeroed lanes annihilate the other heads' contraction terms, and a
+    d-wide dot wastes the idle systolic columns anyway so the full-width
+    dot is wall-clock free), and the masked-V PV terms occupy disjoint
+    lanes, so their sum assembles the aligned (qc, 128) output in ONE
+    aligned store. Bit-exact vs the carved slices (the masked lanes
+    contribute exact-zero products to the f32 accumulation)."""
+    import os as _os
+
     t = q_ref.shape[1]
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     qc = t if t <= 256 else 256
-    for s in range(q.shape[1] // d):
-        sl = slice(s * d, (s + 1) * d)
+    nsub = q.shape[1] // d
+    if _os.environ.get("VIT_ATTN_LANE_MASK", "1") == "0":
+        # A/B knob: the round-1 carved-slice body (kept for measurement)
+        for s in range(nsub):
+            sl = slice(s * d, (s + 1) * d)
+            for q0 in range(0, t, qc):
+                q1 = min(q0 + qc, t)
+                o_ref[0, q0:q1, sl] = _sdpa(
+                    q[q0:q1, sl], k[:, sl], v[:, sl], o_ref.dtype, fast=fast
+                )
+        return
+    if nsub == 1:
+        # single head fills the block: direct, nothing to mask
         for q0 in range(0, t, qc):
             q1 = min(q0 + qc, t)
-            o_ref[0, q0:q1, sl] = _sdpa(
-                q[q0:q1, sl], k[:, sl], v[:, sl], o_ref.dtype, fast=fast
+            o_ref[0, q0:q1] = _sdpa(q[q0:q1], k, v, o_ref.dtype, fast=fast)
+        return
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, q.shape[1]), 1)
+    masks = [
+        ((lanes >= s * d) & (lanes < (s + 1) * d)).astype(q.dtype)
+        for s in range(nsub)
+    ]
+    kms = [k * m for m in masks]
+    vms = [v * m for m in masks]
+    scale = 1.4426950408889634 / (d**0.5)  # log2(e)/sqrt(d)
+    for q0 in range(0, t, qc):
+        q1 = min(q0 + qc, t)
+        qs = (q[q0:q1].astype(jnp.float32) * scale).astype(q.dtype)
+        acc = None
+        for s in range(nsub):
+            sm = jax.lax.dot_general(
+                qs,
+                kms[s],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            if fast:
+                p = jnp.exp2(jnp.minimum(sm, 120.0))
+            else:
+                p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
+            term = jax.lax.dot_general(
+                p.astype(v.dtype),
+                vms[s],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sum(p, axis=-1, keepdims=True)
+            acc = term if acc is None else acc + term
+        o_ref[0, q0:q1] = acc.astype(o_ref.dtype)
 
 
 def _attention_qkv_lane(qkv, num_heads, fast, interpret):
