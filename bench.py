@@ -43,6 +43,9 @@ def _device_seconds(fn_scan, args_tuple, rtt: float, trials: int = 3) -> float:
 
 
 def main() -> int:
+    from vit_cpp_tpu.utils.compile_cache import enable_from_env
+
+    enable_from_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument(

@@ -156,6 +156,9 @@ def run_eval(
 
 
 def main(argv=None) -> int:
+    from vit_cpp_tpu.utils.compile_cache import enable_from_env
+
+    enable_from_env()
     ap = argparse.ArgumentParser(
         description="ImageNet top-1 accuracy eval (reference tests/benchmark.cpp)"
     )

@@ -57,7 +57,23 @@ def main(argv=None) -> int:
         "int8 serving path, off otherwise)",
     )
     ap.add_argument("--decode-threads", type=int, default=0)
+    ap.add_argument(
+        "--compile-cache",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="DIR",
+        help="persist compiled XLA programs (utils/compile_cache.py) so "
+        "engine restarts skip the multi-minute first compile; optional DIR "
+        "overrides the default cache location (also: VIT_COMPILE_CACHE env)",
+    )
     args = ap.parse_args(argv)
+    from vit_cpp_tpu.utils.compile_cache import enable_compile_cache, enable_from_env
+
+    if args.compile_cache is not None:
+        enable_compile_cache(args.compile_cache or None)
+    else:
+        enable_from_env()
     fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
 
     paths = list(args.files)

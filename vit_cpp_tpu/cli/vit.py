@@ -93,6 +93,9 @@ def vit_params_parse(argv, params: VitParams) -> bool:
 def main(argv=None) -> int:
     argv = sys.argv if argv is None else argv
     t_main_start = time.perf_counter()
+    from vit_cpp_tpu.utils.compile_cache import enable_from_env
+
+    enable_from_env()
     params = VitParams()
     if not vit_params_parse(argv, params):
         return 1

@@ -21,6 +21,9 @@ from vit_cpp_tpu.cli.vit import VitParams, vit_params_parse
 def main(argv=None) -> int:
     argv = sys.argv if argv is None else argv
     t_main_start = time.perf_counter()
+    from vit_cpp_tpu.utils.compile_cache import enable_from_env
+
+    enable_from_env()
     params = VitParams()
     params.model = "../ggml-model-f16.gguf"
     params.fname_inp = "../images/demo_1.jpg"
