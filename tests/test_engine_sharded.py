@@ -66,3 +66,50 @@ def test_sharded_quantized(model_path, tmp_path):
     with mesh:
         got = np.asarray(eng.predict_probs_batch(x))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fold_ln", [False, True])
+def test_sharded_w8a8_serving_config(model_path, fold_ln):
+    """The PRODUCTION serving config (mm_impl='int8', fold-ln default)
+    must shard: Int8Linear leaves get megatron specs (codes like the dense
+    kernel, per-out-channel scale sharded only under column parallelism)
+    and folded LN nodes carry spec None. Regression for the r2 gap where
+    shard() only understood dense/QuantLinear pytrees."""
+    from vit_cpp_tpu.engine import VitEngine
+
+    x = _batch(8)
+    ref = np.asarray(
+        VitEngine(
+            model_path, mm_impl="int8", fold_ln=fold_ln, verbose=False
+        ).predict_probs_batch(x)
+    )
+    mesh = make_mesh(dp=4, tp=2)
+    eng = VitEngine(
+        model_path, mm_impl="int8", fold_ln=fold_ln, verbose=False
+    ).shard(mesh)
+    with mesh:
+        got = np.asarray(eng.predict_probs_batch(x))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_sharded_w8a8_static_act(model_path):
+    """Static activation scales (calibrated pre-shard) ride the mesh too:
+    act_scale is replicated; logits match the single-device static path."""
+    from vit_cpp_tpu.engine import VitEngine
+
+    x = _batch(8)
+    single = VitEngine(
+        model_path, mm_impl="int8", act_quant="static", verbose=False
+    )
+    single.calibrate(x)
+    ref = np.asarray(single.predict_probs_batch(x))
+
+    eng = VitEngine(
+        model_path, mm_impl="int8", act_quant="static", verbose=False
+    )
+    eng.calibrate(x)
+    mesh = make_mesh(dp=4, tp=2)
+    eng.shard(mesh)
+    with mesh:
+        got = np.asarray(eng.predict_probs_batch(x))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

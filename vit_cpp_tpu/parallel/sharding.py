@@ -25,15 +25,21 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vit_cpp_tpu.quant.int8 import Int8Linear
 from vit_cpp_tpu.quant.qlinear import QuantLinear
 
 
 def _kernel_spec(kernel, col_parallel: bool, stacked: bool = True):
-    """Spec for a ([L,] in, out) kernel — dense array or QuantLinear."""
+    """Spec for a ([L,] in, out) kernel — dense array, QuantLinear, or
+    the W8A8 serving representation Int8Linear (codes share the dense
+    kernel's spec; the per-output-channel scale shards with the out dim,
+    i.e. only under column parallelism; static act_scale is replicated)."""
     if col_parallel:
         spec = P(None, None, "model") if stacked else P(None, "model")
+        scale_spec = P(None, "model") if stacked else P("model")
     else:
         spec = P(None, "model", None) if stacked else P("model", None)
+        scale_spec = P()  # scale is per-OUT channel: replicated here
     if isinstance(kernel, QuantLinear):
         return QuantLinear(
             codes=spec,
@@ -41,18 +47,32 @@ def _kernel_spec(kernel, col_parallel: bool, stacked: bool = True):
             mins=None if kernel.mins is None else spec,
             qtype=0,
         )
+    if isinstance(kernel, Int8Linear):
+        return Int8Linear(
+            codes=spec,
+            scale=scale_spec,
+            act_scale=None if kernel.act_scale is None else P(),
+        )
     return spec
 
 
 def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching a load_params() pytree."""
+    """PartitionSpec pytree matching a load_params() pytree.
+
+    Folded-LN pytrees (models/fold.py) carry scale=None/bias=None on the
+    folded LN nodes; those positions get spec None so the tree structures
+    match (replicating nothing is a no-op either way)."""
     b = params["blocks"]
+
+    def _ln(node):
+        return {k: None if node[k] is None else P() for k in ("scale", "bias")}
+
     return {
         "cls_token": P(),
         "pos_embed": P(),
         "patch_embed": {"kernel": P(), "bias": P()},
         "blocks": {
-            "ln1": {"scale": P(), "bias": P()},
+            "ln1": _ln(b["ln1"]),
             "qkv": {
                 "kernel": _kernel_spec(b["qkv"]["kernel"], col_parallel=True),
                 "bias": P(None, "model"),
@@ -61,7 +81,7 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
                 "kernel": _kernel_spec(b["proj"]["kernel"], col_parallel=False),
                 "bias": P(),
             },
-            "ln2": {"scale": P(), "bias": P()},
+            "ln2": _ln(b["ln2"]),
             "fc1": {
                 "kernel": _kernel_spec(b["fc1"]["kernel"], col_parallel=True),
                 "bias": P(None, "model"),
@@ -71,7 +91,7 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
                 "bias": P(),
             },
         },
-        "norm": {"scale": P(), "bias": P()},
+        "norm": _ln(params["norm"]),
         "head": {
             "kernel": _kernel_spec(
                 params["head"]["kernel"], col_parallel=True, stacked=False
@@ -88,18 +108,26 @@ def batch_pspec() -> P:
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """device_put the param pytree with TP/replicated shardings."""
     specs = param_pspecs(params)
-    is_q = lambda x: isinstance(x, QuantLinear)
+    is_q = lambda x: isinstance(x, (QuantLinear, Int8Linear))
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     def put_node(leaf, spec):
-        if is_q(leaf):
+        if isinstance(leaf, QuantLinear):
             return QuantLinear(
                 codes=put(leaf.codes, spec.codes),
                 scales=put(leaf.scales, spec.scales),
                 mins=None if leaf.mins is None else put(leaf.mins, spec.mins),
                 qtype=leaf.qtype,
+            )
+        if isinstance(leaf, Int8Linear):
+            return Int8Linear(
+                codes=put(leaf.codes, spec.codes),
+                scale=put(leaf.scale, spec.scale),
+                act_scale=None
+                if leaf.act_scale is None
+                else put(leaf.act_scale, spec.act_scale),
             )
         return put(leaf, spec)
 
