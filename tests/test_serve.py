@@ -191,3 +191,28 @@ class TestServeVitstrAutoDetect:
         eng = VitEngine(str(model), verbose=False)
         with _pytest.raises(ValueError, match="sequence head"):
             eng.classify_file("/nonexistent.jpg")
+
+
+class TestServeCliMesh:
+    def test_cli_mesh_sharded_serving(self, serve_setup, capsys):
+        """--mesh DPxTP shards the engine over the (virtual) device mesh;
+        per-image results must match the single-device CLI run."""
+        from vit_cpp_tpu.cli.serve import main
+
+        model, paths = serve_setup
+        good = [p for p in paths if "broken" not in p][:4]
+        args = ["-m", model, "--dtype", "f32", "--attn", "xla", "-b", "4"]
+        rc = main([*args, *good])
+        assert rc == 0
+        single = capsys.readouterr().out.strip().splitlines()
+        rc = main([*args, "--mesh", "4x2", *good])
+        assert rc == 0
+        sharded = capsys.readouterr().out.strip().splitlines()
+        assert sharded == single
+
+    def test_cli_mesh_rejects_bad_spec(self, serve_setup, capsys):
+        from vit_cpp_tpu.cli.serve import main
+
+        model, paths = serve_setup
+        assert main(["-m", model, "--mesh", "wat", paths[0]]) == 1
+        assert main(["-m", model, "--mesh", "3x2", "-b", "4", paths[0]]) == 1

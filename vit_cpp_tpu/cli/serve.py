@@ -58,6 +58,14 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--decode-threads", type=int, default=0)
     ap.add_argument(
+        "--mesh",
+        metavar="DPxTP",
+        default=None,
+        help="shard the engine over a multi-chip mesh, e.g. --mesh 4x2 = "
+        "4-way data parallel x 2-way megatron tensor parallel (requires "
+        "dp*tp visible devices; dp must divide batch)",
+    )
+    ap.add_argument(
         "--compile-cache",
         nargs="?",
         const="",
@@ -96,6 +104,19 @@ def main(argv=None) -> int:
     from vit_cpp_tpu.serve import recognize_files, serve_files
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    mesh = None
+    if args.mesh:
+        from vit_cpp_tpu.parallel.mesh import make_mesh
+
+        try:
+            dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"bad --mesh {args.mesh!r}: want DPxTP, e.g. 4x2", file=sys.stderr)
+            return 1
+        if args.batch % dp:
+            print(f"dp={dp} must divide --batch {args.batch}", file=sys.stderr)
+            return 1
+        mesh = make_mesh(dp=dp, tp=tp)
     # sequence-head (ViTSTR) checkpoints are served with the greedy decoder
     is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
     if is_vitstr:
@@ -107,6 +128,8 @@ def main(argv=None) -> int:
             fold_ln=fold_ln,
             verbose=False,
         )
+        if mesh is not None:
+            engine.shard(mesh)
         t0 = time.perf_counter()
         n_ok = 0
         for r in recognize_files(
@@ -133,6 +156,8 @@ def main(argv=None) -> int:
         fold_ln=fold_ln,
         verbose=False,
     )
+    if mesh is not None:
+        engine.shard(mesh)
     t0 = time.perf_counter()
     n_ok = 0
     for r in serve_files(

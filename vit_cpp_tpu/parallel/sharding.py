@@ -111,7 +111,13 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     is_q = lambda x: isinstance(x, (QuantLinear, Int8Linear))
 
     def put(leaf, spec):
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        try:
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        except ValueError:
+            # dim not divisible by the mesh axis (e.g. a 5-class demo
+            # head on tp=2): replicate that leaf instead of failing —
+            # XLA still runs the matmul, just without splitting it
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     def put_node(leaf, spec):
         if isinstance(leaf, QuantLinear):
