@@ -124,7 +124,8 @@ def main() -> int:
             qf = f"{d}/q.gguf"
             write_synthetic_model(f16, hp, ftype=1, seed=0)
             quantize_model_file(f16, qf, itype, verbose=False)
-            params = load_params(read_model(qf), dtype=dtype)
+            # pass hp explicitly: vitstr geometries need in_chans=1/seq_len
+            params = load_params(read_model(qf), dtype=dtype, hparams=hp)
             if args.mm == "int8":
                 from vit_cpp_tpu.quant.int8 import convert_params_to_int8
 
