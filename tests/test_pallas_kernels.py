@@ -261,6 +261,19 @@ class TestMaskedPairKernel:
                 np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
             )
 
+    @pytest.mark.parametrize("w", [2, 3, 6, 4])  # 4 -> snaps down to 3
+    def test_masked_lane_kernel_wide_panels(self, w):
+        # multi-panel lane blocks (fewer grid steps at B/8) must stay
+        # bit-identical to one-panel blocks (direct call: the jitted
+        # attention_qkv caches env knobs at trace time)
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(5)
+        qkv = jnp.asarray(rng.standard_normal((1, 197, 3 * 768)), dtype=jnp.float32)
+        wide = _attention_qkv_lane(qkv, 12, False, True, width=w)
+        one = _attention_qkv_lane(qkv, 12, False, True, width=1)
+        np.testing.assert_array_equal(np.asarray(wide), np.asarray(one))
+
     def test_pair_requires_d64(self):
         # d=32 (h=256, nh=8): pair dispatch must fall back, still correct
         rng = np.random.default_rng(7)

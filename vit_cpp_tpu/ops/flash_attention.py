@@ -38,6 +38,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _query_chunk(t: int) -> int:
+    """Query-row chunk for the (qc, T) score workspace.
+
+    t <= 256 runs unchunked. Above that, prefer the WHOLE query range when
+    the f32 score matrix stays modest (t*t*4 <= ~2.5 MB): fewer, larger
+    MXU dots and one softmax pass instead of several, and no degenerate
+    tail chunk (785 = 3x256 + 17 left a 17-row dot per head per step —
+    the B/8 profile showed the chunked kernel 2.6x over its dot floor).
+    Larger sequences split into balanced halves/thirds (ceil division)
+    rather than fixed 256s so the tail chunk stays full-sized.
+    Env override for experiments: VIT_ATTN_QC."""
+    import os as _os
+
+    env = _os.environ.get("VIT_ATTN_QC")
+    if env:
+        return min(t, int(env))
+    if t <= 256 or t * t * 4 <= 2_500_000:
+        return t
+    n = -(-t * t * 4 // 2_500_000)  # chunks needed to fit the budget
+    return -(-t // n)
+
+
 def _sdpa(q, k, v, out_dtype, fast: bool = False):
     """(T, D) f-dim attention math shared by both kernels; f32 softmax.
 
@@ -100,7 +122,7 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
     # Chunk the query rows for long sequences (ViT-B/8 is 785 tokens) so
     # the (qc, T) score workspace stays inside scoped VMEM; K/V always fit
     # whole, so no online-softmax rescaling is ever needed.
-    qc = t if t <= 256 else 256
+    qc = _query_chunk(t)
     for g in range(group):
         x = x_ref[g]
         for i in range(nh):
@@ -115,98 +137,99 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
 
 
 def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool):
-    """Lane-block variant: refs are (1, T, 128) lane blocks of the fused
-    projection — 128//d heads per grid step. Smaller blocks than the full
-    (T, 3h) variant at identical total HBM traffic: ~7% slower at T=197
-    (per-step overhead), but the only shape that fits scoped VMEM at
-    T=785 x h=768 (ViT-B/8), where the full-block kernel's stack is ~2x
-    the 16 MB budget. Query rows are chunked so the (qc, T) score
-    workspace stays small; K/V fit whole, so no online-softmax rescale.
+    """Lane-block variant: refs are (1, T, w*128) lane blocks of the fused
+    projection — w 128-lane panels, 128//d heads per panel. Smaller blocks
+    than the full (T, 3h) variant at identical total HBM traffic, and the
+    only shape that fits scoped VMEM at T=785 x h=768 (ViT-B/8), where the
+    full-block kernel's stack is ~2x the 16 MB budget. The panel count w
+    trades per-grid-step overhead against VMEM (the B/8 profile showed
+    768 one-panel steps paying ~40% of kernel time in per-step overhead);
+    panel carves at multiples of 128 lanes are register-aligned — free.
 
-    For d < 128 the in-block per-head carves would sit at 64-lane offsets
-    — cross-lane relayouts on the VPU, the exact overhead the masked-pair
+    Within a panel, d < 128 per-head carves would sit at 64-lane offsets —
+    cross-lane relayouts on the VPU, the exact overhead the masked-pair
     kernel (_qkv_pair_kernel) removes for the full-block shape. Same fix
     here: each head's scores come from a full-width dot against a
-    lane-MASKED copy of the K block (S_s = Q_blk · (K_blk ⊙ mask_s)^T —
+    lane-MASKED copy of the K panel (S_s = Q_pan · (K_pan ⊙ mask_s)^T —
     the zeroed lanes annihilate the other heads' contraction terms, and a
     d-wide dot wastes the idle systolic columns anyway so the full-width
     dot is wall-clock free), and the masked-V PV terms occupy disjoint
     lanes, so their sum assembles the aligned (qc, 128) output in ONE
-    aligned store. Bit-exact vs the carved slices (the masked lanes
-    contribute exact-zero products to the f32 accumulation)."""
-    import os as _os
-
+    aligned store. Bit-exact vs carved slices (the masked lanes contribute
+    exact-zero products to the f32 accumulation)."""
     t = q_ref.shape[1]
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    qc = t if t <= 256 else 256
-    nsub = q.shape[1] // d
-    if _os.environ.get("VIT_ATTN_LANE_MASK", "1") == "0":
-        # A/B knob: the round-1 carved-slice body (kept for measurement)
-        for s in range(nsub):
-            sl = slice(s * d, (s + 1) * d)
+    qc = _query_chunk(t)
+    nsub = 128 // d
+    scale = 1.4426950408889634 / (d**0.5)  # log2(e)/sqrt(d)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    masks = [
+        ((lanes >= s * d) & (lanes < (s + 1) * d)) for s in range(nsub)
+    ]
+    for p0 in range(0, q_ref.shape[2], 128):
+        pp = slice(p0, p0 + 128)
+        q, k, v = q_ref[0, :, pp], k_ref[0, :, pp], v_ref[0, :, pp]
+        if nsub == 1:
+            # single head fills the panel: direct, nothing to mask
             for q0 in range(0, t, qc):
                 q1 = min(q0 + qc, t)
-                o_ref[0, q0:q1, sl] = _sdpa(
-                    q[q0:q1, sl], k[:, sl], v[:, sl], o_ref.dtype, fast=fast
+                o_ref[0, q0:q1, pp] = _sdpa(
+                    q[q0:q1], k, v, o_ref.dtype, fast=fast
                 )
-        return
-    if nsub == 1:
-        # single head fills the block: direct, nothing to mask
+            continue
+        kms = [k * m.astype(k.dtype) for m in masks]
+        vms = [v * m.astype(v.dtype) for m in masks]
         for q0 in range(0, t, qc):
             q1 = min(q0 + qc, t)
-            o_ref[0, q0:q1] = _sdpa(q[q0:q1], k, v, o_ref.dtype, fast=fast)
-        return
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, q.shape[1]), 1)
-    masks = [
-        ((lanes >= s * d) & (lanes < (s + 1) * d)).astype(q.dtype)
-        for s in range(nsub)
-    ]
-    kms = [k * m for m in masks]
-    vms = [v * m for m in masks]
-    scale = 1.4426950408889634 / (d**0.5)  # log2(e)/sqrt(d)
-    for q0 in range(0, t, qc):
-        q1 = min(q0 + qc, t)
-        qs = (q[q0:q1].astype(jnp.float32) * scale).astype(q.dtype)
-        acc = None
-        for s in range(nsub):
-            sm = jax.lax.dot_general(
-                qs,
-                kms[s],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if fast:
-                p = jnp.exp2(jnp.minimum(sm, 120.0))
-            else:
-                p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
-            term = jax.lax.dot_general(
-                p.astype(v.dtype),
-                vms[s],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / jnp.sum(p, axis=-1, keepdims=True)
-            acc = term if acc is None else acc + term
-        o_ref[0, q0:q1] = acc.astype(o_ref.dtype)
+            qs = (q[q0:q1].astype(jnp.float32) * scale).astype(q.dtype)
+            acc = None
+            for s in range(nsub):
+                sm = jax.lax.dot_general(
+                    qs,
+                    kms[s],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if fast:
+                    p = jnp.exp2(jnp.minimum(sm, 120.0))
+                else:
+                    p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
+                term = jax.lax.dot_general(
+                    p.astype(v.dtype),
+                    vms[s],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / jnp.sum(p, axis=-1, keepdims=True)
+                acc = term if acc is None else acc + term
+            o_ref[0, q0:q1, pp] = acc.astype(o_ref.dtype)
 
 
-def _attention_qkv_lane(qkv, num_heads, fast, interpret):
+def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = None):
     b, t, three_h = qkv.shape
     h = three_h // 3
-    hb = h // 128  # lane blocks per q/k/v section
+    hb = h // 128  # lane panels per q/k/v section
+    if width is None:
+        import os as _os
+
+        env = _os.environ.get("VIT_ATTN_LANE_W")
+        width = int(env) if env else 1
+    width = max(1, min(width, hb))
+    while hb % width:  # panel count must tile the section evenly
+        width -= 1
+    wb = hb // width  # blocks per section
 
     def sec_spec(section):
         return pl.BlockSpec(
-            (1, t, 128),
-            lambda i, j, s=section: (i, 0, s * hb + j),
+            (1, t, 128 * width),
+            lambda i, j, s=section: (i, 0, s * wb + j),
             memory_space=pltpu.VMEM,
         )
 
     return pl.pallas_call(
         functools.partial(_qkv_lane_kernel, d=h // num_heads, fast=fast),
-        grid=(b, hb),
+        grid=(b, wb),
         in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
         out_specs=pl.BlockSpec(
-            (1, t, 128), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, t, 128 * width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, h), qkv.dtype),
         cost_estimate=pl.CostEstimate(
@@ -330,7 +353,7 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
     h = x_ref.shape[2] // 3
     d = h // nh
     x = x_ref[0]
-    qc = t if t <= 256 else 256
+    qc = _query_chunk(t)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
     mask_lo = (lanes < d).astype(x.dtype)
     mask_hi = (lanes >= d).astype(x.dtype)
