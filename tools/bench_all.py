@@ -47,6 +47,17 @@ CONFIGS = [
         "vitstr_base_bf16",
         ["--vitstr", "--quant", "none", "--mm", "xla", "--attn", "pallas-fast"],
     ),
+    # ViTSTR on the W8A8 serving path (same int8 pipeline as the classifier)
+    (
+        "vitstr_base_q8_0_w8a8",
+        ["--vitstr", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
+    ),
+    # ViT-B/8 @224: the reference converter's DEFAULT geometry (785 tokens;
+    # masked lane-panel attention dispatch)
+    (
+        "vitb8_224_q8_0_w8a8",
+        ["--patch", "8", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
+    ),
     (
         "latency_q8_0_w8a8",
         ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
