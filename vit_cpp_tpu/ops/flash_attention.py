@@ -211,7 +211,18 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
         import os as _os
 
         env = _os.environ.get("VIT_ATTN_LANE_W")
-        width = int(env) if env else 1
+        if env:
+            width = int(env)
+        else:
+            # Device sweeps: B/8 q8_0 (hb=6) w=3 best — 937.7 img/s vs
+            # 914.9/919.3/923.0 for w=1/2/6; L@384 safe (hb=8) w=4 —
+            # 456.6 vs 445.7 w=1. Wide enough to amortize per-step
+            # overhead, small enough to keep the VMEM working set tight.
+            # Pick the divisor of hb nearest 3 (ties -> larger).
+            width = min(
+                (w for w in range(1, hb + 1) if hb % w == 0),
+                key=lambda w: (abs(w - 3), -w),
+            )
     width = max(1, min(width, hb))
     while hb % width:  # panel count must tile the section evenly
         width -= 1
