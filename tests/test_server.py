@@ -1,0 +1,176 @@
+"""HTTP serving daemon (vit_cpp_tpu/server.py).
+
+End-to-end over a real socket on the CPU backend: classification parity
+with the engine, micro-batch coalescing, error paths, and the ViTSTR
+recognize route.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+
+def _png_bytes(seed: int, size=(40, 30)) -> bytes:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def vit_server(tmp_path_factory):
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+
+    root = tmp_path_factory.mktemp("server")
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    model = str(root / "m.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=3)
+    engine = VitEngine(model, verbose=False)
+    httpd, batcher = create_server(engine, port=0, batch=4, max_wait_ms=20.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    yield engine, base, batcher
+    httpd.shutdown()
+    httpd.server_close()
+    batcher.close()
+
+
+def _post(url: str, data: bytes):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+class TestVitServer:
+    def test_healthz(self, vit_server):
+        _, base, _ = vit_server
+        code, body = _get(f"{base}/healthz")
+        assert code == 200 and body["ok"] and body["model"] == "vit"
+
+    def test_classify_matches_engine(self, vit_server):
+        engine, base, _ = vit_server
+        png = _png_bytes(0)
+        code, body = _post(f"{base}/v1/classify?topk=3", png)
+        assert code == 200 and len(body["topk"]) == 3
+        # parity with the engine's own path on the same pixels
+        img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        probs = np.asarray(
+            engine.predict_probs_batch(engine.preprocess_image(img)[None])
+        )[0]
+        want = int(np.argsort(-probs, kind="stable")[0])
+        assert body["topk"][0]["id"] == want
+        np.testing.assert_allclose(
+            body["topk"][0]["prob"], probs[want], atol=1e-5
+        )
+
+    def test_concurrent_requests_coalesce(self, vit_server):
+        engine, base, batcher = vit_server
+        n0_req, n0_batch = batcher.n_requests, batcher.n_batches
+        pngs = [_png_bytes(i) for i in range(8)]
+        results = [None] * 8
+
+        def hit(i):
+            results[i] = _post(f"{base}/v1/classify?topk=1", pngs[i])
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(code == 200 for code, _ in results)
+        # every image classified independently and correctly
+        for i, (_, body) in enumerate(results):
+            img = np.asarray(Image.open(io.BytesIO(pngs[i])).convert("RGB"))
+            probs = np.asarray(
+                engine.predict_probs_batch(engine.preprocess_image(img)[None])
+            )[0]
+            assert body["topk"][0]["id"] == int(np.argmax(probs))
+        # 8 requests went through in fewer than 8 device batches
+        assert batcher.n_requests - n0_req == 8
+        assert batcher.n_batches - n0_batch < 8
+
+    def test_bad_image_400(self, vit_server):
+        _, base, _ = vit_server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/classify", b"not an image")
+        assert e.value.code == 400
+
+    def test_unknown_route_404(self, vit_server):
+        _, base, _ = vit_server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/nope")
+        assert e.value.code == 404
+
+    def test_stats(self, vit_server):
+        _, base, _ = vit_server
+        code, body = _get(f"{base}/stats")
+        assert code == 200 and body["requests"] >= 1
+
+
+def test_vitstr_recognize_route(tmp_path):
+    from vit_cpp_tpu.engine import VitstrEngine
+    from vit_cpp_tpu.models.vitstr import vitstr_id2label
+    from vit_cpp_tpu.server import create_server
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=96,
+        patch_size=8,
+        img_size=32,
+        in_chans=1,
+        seq_len=5,
+    )
+    model = str(tmp_path / "s.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=4, id2label=vitstr_id2label())
+    engine = VitstrEngine(model, verbose=False)
+    httpd, batcher = create_server(engine, port=0, batch=2, max_wait_ms=5.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        png = _png_bytes(7)
+        code, body = _post(f"{base}/v1/recognize", png)
+        assert code == 200 and isinstance(body["text"], str)
+        img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        from vit_cpp_tpu.models.vitstr import greedy_decode
+
+        probs = np.asarray(
+            engine.predict_probs_batch(engine.preprocess_image(img)[None])
+        )[0]
+        want_text, want_conf = greedy_decode(probs, engine.id2label)
+        assert body["text"] == want_text
+        np.testing.assert_allclose(body["confidence"], want_conf, atol=1e-5)
+        # classify route is rejected on a vitstr model
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/classify", png)
+        assert e.value.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()

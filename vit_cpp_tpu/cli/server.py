@@ -1,0 +1,115 @@
+"""`vit-server` CLI: long-running HTTP inference daemon.
+
+The production front end the reference lacks (its README serving story is
+one CLI run per image). One engine, micro-batched device execution
+(vit_cpp_tpu/server.py), same engine knobs as the serve CLI.
+
+Usage:
+  python -m vit_cpp_tpu.cli.server -m model-q8_0.gguf --port 8000
+  curl -s -X POST --data-binary @magpie.jpeg localhost:8000/v1/classify?topk=5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument(
+        "-b", "--batch", type=int, default=8,
+        help="micro-batch size (requests coalesced per device step)",
+    )
+    ap.add_argument(
+        "--max-wait-ms", type=float, default=5.0,
+        help="max time the batcher waits to fill a batch",
+    )
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="int8")
+    ap.add_argument(
+        "--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast"
+    )
+    ap.add_argument(
+        "--fold-ln", action=argparse.BooleanOptionalAction, default=None
+    )
+    ap.add_argument("--mesh", metavar="DPxTP", default=None)
+    ap.add_argument(
+        "--request-timeout", type=float, default=30.0,
+        help="per-request wait on the device queue, seconds",
+    )
+    ap.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the pre-bind warmup batch (first request pays the compile)",
+    )
+    ap.add_argument(
+        "--compile-cache", nargs="?", const="", default=None, metavar="DIR"
+    )
+    args = ap.parse_args(argv)
+
+    from vit_cpp_tpu.utils.compile_cache import enable_compile_cache, enable_from_env
+
+    if args.compile_cache is not None:
+        enable_compile_cache(args.compile_cache or None)
+    else:
+        enable_from_env()
+
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
+    from vit_cpp_tpu.gguf.reader import read_model
+    from vit_cpp_tpu.server import create_server
+
+    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
+    cls = (
+        VitstrEngine
+        if detect_hparams(read_model(args.model)).seq_len is not None
+        else VitEngine
+    )
+    engine = cls(
+        args.model,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        attn_impl=args.attn,
+        mm_impl=args.mm,
+        fold_ln=fold_ln,
+        verbose=False,
+    )
+    if args.mesh:
+        from vit_cpp_tpu.parallel.mesh import make_mesh
+
+        dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        if args.batch % dp:
+            print(f"dp={dp} must divide --batch {args.batch}", file=sys.stderr)
+            return 1
+        engine.shard(make_mesh(dp=dp, tp=tp))
+
+    httpd, batcher = create_server(
+        engine,
+        host=args.host,
+        port=args.port,
+        batch=args.batch,
+        max_wait_ms=args.max_wait_ms,
+        warmup=not args.no_warmup,
+        request_timeout_s=args.request_timeout,
+    )
+    kind = "vitstr" if cls is VitstrEngine else "vit"
+    print(
+        f"vit-server: {kind} model on http://{args.host}:{httpd.server_port} "
+        f"(micro-batch {args.batch}, wait {args.max_wait_ms} ms)",
+        file=sys.stderr,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        batcher.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

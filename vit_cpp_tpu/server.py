@@ -1,0 +1,238 @@
+"""HTTP serving daemon with micro-batching.
+
+The reference has "no serving daemon" (SURVEY.md §0) — its only serving
+story is re-running the CLI per image. This is the long-running production
+front end for the TPU engine: a stdlib ThreadingHTTPServer accepts one
+image per request, and a device worker coalesces concurrent requests into
+fixed-size batches (padding the tail, so exactly ONE program is ever
+compiled — same trick as serve.py's file pipeline) before running the
+jitted forward. Decode + preprocess run in the per-request handler
+threads, so host work overlaps device compute exactly as in serve.py.
+
+Endpoints:
+  GET  /healthz               -> {"ok": true, "model": ..., ...}
+  GET  /stats                 -> request/batch counters
+  POST /v1/classify[?topk=K]  -> {"topk": [{"id", "label", "prob"}, ...]}
+  POST /v1/recognize          -> {"text", "confidence"}   (ViTSTR models)
+
+Request body = raw image bytes (JPEG/PNG/BMP/PNM via the native decoder,
+anything else via PIL).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def decode_rgb_from_bytes(data: bytes) -> Optional[np.ndarray]:
+    """bytes -> (H, W, 3) uint8 RGB; native decoder first, PIL fallback."""
+    try:
+        from vit_cpp_tpu.native import decoder
+
+        img = decoder.decode_rgb_bytes(data)
+        if img is not None:
+            return img
+    except Exception:
+        pass
+    try:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-image requests into fixed-size batches.
+
+    submit() enqueues preprocessed pixels and returns a Future; one device
+    worker drains the queue — it blocks for the first item, then gathers
+    up to `batch` more for at most `max_wait_ms` — pads the tail by
+    repeating the first item (shape-stable: no recompiles, same rationale
+    as serve.py), runs `predict`, and resolves each Future with its row.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, predict, batch: int = 8, max_wait_ms: float = 5.0):
+        self._predict = predict
+        self.batch = int(batch)
+        self.max_wait = float(max_wait_ms) / 1000.0
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self.n_requests = 0
+        self.n_batches = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, pixels) -> Future:
+        fut: Future = Future()
+        self._q.put((pixels, fut))
+        return fut
+
+    def close(self) -> None:
+        self._q.put(self._SENTINEL)
+        self._worker.join(timeout=5.0)
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            items = [item]
+            deadline = time.monotonic() + self.max_wait
+            while len(items) < self.batch:
+                try:
+                    nxt = self._q.get(timeout=max(0.0, deadline - time.monotonic()))
+                except queue.Empty:
+                    break
+                if nxt is self._SENTINEL:
+                    self._flush(items)
+                    return
+                items.append(nxt)
+            self._flush(items)
+
+    def _flush(self, items) -> None:
+        import jax.numpy as jnp
+
+        pixels = [p for p, _ in items]
+        pad = self.batch - len(pixels)
+        stacked = jnp.stack(pixels + [pixels[0]] * pad)
+        try:
+            out = np.asarray(self._predict(stacked))
+        except Exception as e:  # resolve every waiter, don't hang clients
+            for _, fut in items:
+                fut.set_exception(e)
+            return
+        self.n_requests += len(items)
+        self.n_batches += 1
+        for i, (_, fut) in enumerate(items):
+            fut.set_result(out[i])
+
+
+def make_handler(engine, batcher: MicroBatcher, timeout_s: float = 30.0):
+    """Build the request-handler class bound to an engine + batcher."""
+    from vit_cpp_tpu.engine import VitstrEngine
+
+    is_vitstr = isinstance(engine, VitstrEngine)
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; the CLI wires log_request through --verbose
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                hp = engine.hp
+                self._json(
+                    200,
+                    {
+                        "ok": True,
+                        "model": "vitstr" if is_vitstr else "vit",
+                        "hidden_size": hp.hidden_size,
+                        "img_size": hp.img_size,
+                        "batch": batcher.batch,
+                    },
+                )
+            elif self.path == "/stats":
+                self._json(
+                    200,
+                    {
+                        "requests": batcher.n_requests,
+                        "batches": batcher.n_batches,
+                    },
+                )
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            want = "/v1/recognize" if is_vitstr else "/v1/classify"
+            if path != want:
+                self._json(404, {"error": f"no route {path} (use {want})"})
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            data = self.rfile.read(n) if n else b""
+            img = decode_rgb_from_bytes(data)
+            if img is None:
+                self._json(400, {"error": "undecodable image"})
+                return
+            pixels = engine.preprocess_image(img)
+            probs = batcher.submit(pixels).result(timeout=timeout_s)
+            if is_vitstr:
+                from vit_cpp_tpu.models.vitstr import greedy_decode
+
+                text, conf = greedy_decode(np.asarray(probs), engine.id2label)
+                self._json(200, {"text": text, "confidence": float(conf)})
+                return
+            topk = 5
+            for kv in query.split("&"):
+                if kv.startswith("topk="):
+                    topk = max(1, int(kv[5:]))
+            order = np.argsort(-probs, kind="stable")[:topk]
+            self._json(
+                200,
+                {
+                    "topk": [
+                        {
+                            "id": int(i),
+                            "label": engine.id2label.get(int(i), f"LABEL_{i}"),
+                            "prob": float(probs[i]),
+                        }
+                        for i in order
+                    ]
+                },
+            )
+
+    return Handler
+
+
+def create_server(
+    engine,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    batch: int = 8,
+    max_wait_ms: float = 5.0,
+    warmup: bool = True,
+    request_timeout_s: float = 30.0,
+):
+    """Build (ThreadingHTTPServer, MicroBatcher); caller runs
+    serve_forever() (or .handle_request() in tests) and closes both.
+
+    warmup=True runs one dummy batch through the jitted forward BEFORE
+    the server is returned, so the first real request never pays the
+    XLA compile (minutes on TPU for the big serving programs — pair with
+    --compile-cache to make it a one-time cost per machine)."""
+    batcher = MicroBatcher(
+        engine.predict_probs_batch, batch=batch, max_wait_ms=max_wait_ms
+    )
+    if warmup:
+        import jax.numpy as jnp
+
+        hp = engine.hp
+        dummy = jnp.zeros((hp.in_chans, hp.img_size, hp.img_size), jnp.float32)
+        batcher.submit(dummy).result()  # blocks through compile + 1 step
+        batcher.n_requests = 0
+        batcher.n_batches = 0
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(engine, batcher, timeout_s=request_timeout_s)
+    )
+    return httpd, batcher
