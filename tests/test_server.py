@@ -174,3 +174,39 @@ def test_vitstr_recognize_route(tmp_path):
         httpd.shutdown()
         httpd.server_close()
         batcher.close()
+
+
+def test_device_failure_returns_500():
+    """A raising predict resolves waiters with the exception and the
+    handler returns JSON 500 instead of dropping the socket."""
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+    import tempfile, os
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        model = os.path.join(d, "m.gguf")
+        write_synthetic_model(model, hp, ftype=1, seed=5)
+        engine = VitEngine(model, verbose=False)
+        httpd, batcher = create_server(engine, port=0, batch=2, max_wait_ms=2.0)
+        # break the device path AFTER warmup
+        batcher._predict = lambda x: (_ for _ in ()).throw(RuntimeError("chip gone"))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(f"{base}/v1/classify", _png_bytes(1))
+            assert e.value.code == 500
+            assert "chip gone" in json.loads(e.value.read())["error"]
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            batcher.close()

@@ -176,7 +176,11 @@ def make_handler(engine, batcher: MicroBatcher, timeout_s: float = 30.0):
                 self._json(400, {"error": "undecodable image"})
                 return
             pixels = engine.preprocess_image(img)
-            probs = batcher.submit(pixels).result(timeout=timeout_s)
+            try:
+                probs = batcher.submit(pixels).result(timeout=timeout_s)
+            except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if is_vitstr:
                 from vit_cpp_tpu.models.vitstr import greedy_decode
 
