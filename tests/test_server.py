@@ -210,3 +210,31 @@ def test_device_failure_returns_500():
             httpd.shutdown()
             httpd.server_close()
             batcher.close()
+
+
+class TestServerHardening:
+    def test_bad_topk_query_400(self, vit_server):
+        _, base, _ = vit_server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/classify?topk=abc", _png_bytes(2))
+        assert e.value.code == 400
+
+    def test_oversized_body_413(self, vit_server):
+        _, base, _ = vit_server
+        req = urllib.request.Request(
+            f"{base}/v1/classify", data=b"x", method="POST",
+            headers={"Content-Length": str(64 * 1024 * 1024)},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+
+    def test_varied_image_sizes_one_program_per_bucket(self, vit_server):
+        """Different source (H, W) must NOT each compile a new preprocess
+        program — the daemon uses the canvas-bucketed path."""
+        engine, base, _ = vit_server
+        for seed, size in enumerate([(40, 30), (55, 70), (100, 90), (130, 40)]):
+            code, body = _post(
+                f"{base}/v1/classify?topk=1", _png_bytes(seed, size=size)
+            )
+            assert code == 200 and len(body["topk"]) == 1

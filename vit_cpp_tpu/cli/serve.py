@@ -116,7 +116,11 @@ def main(argv=None) -> int:
         if args.batch % dp:
             print(f"dp={dp} must divide --batch {args.batch}", file=sys.stderr)
             return 1
-        mesh = make_mesh(dp=dp, tp=tp)
+        try:
+            mesh = make_mesh(dp=dp, tp=tp)
+        except ValueError as e:  # dp*tp != visible devices
+            print(f"--mesh {args.mesh}: {e}", file=sys.stderr)
+            return 1
     # sequence-head (ViTSTR) checkpoints are served with the greedy decoder
     is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
     if is_vitstr:

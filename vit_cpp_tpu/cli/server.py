@@ -80,11 +80,19 @@ def main(argv=None) -> int:
     if args.mesh:
         from vit_cpp_tpu.parallel.mesh import make_mesh
 
-        dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        try:
+            dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"bad --mesh {args.mesh!r}: want DPxTP, e.g. 4x2", file=sys.stderr)
+            return 1
         if args.batch % dp:
             print(f"dp={dp} must divide --batch {args.batch}", file=sys.stderr)
             return 1
-        engine.shard(make_mesh(dp=dp, tp=tp))
+        try:
+            engine.shard(make_mesh(dp=dp, tp=tp))
+        except ValueError as e:  # dp*tp != visible devices
+            print(f"--mesh {args.mesh}: {e}", file=sys.stderr)
+            return 1
 
     httpd, batcher = create_server(
         engine,

@@ -53,7 +53,10 @@ def _query_chunk(t: int) -> int:
 
     env = _os.environ.get("VIT_ATTN_QC")
     if env:
-        return min(t, int(env))
+        qc = int(env)  # raises with the env text on a non-integer
+        if qc < 1:
+            raise ValueError(f"VIT_ATTN_QC must be >= 1, got {env!r}")
+        return min(t, qc)
     if t <= 256 or t * t * 4 <= 2_500_000:
         return t
     n = -(-t * t * 4 // 2_500_000)  # chunks needed to fit the budget
@@ -212,7 +215,9 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
 
         env = _os.environ.get("VIT_ATTN_LANE_W")
         if env:
-            width = int(env)
+            width = int(env)  # raises with the env text on a non-integer
+            if width < 1:
+                raise ValueError(f"VIT_ATTN_LANE_W must be >= 1, got {env!r}")
         else:
             # Device sweeps: B/8 q8_0 (hb=6) w=3 best — 937.7 img/s vs
             # 914.9/919.3/923.0 for w=1/2/6; L@384 safe (hb=8) w=4 —

@@ -110,14 +110,34 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     specs = param_pspecs(params)
     is_q = lambda x: isinstance(x, (QuantLinear, Int8Linear))
 
+    def _divisible(shape, spec) -> bool:
+        for dim, entry in zip(shape, spec):
+            if entry is None:
+                continue
+            axes = entry if isinstance(entry, tuple) else (entry,)
+            size = 1
+            for ax in axes:
+                size *= mesh.shape[ax]
+            if dim % size:
+                return False
+        return True
+
     def put(leaf, spec):
-        try:
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
-        except ValueError:
+        if not _divisible(leaf.shape, spec):
             # dim not divisible by the mesh axis (e.g. a 5-class demo
             # head on tp=2): replicate that leaf instead of failing —
-            # XLA still runs the matmul, just without splitting it
-            return jax.device_put(leaf, NamedSharding(mesh, P()))
+            # XLA still runs the matmul, just without splitting it.
+            # Explicit check + warning, NOT a blanket except: a genuine
+            # spec bug must still raise, and a silently-replicated model
+            # (no TP speedup) must not be silent.
+            import warnings
+
+            warnings.warn(
+                f"shard_params: leaf shape {tuple(leaf.shape)} does not "
+                f"divide mesh axes in spec {spec}; replicating this leaf"
+            )
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     def put_node(leaf, spec):
         if isinstance(leaf, QuantLinear):

@@ -81,6 +81,20 @@ class MicroBatcher:
     def close(self) -> None:
         self._q.put(self._SENTINEL)
         self._worker.join(timeout=5.0)
+        self._drain_failed()  # anything enqueued after the sentinel
+
+    def _drain_failed(self) -> None:
+        """Fail-fast every queued Future so in-flight handler threads get
+        an immediate error instead of blocking out their full timeout
+        (close() can race handlers: httpd.shutdown() stops the accept
+        loop but does not wait for active handler threads)."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not self._SENTINEL:
+                item[1].set_exception(RuntimeError("server shutting down"))
 
     def _run(self) -> None:
         import time
@@ -88,6 +102,7 @@ class MicroBatcher:
         while True:
             item = self._q.get()
             if item is self._SENTINEL:
+                self._drain_failed()
                 return
             items = [item]
             deadline = time.monotonic() + self.max_wait
@@ -98,6 +113,7 @@ class MicroBatcher:
                     break
                 if nxt is self._SENTINEL:
                     self._flush(items)
+                    self._drain_failed()
                     return
                 items.append(nxt)
             self._flush(items)
@@ -120,11 +136,32 @@ class MicroBatcher:
             fut.set_result(out[i])
 
 
-def make_handler(engine, batcher: MicroBatcher, timeout_s: float = 30.0):
+def make_handler(
+    engine,
+    batcher: MicroBatcher,
+    timeout_s: float = 30.0,
+    max_body_bytes: int = 32 * 1024 * 1024,
+):
     """Build the request-handler class bound to an engine + batcher."""
     from vit_cpp_tpu.engine import VitstrEngine
 
     is_vitstr = isinstance(engine, VitstrEngine)
+
+    def preprocess(img):
+        # canvas-bucketed batch path, NOT the per-size parity path: one
+        # compiled program per 256-px source bucket instead of one per
+        # distinct (H, W) — arbitrary client image sizes must not grow
+        # the jit cache per request (ops/preprocess.py docstring; same
+        # reason serve.py uses preprocess_batch)
+        if is_vitstr:
+            from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
+
+            return preprocess_grayscale_batch([img], engine.hp.img_size)[0]
+        from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+        return preprocess_batch(
+            [img], engine.hp.img_size, mode=engine.hp.interpolation
+        )[0]
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; the CLI wires log_request through --verbose
@@ -170,12 +207,25 @@ def make_handler(engine, batcher: MicroBatcher, timeout_s: float = 30.0):
                 self._json(404, {"error": f"no route {path} (use {want})"})
                 return
             n = int(self.headers.get("Content-Length") or 0)
+            if n > max_body_bytes:
+                self._json(
+                    413, {"error": f"body {n} bytes > limit {max_body_bytes}"}
+                )
+                return
             data = self.rfile.read(n) if n else b""
             img = decode_rgb_from_bytes(data)
             if img is None:
                 self._json(400, {"error": "undecodable image"})
                 return
-            pixels = engine.preprocess_image(img)
+            topk = 5
+            for kv in query.split("&"):
+                if kv.startswith("topk="):
+                    try:
+                        topk = max(1, int(kv[5:]))
+                    except ValueError:
+                        self._json(400, {"error": f"bad query {kv!r}"})
+                        return
+            pixels = preprocess(img)
             try:
                 probs = batcher.submit(pixels).result(timeout=timeout_s)
             except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
@@ -187,10 +237,6 @@ def make_handler(engine, batcher: MicroBatcher, timeout_s: float = 30.0):
                 text, conf = greedy_decode(np.asarray(probs), engine.id2label)
                 self._json(200, {"text": text, "confidence": float(conf)})
                 return
-            topk = 5
-            for kv in query.split("&"):
-                if kv.startswith("topk="):
-                    topk = max(1, int(kv[5:]))
             order = np.argsort(-probs, kind="stable")[:topk]
             self._json(
                 200,
@@ -217,6 +263,7 @@ def create_server(
     max_wait_ms: float = 5.0,
     warmup: bool = True,
     request_timeout_s: float = 30.0,
+    max_body_bytes: int = 32 * 1024 * 1024,
 ):
     """Build (ThreadingHTTPServer, MicroBatcher); caller runs
     serve_forever() (or .handle_request() in tests) and closes both.
@@ -237,6 +284,12 @@ def create_server(
         batcher.n_requests = 0
         batcher.n_batches = 0
     httpd = ThreadingHTTPServer(
-        (host, port), make_handler(engine, batcher, timeout_s=request_timeout_s)
+        (host, port),
+        make_handler(
+            engine,
+            batcher,
+            timeout_s=request_timeout_s,
+            max_body_bytes=max_body_bytes,
+        ),
     )
     return httpd, batcher
