@@ -1,0 +1,136 @@
+"""AOT deployment artifacts: one file = compiled program + weights + meta.
+
+`export_engine` constant-folds an engine's parameters into its jitted
+serving function and serializes the result with `jax.export` (StableHLO +
+embedded weights). The `.vitx` artifact can then be served by `AotEngine`
+in a process that needs NO model code, NO gguf file, and NO re-trace —
+deserialization restores the compiled-and-ready program. This is the TPU
+analogue of shipping the reference's ggml file + binary as one unit, with
+the trace/compile cost paid at build time instead of at serving start
+(complementary to utils/compile_cache.py, which caches per-machine).
+
+File layout:  b"VITX\\x01" | u32 json_len | meta json | jax.export blob
+
+The exported program is pinned to a fixed (batch, C, S, S) input (batch
+padding is the serving layer's job — serve.py and server.py already pad
+to a fixed batch) and to the lowering platform(s) recorded at export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+MAGIC = b"VITX\x01"
+
+
+def export_engine(engine, batch: int) -> bytes:
+    """Serialize `engine`'s serving function for a fixed batch size.
+
+    Weights are closed over (constant-folded into the artifact); the
+    exported callable maps (batch, in_chans, S, S) f32 pixels ->
+    probabilities. Pallas custom calls (the fused attention kernel) are
+    allowed through export's compatibility check — the artifact is tied
+    to a compatible runtime, which is the normal contract for a deploy
+    artifact."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    from vit_cpp_tpu.models.vit import predict_probs
+
+    params, hp = engine.params, engine.hp
+    attn_impl, mm_impl = engine._attn_impl, engine._mm_impl
+    precision = engine.matmul_precision
+
+    def serve_fn(images):
+        with jax.default_matmul_precision(precision):
+            return predict_probs(
+                params, images, hp, attn_impl=attn_impl, mm_impl=mm_impl
+            )
+
+    x = jax.ShapeDtypeStruct(
+        (batch, hp.in_chans, hp.img_size, hp.img_size), jnp.float32
+    )
+    disabled = [
+        jex.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        jex.DisabledSafetyCheck.custom_call("Mosaic"),
+    ]
+    exp = jex.export(jax.jit(serve_fn), disabled_checks=disabled)(x)
+    meta = {
+        "batch": batch,
+        "hparams": dataclasses.asdict(hp),
+        "id2label": {str(k): v for k, v in engine.id2label.items()},
+        "platforms": list(exp.platforms),
+        "attn_impl": attn_impl,
+        "mm_impl": mm_impl,
+    }
+    mj = json.dumps(meta).encode()
+    return MAGIC + struct.pack("<I", len(mj)) + mj + exp.serialize()
+
+
+def save_engine(engine, path: str, batch: int) -> Dict[str, Any]:
+    blob = export_engine(engine, batch)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return read_meta(path)
+
+
+def _split(data: bytes) -> Tuple[Dict[str, Any], bytes]:
+    if data[: len(MAGIC)] != MAGIC:
+        raise ValueError("not a VITX artifact (bad magic)")
+    (n,) = struct.unpack_from("<I", data, len(MAGIC))
+    off = len(MAGIC) + 4
+    meta = json.loads(data[off : off + n])
+    return meta, data[off + n :]
+
+
+def read_meta(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        meta, _ = _split(f.read())
+    return meta
+
+
+class AotEngine:
+    """Serve a .vitx artifact: drop-in for VitEngine's serving surface
+    (hp / id2label / preprocess_image / predict_probs_batch) with a FIXED
+    batch size — pair with serve_files(..., batch=engine.batch) or the
+    HTTP daemon's MicroBatcher(batch=engine.batch)."""
+
+    def __init__(self, path: str):
+        from jax import export as jex
+
+        from vit_cpp_tpu.hparams import VitHParams
+
+        with open(path, "rb") as f:
+            meta, blob = _split(f.read())
+        self.meta = meta
+        self.batch = int(meta["batch"])
+        self.hp = VitHParams(**meta["hparams"])
+        self.id2label = {int(k): v for k, v in meta["id2label"].items()}
+        self._exported = jex.deserialize(blob)
+
+    def preprocess_image(self, img_u8: np.ndarray):
+        from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+        if self.hp.seq_len is not None:
+            from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
+
+            return preprocess_grayscale_batch([img_u8], self.hp.img_size)[0]
+        return preprocess_batch(
+            [img_u8], self.hp.img_size, mode=self.hp.interpolation
+        )[0]
+
+    def predict_probs_batch(self, images):
+        import jax.numpy as jnp
+
+        if images.shape[0] != self.batch:
+            raise ValueError(
+                f"artifact is compiled for batch {self.batch}, "
+                f"got {images.shape[0]} (pad at the serving layer)"
+            )
+        return self._exported.call(images.astype(jnp.float32))

@@ -1,0 +1,76 @@
+"""`vit-export` CLI: build a single-file AOT serving artifact (.vitx).
+
+    python -m vit_cpp_tpu.cli.export_aot model-q8_0.gguf model.vitx --batch 64
+    python -m vit_cpp_tpu.cli.export_aot --info model.vitx
+
+The artifact embeds the compiled serving program AND the weights
+(vit_cpp_tpu/aot.py); serve it with AotEngine — no gguf, no model code,
+no first-request trace. Export on (or lowering for) the platform you
+will serve on; the artifact records its platforms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("model", nargs="?", help="input .gguf checkpoint")
+    ap.add_argument("out", nargs="?", help="output .vitx artifact")
+    ap.add_argument("--info", metavar="VITX", help="print an artifact's metadata")
+    ap.add_argument("-b", "--batch", type=int, default=64)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="int8")
+    ap.add_argument(
+        "--attn", choices=["xla", "pallas", "pallas-fast"], default="pallas-fast"
+    )
+    ap.add_argument(
+        "--fold-ln", action=argparse.BooleanOptionalAction, default=None
+    )
+    args = ap.parse_args(argv)
+
+    if args.info:
+        from vit_cpp_tpu.aot import read_meta
+
+        print(json.dumps(read_meta(args.info), indent=2))
+        return 0
+    if not args.model or not args.out:
+        print("need MODEL and OUT (or --info VITX)", file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.aot import save_engine
+    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
+    from vit_cpp_tpu.gguf.reader import read_model
+
+    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
+    cls = (
+        VitstrEngine
+        if detect_hparams(read_model(args.model)).seq_len is not None
+        else VitEngine
+    )
+    engine = cls(
+        args.model,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        attn_impl=args.attn,
+        mm_impl=args.mm,
+        fold_ln=fold_ln,
+        verbose=False,
+    )
+    meta = save_engine(engine, args.out, batch=args.batch)
+    import os
+
+    print(
+        f"vit-export: {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
+        f"batch {meta['batch']}, platforms {meta['platforms']})",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
