@@ -96,6 +96,185 @@ def test_serve_files_with_aot_engine(model_path, tmp_path):
         np.testing.assert_allclose(r.prob, want[1], atol=1e-5)
 
 
+def test_serve_cli_accepts_vitx(model_path, tmp_path, capsys):
+    """`vit-serve -m model.vitx`: artifact auto-detected by magic; the
+    artifact's compiled batch size wins over -b; --mesh is rejected."""
+    from PIL import Image
+
+    from vit_cpp_tpu.aot import save_engine
+    from vit_cpp_tpu.cli.serve import main
+    from vit_cpp_tpu.engine import VitEngine
+
+    engine = VitEngine(model_path, verbose=False)
+    vitx = str(tmp_path / "m.vitx")
+    save_engine(engine, vitx, batch=2)
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append(str(p))
+
+    assert main(["-m", vitx, "-b", "64", *paths]) == 0
+    out, err = capsys.readouterr()
+    lines = [l for l in out.strip().splitlines() if l]
+    assert len(lines) == 3
+    assert "compiled for batch 2" in err and "AOT artifact" in err
+    for line, p in zip(lines, paths):
+        want = engine.classify_file(p, topk=1, verbose=False)[0]
+        path, label, prob = line.split("\t")
+        assert path == p and label == engine.id2label[want[0]]
+        np.testing.assert_allclose(float(prob), want[1], atol=5e-3)
+
+    assert main(["-m", vitx, "--mesh", "2x1", *paths]) == 1
+    assert "not supported for .vitx" in capsys.readouterr().err
+
+
+def test_vitstr_artifact_recognize(tmp_path):
+    """ViTSTR checkpoints export too: the artifact drives recognize_files
+    and matches the live engine's decoded text."""
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitstrEngine
+    from vit_cpp_tpu.models.vitstr import vitstr_id2label
+    from vit_cpp_tpu.serve import recognize_files
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=96,
+        patch_size=16,
+        img_size=96,
+        in_chans=1,
+        seq_len=25,
+    )
+    gguf = str(tmp_path / "s.gguf")
+    write_synthetic_model(gguf, hp, ftype=1, seed=5, id2label=vitstr_id2label())
+    engine = VitstrEngine(gguf, verbose=False)
+    vitx = str(tmp_path / "s.vitx")
+    save_engine(engine, vitx, batch=2)
+    aot = AotEngine(vitx)
+    assert aot.hp.seq_len == engine.hp.seq_len is not None
+
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"w{i}.png"
+        Image.fromarray(
+            rng.integers(0, 256, (24, 64, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    got = list(recognize_files(aot, paths, batch=aot.batch))
+    want = list(recognize_files(engine, paths, batch=aot.batch))
+    assert [(r.path, r.text) for r in got] == [(r.path, r.text) for r in want]
+    np.testing.assert_allclose(
+        [r.confidence for r in got], [r.confidence for r in want], atol=1e-5
+    )
+
+
+def test_http_daemon_serves_artifact(model_path, tmp_path):
+    """The micro-batched HTTP daemon runs on an AotEngine (server.py
+    routes by hp, pads to the artifact's fixed batch)."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+
+    engine = VitEngine(model_path, verbose=False)
+    vitx = str(tmp_path / "m.vitx")
+    save_engine(engine, vitx, batch=4)
+    aot = AotEngine(vitx)
+    httpd, batcher = create_server(aot, port=0, batch=aot.batch, max_wait_ms=5.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_port}/v1/classify?topk=3",
+            data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            top = json.loads(r.read())["topk"]
+        assert len(top) == 3
+        # parity with the live engine through the same canvas preprocess
+        from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+        pixels = preprocess_batch([img], engine.hp.img_size)[0]
+        import jax.numpy as jnp
+
+        want = np.asarray(
+            engine.predict_probs_batch(jnp.stack([pixels] * 4))
+        )[0]
+        assert top[0]["id"] == int(want.argmax())
+        np.testing.assert_allclose(top[0]["prob"], want.max(), atol=1e-5)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
+def test_platform_mismatch_rejected_at_load(model_path, tmp_path):
+    """An artifact lowered only for another platform fails at load with a
+    clear message (not per-request deep inside jax.export)."""
+    import json as _json
+    import struct
+
+    from vit_cpp_tpu.aot import MAGIC, AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    out = str(tmp_path / "m.vitx")
+    save_engine(VitEngine(model_path, verbose=False), out, batch=2)
+    # rewrite the recorded platforms to something this process is not
+    with open(out, "rb") as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<I", data, len(MAGIC))
+    off = len(MAGIC) + 4
+    meta = _json.loads(data[off : off + n])
+    meta["platforms"] = ["rocm"]
+    mj = _json.dumps(meta).encode()
+    with open(out, "wb") as f:
+        f.write(MAGIC + struct.pack("<I", len(mj)) + mj + data[off + n :])
+    with pytest.raises(ValueError, match="exported for platforms"):
+        AotEngine(out)
+
+
+def test_cross_platform_export(model_path, tmp_path):
+    """--platforms cross-lowers: a cpu+tpu artifact loads and runs on the
+    cpu backend (the tpu half is exercised on real hardware in
+    tools/ — xla knobs, Pallas can't cross-lower)."""
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    engine = VitEngine(model_path, verbose=False, attn_impl="xla", mm_impl="xla")
+    out = str(tmp_path / "m.vitx")
+    meta = save_engine(engine, out, batch=2, platforms=["cpu", "tpu"])
+    assert sorted(meta["platforms"]) == ["cpu", "tpu"]
+    aot = AotEngine(out)
+    x = _pixels(2)
+    np.testing.assert_allclose(
+        np.asarray(aot.predict_probs_batch(x)),
+        np.asarray(engine.predict_probs_batch(x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
 def test_cli_export_and_info(model_path, tmp_path, capsys):
     from vit_cpp_tpu.cli.export_aot import main
 

@@ -28,7 +28,7 @@ import numpy as np
 MAGIC = b"VITX\x01"
 
 
-def export_engine(engine, batch: int) -> bytes:
+def export_engine(engine, batch: int, platforms=None) -> bytes:
     """Serialize `engine`'s serving function for a fixed batch size.
 
     Weights are closed over (constant-folded into the artifact); the
@@ -36,7 +36,13 @@ def export_engine(engine, batch: int) -> bytes:
     probabilities. Pallas custom calls (the fused attention kernel) are
     allowed through export's compatibility check — the artifact is tied
     to a compatible runtime, which is the normal contract for a deploy
-    artifact."""
+    artifact.
+
+    `platforms` (e.g. ["cpu", "tpu"]) cross-lowers for targets other
+    than the exporting process's backend — export on a CPU dev box,
+    serve on TPU. Pallas-kernel configs can only lower for their own
+    backend; use attn_impl="xla"/mm_impl="xla" engines for portable
+    artifacts, or export on the serving platform."""
     import jax
     import jax.numpy as jnp
     from jax import export as jex
@@ -60,7 +66,11 @@ def export_engine(engine, batch: int) -> bytes:
         jex.DisabledSafetyCheck.custom_call("tpu_custom_call"),
         jex.DisabledSafetyCheck.custom_call("Mosaic"),
     ]
-    exp = jex.export(jax.jit(serve_fn), disabled_checks=disabled)(x)
+    exp = jex.export(
+        jax.jit(serve_fn),
+        platforms=platforms,
+        disabled_checks=disabled,
+    )(x)
     meta = {
         "batch": batch,
         "hparams": dataclasses.asdict(hp),
@@ -73,8 +83,8 @@ def export_engine(engine, batch: int) -> bytes:
     return MAGIC + struct.pack("<I", len(mj)) + mj + exp.serialize()
 
 
-def save_engine(engine, path: str, batch: int) -> Dict[str, Any]:
-    blob = export_engine(engine, batch)
+def save_engine(engine, path: str, batch: int, platforms=None) -> Dict[str, Any]:
+    blob = export_engine(engine, batch, platforms=platforms)
     with open(path, "wb") as f:
         f.write(blob)
     return read_meta(path)
@@ -95,6 +105,17 @@ def read_meta(path: str) -> Dict[str, Any]:
     return meta
 
 
+def is_vitx(path: str) -> bool:
+    """True when `path` is a .vitx artifact (by magic, not extension) —
+    lets the serving CLIs accept either a gguf checkpoint or an artifact
+    through the same -m flag."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(MAGIC)) == MAGIC
+    except OSError:
+        return False
+
+
 class AotEngine:
     """Serve a .vitx artifact: drop-in for VitEngine's serving surface
     (hp / id2label / preprocess_image / predict_probs_batch) with a FIXED
@@ -102,6 +123,7 @@ class AotEngine:
     HTTP daemon's MicroBatcher(batch=engine.batch)."""
 
     def __init__(self, path: str):
+        import jax
         from jax import export as jex
 
         from vit_cpp_tpu.hparams import VitHParams
@@ -112,6 +134,16 @@ class AotEngine:
         self.batch = int(meta["batch"])
         self.hp = VitHParams(**meta["hparams"])
         self.id2label = {int(k): v for k, v in meta["id2label"].items()}
+        # fail at load, not per-request: platform mismatch is a deploy
+        # error (vit-export --platforms cross-lowers for other targets)
+        backend = jax.default_backend()
+        if backend not in meta["platforms"]:
+            raise ValueError(
+                f"{path} was exported for platforms {meta['platforms']} "
+                f"but this process runs on {backend!r}; re-export with "
+                f"vit-export --platforms {backend} (or export on the "
+                "serving platform)"
+            )
         self._exported = jex.deserialize(blob)
 
     def preprocess_image(self, img_u8: np.ndarray):

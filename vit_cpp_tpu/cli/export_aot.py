@@ -30,6 +30,13 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--fold-ln", action=argparse.BooleanOptionalAction, default=None
     )
+    ap.add_argument(
+        "--platforms", metavar="P1,P2",
+        help="comma-separated lowering targets (cpu,tpu) — export on a CPU "
+        "box for TPU serving; Pallas configs (--attn/--mm pallas*) can "
+        "only lower for the exporting backend, use xla knobs for portable "
+        "artifacts (default: the current backend)",
+    )
     args = ap.parse_args(argv)
 
     if args.info:
@@ -61,7 +68,8 @@ def main(argv=None) -> int:
         fold_ln=fold_ln,
         verbose=False,
     )
-    meta = save_engine(engine, args.out, batch=args.batch)
+    platforms = args.platforms.split(",") if args.platforms else None
+    meta = save_engine(engine, args.out, batch=args.batch, platforms=platforms)
     import os
 
     print(

@@ -99,9 +99,44 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from vit_cpp_tpu.aot import is_vitx
     from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
     from vit_cpp_tpu.gguf.reader import read_model
     from vit_cpp_tpu.serve import recognize_files, serve_files
+
+    if is_vitx(args.model):
+        # AOT artifact: engine knobs (dtype/mm/attn/fold-ln) and the batch
+        # size were baked at export; the program is single-chip by contract
+        from vit_cpp_tpu.aot import AotEngine
+
+        if args.mesh:
+            print(
+                "--mesh is not supported for .vitx artifacts (the exported "
+                "program is compiled single-chip); serve the gguf instead",
+                file=sys.stderr,
+            )
+            return 1
+        aot = AotEngine(args.model)
+        if args.batch != aot.batch:
+            print(
+                f"serve: .vitx artifact is compiled for batch {aot.batch}; "
+                f"using it (ignoring -b {args.batch})",
+                file=sys.stderr,
+            )
+        print(
+            f"serve: AOT artifact (mm={aot.meta['mm_impl']}, "
+            f"attn={aot.meta['attn_impl']}, batch {aot.batch}) — engine "
+            "flags baked at export",
+            file=sys.stderr,
+        )
+        return _serve_loop(
+            aot,
+            aot.hp.seq_len is not None,
+            paths,
+            batch=aot.batch,
+            topk=args.topk,
+            decode_threads=args.decode_threads,
+        )
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     mesh = None
@@ -123,36 +158,8 @@ def main(argv=None) -> int:
             return 1
     # sequence-head (ViTSTR) checkpoints are served with the greedy decoder
     is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
-    if is_vitstr:
-        engine = VitstrEngine(
-            args.model,
-            dtype=dtype,
-            attn_impl=args.attn,
-            mm_impl=args.mm,
-            fold_ln=fold_ln,
-            verbose=False,
-        )
-        if mesh is not None:
-            engine.shard(mesh)
-        t0 = time.perf_counter()
-        n_ok = 0
-        for r in recognize_files(
-            engine, paths, batch=args.batch, decode_threads=args.decode_threads
-        ):
-            if r.confidence < 0:
-                print(f"{r.path}\t<decode failed>", file=sys.stderr)
-                continue
-            n_ok += 1
-            print(f"{r.path}\t{r.text}\t{r.confidence:.2f}")
-        dt = time.perf_counter() - t0
-        print(
-            f"serve: {n_ok}/{len(paths)} images in {dt:.2f}s "
-            f"= {n_ok / max(dt, 1e-9):.1f} images/sec",
-            file=sys.stderr,
-        )
-        return 0
-
-    engine = VitEngine(
+    cls = VitstrEngine if is_vitstr else VitEngine
+    engine = cls(
         args.model,
         dtype=dtype,
         attn_impl=args.attn,
@@ -162,29 +169,58 @@ def main(argv=None) -> int:
     )
     if mesh is not None:
         engine.shard(mesh)
-    t0 = time.perf_counter()
-    n_ok = 0
-    for r in serve_files(
+    return _serve_loop(
         engine,
+        is_vitstr,
         paths,
         batch=args.batch,
+        topk=args.topk,
         decode_threads=args.decode_threads,
-        keep_probs=args.topk > 1,
-    ):
-        if r.top1 < 0:
-            print(f"{r.path}\t<decode failed>", file=sys.stderr)
-            continue
-        n_ok += 1
-        if args.topk > 1:
-            order = np.argsort(-r.probs, kind="stable")[: args.topk]
-            tags = " ".join(
-                f"{engine.id2label.get(int(i), f'LABEL_{i}')}:{r.probs[i]:.2f}"
-                for i in order
-            )
-            print(f"{r.path}\t{tags}")
-        else:
-            label = engine.id2label.get(r.top1, f"LABEL_{r.top1}")
-            print(f"{r.path}\t{label}\t{r.prob:.2f}")
+    )
+
+
+def _serve_loop(
+    engine, is_vitstr: bool, paths, *, batch: int, topk: int, decode_threads: int
+) -> int:
+    """Stream every path through the serving pipeline and print results;
+    shared by the gguf-engine and .vitx-artifact branches."""
+    import numpy as np
+
+    from vit_cpp_tpu.serve import recognize_files, serve_files
+
+    t0 = time.perf_counter()
+    n_ok = 0
+    if is_vitstr:
+        for r in recognize_files(
+            engine, paths, batch=batch, decode_threads=decode_threads
+        ):
+            if r.confidence < 0:
+                print(f"{r.path}\t<decode failed>", file=sys.stderr)
+                continue
+            n_ok += 1
+            print(f"{r.path}\t{r.text}\t{r.confidence:.2f}")
+    else:
+        for r in serve_files(
+            engine,
+            paths,
+            batch=batch,
+            decode_threads=decode_threads,
+            keep_probs=topk > 1,
+        ):
+            if r.top1 < 0:
+                print(f"{r.path}\t<decode failed>", file=sys.stderr)
+                continue
+            n_ok += 1
+            if topk > 1:
+                order = np.argsort(-r.probs, kind="stable")[:topk]
+                tags = " ".join(
+                    f"{engine.id2label.get(int(i), f'LABEL_{i}')}:{r.probs[i]:.2f}"
+                    for i in order
+                )
+                print(f"{r.path}\t{tags}")
+            else:
+                label = engine.id2label.get(r.top1, f"LABEL_{r.top1}")
+                print(f"{r.path}\t{label}\t{r.prob:.2f}")
     dt = time.perf_counter() - t0
     print(
         f"serve: {n_ok}/{len(paths)} images in {dt:.2f}s "

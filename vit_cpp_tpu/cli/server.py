@@ -59,24 +59,44 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
+    from vit_cpp_tpu.aot import is_vitx
     from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
     from vit_cpp_tpu.gguf.reader import read_model
     from vit_cpp_tpu.server import create_server
 
-    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
-    cls = (
-        VitstrEngine
-        if detect_hparams(read_model(args.model)).seq_len is not None
-        else VitEngine
-    )
-    engine = cls(
-        args.model,
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        attn_impl=args.attn,
-        mm_impl=args.mm,
-        fold_ln=fold_ln,
-        verbose=False,
-    )
+    if is_vitx(args.model):
+        # AOT artifact: engine knobs and batch baked at export; the
+        # micro-batcher must use the artifact's compiled batch size
+        from vit_cpp_tpu.aot import AotEngine
+
+        if args.mesh:
+            print(
+                "--mesh is not supported for .vitx artifacts (the exported "
+                "program is compiled single-chip); serve the gguf instead",
+                file=sys.stderr,
+            )
+            return 1
+        engine = AotEngine(args.model)
+        if args.batch != engine.batch:
+            print(
+                f"vit-server: .vitx artifact is compiled for batch "
+                f"{engine.batch}; using it (ignoring -b {args.batch})",
+                file=sys.stderr,
+            )
+            args.batch = engine.batch
+        is_vitstr = engine.hp.seq_len is not None
+    else:
+        fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
+        is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
+        cls = VitstrEngine if is_vitstr else VitEngine
+        engine = cls(
+            args.model,
+            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+            attn_impl=args.attn,
+            mm_impl=args.mm,
+            fold_ln=fold_ln,
+            verbose=False,
+        )
     if args.mesh:
         from vit_cpp_tpu.parallel.mesh import make_mesh
 
@@ -103,7 +123,7 @@ def main(argv=None) -> int:
         warmup=not args.no_warmup,
         request_timeout_s=args.request_timeout,
     )
-    kind = "vitstr" if cls is VitstrEngine else "vit"
+    kind = "vitstr" if is_vitstr else "vit"
     print(
         f"vit-server: {kind} model on http://{args.host}:{httpd.server_port} "
         f"(micro-batch {args.batch}, wait {args.max_wait_ms} ms)",

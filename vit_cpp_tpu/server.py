@@ -143,9 +143,9 @@ def make_handler(
     max_body_bytes: int = 32 * 1024 * 1024,
 ):
     """Build the request-handler class bound to an engine + batcher."""
-    from vit_cpp_tpu.engine import VitstrEngine
-
-    is_vitstr = isinstance(engine, VitstrEngine)
+    # hp-based so AotEngine (aot.py) routes the same as VitstrEngine:
+    # a sequence head means the recognize route + grayscale preprocess
+    is_vitstr = engine.hp.seq_len is not None
 
     def preprocess(img):
         # canvas-bucketed batch path, NOT the per-size parity path: one
