@@ -1,0 +1,177 @@
+"""Fine-tune loop (vit_cpp_tpu/finetune.py + vit-finetune CLI): head
+transfer onto a folder taxonomy, loss goes down on a learnable task,
+freeze-backbone trains the head only, resume is bit-identical, the mesh
+path runs, and the output gguf serves end to end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+
+def _make_dataset(root, n_per_class=8, size=32, seed=0):
+    """Two trivially separable classes: dark images vs bright images."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    for cls, lo, hi in (("aa_dark", 0, 40), ("bb_bright", 210, 255)):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(n_per_class):
+            img = rng.integers(lo, hi, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(img).save(d / f"{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=7,
+        patch_size=8,
+        img_size=32,
+    )
+    p = tmp_path_factory.mktemp("ft") / "m.gguf"
+    write_synthetic_model(str(p), hp, ftype=1, seed=4)
+    return str(p)
+
+
+def test_finetune_learns_and_serves(model_path, tmp_path):
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.finetune import evaluate, finetune, load_dataset
+    from vit_cpp_tpu.models.export import save_params
+
+    data = _make_dataset(tmp_path / "train")
+    params, hp, classes, losses = finetune(
+        model_path, data, epochs=4, batch=4, lr=1e-3, log=lambda m: None
+    )
+    assert classes == ["aa_dark", "bb_bright"]
+    assert hp.num_classes == 2  # head transferred from 7 classes
+    assert losses[-1] < losses[0]
+
+    # the trained head separates the classes
+    from vit_cpp_tpu.finetune import _preprocess_all
+
+    paths, labels, _ = load_dataset(data)
+    pixels = _preprocess_all(paths, hp, 1)
+    assert evaluate(params, hp, pixels, labels, batch=4) >= 0.9
+
+    # the exported file serves through the normal engine
+    out = str(tmp_path / "ft.gguf")
+    save_params(out, params, hp, id2label=dict(enumerate(classes)))
+    engine = VitEngine(out, verbose=False)
+    assert engine.id2label == {0: "aa_dark", 1: "bb_bright"}
+    top = engine.classify_file(paths[0], topk=1, verbose=False)[0]
+    assert top[0] == 0  # a dark image classifies as class 0
+
+
+def test_freeze_backbone_trains_head_only(model_path, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.engine import detect_hparams
+    from vit_cpp_tpu.finetune import _dense_f32, _reinit_head, finetune
+    from vit_cpp_tpu.gguf.reader import read_model
+    from vit_cpp_tpu.models.params import load_params
+
+    data = _make_dataset(tmp_path / "train")
+    mf = read_model(model_path)
+    hp0 = detect_hparams(mf)
+    before, _ = _reinit_head(_dense_f32(load_params(mf, jnp.float32)), hp0, 2)
+
+    params, hp, _, _ = finetune(
+        model_path,
+        data,
+        epochs=2,
+        batch=4,
+        lr=1e-3,
+        freeze_backbone=True,
+        log=lambda m: None,
+    )
+    for key in ("cls_token", "pos_embed", "patch_embed", "blocks", "norm"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            before[key],
+            params[key],
+        )
+    assert not np.array_equal(
+        np.asarray(before["head"]["kernel"]), np.asarray(params["head"]["kernel"])
+    )
+
+
+def test_resume_is_bit_identical(model_path, tmp_path):
+    import jax
+
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    kw = dict(batch=4, lr=1e-3, seed=3, log=lambda m: None)
+
+    straight, _, _, _ = finetune(model_path, data, epochs=3, **kw)
+
+    ck = str(tmp_path / "ckpt")
+    finetune(model_path, data, epochs=2, ckpt_dir=ck, **kw)
+    resumed, _, _, _ = finetune(model_path, data, epochs=3, ckpt_dir=ck, **kw)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        straight,
+        resumed,
+    )
+
+
+def test_mesh_finetune_runs(model_path, tmp_path):
+    from vit_cpp_tpu.finetune import finetune
+    from vit_cpp_tpu.parallel.mesh import make_mesh
+
+    data = _make_dataset(tmp_path / "train")
+    mesh = make_mesh(dp=4, tp=2)
+    params, hp, _, losses = finetune(
+        model_path, data, epochs=2, batch=8, lr=1e-3, mesh=mesh,
+        log=lambda m: None,
+    )
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    assert np.isfinite(np.asarray(params["head"]["kernel"])).all()
+
+
+def test_cli_end_to_end(model_path, tmp_path, capsys):
+    from vit_cpp_tpu.cli.finetune import main
+    from vit_cpp_tpu.engine import VitEngine
+
+    train = _make_dataset(tmp_path / "train")
+    val = _make_dataset(tmp_path / "val", n_per_class=4, seed=9)
+    out = str(tmp_path / "ft.gguf")
+    rc = main(
+        [
+            "-m", model_path, "-d", train, "-o", out,
+            "--val-dir", val, "--epochs", "3", "-b", "4", "--lr", "1e-3",
+        ]
+    )
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "re-initializing head 7 -> 2" in err
+    assert "val top-1" in err and "wrote" in err
+    engine = VitEngine(out, verbose=False)
+    assert engine.hp.num_classes == 2
+
+
+def test_rejects_vitstr_and_bad_dirs(model_path, tmp_path):
+    from vit_cpp_tpu.cli.finetune import main
+    from vit_cpp_tpu.finetune import load_dataset
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no class subdirectories"):
+        load_dataset(str(empty))
+    # batch larger than the dataset -> clean CLI error
+    data = _make_dataset(tmp_path / "tiny", n_per_class=1)
+    rc = main(["-m", model_path, "-d", data, "-o", str(tmp_path / "x.gguf"),
+               "-b", "64"])
+    assert rc == 1

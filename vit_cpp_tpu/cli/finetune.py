@@ -1,0 +1,106 @@
+"""`vit-finetune` CLI: fine-tune a checkpoint on an image folder.
+
+    python -m vit_cpp_tpu.cli.finetune -m model-f16.gguf -d train_dir \\
+        -o finetuned.gguf --epochs 3 --batch 32 [--val-dir val_dir] \\
+        [--freeze-backbone] [--mesh 4x2] [--ckpt-dir ckpt/]
+
+The dataset tree is the benchmark harness layout (one subdirectory per
+class). The output gguf serves everywhere a converted checkpoint does
+(vit CLI, serve, server, quantize, vit-export); --ckpt-dir makes the run
+resumable (orbax). The reference has no training story at all
+(SURVEY.md §0) — this is the fine-tune -> serve loop the TPU build adds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("-m", "--model", required=True, help="input .gguf checkpoint")
+    ap.add_argument("-d", "--data-dir", required=True, help="train images: <dir>/<class>/*")
+    ap.add_argument("-o", "--out", required=True, help="output .gguf")
+    ap.add_argument("--val-dir", help="held-out tree for per-epoch top-1")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("-b", "--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight-decay", type=float, default=0.05)
+    ap.add_argument(
+        "--freeze-backbone", action="store_true",
+        help="train the head only (linear probe)",
+    )
+    ap.add_argument(
+        "--mesh", metavar="DPxTP", default=None,
+        help="train over a multi-chip mesh, e.g. 4x2 (dp must divide batch)",
+    )
+    ap.add_argument(
+        "--ckpt-dir", default=None,
+        help="orbax checkpoint dir: saved every epoch, resumed when present",
+    )
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decode-threads", type=int, default=0)
+    ap.add_argument(
+        "--ftype", type=int, choices=[0, 1], default=1,
+        help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
+        "block formats)",
+    )
+    args = ap.parse_args(argv)
+
+    mesh = None
+    if args.mesh:
+        from vit_cpp_tpu.parallel.mesh import make_mesh
+
+        try:
+            dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"bad --mesh {args.mesh!r}: want DPxTP, e.g. 4x2", file=sys.stderr)
+            return 1
+        if args.batch % dp:
+            print(f"dp={dp} must divide --batch {args.batch}", file=sys.stderr)
+            return 1
+        try:
+            mesh = make_mesh(dp=dp, tp=tp)
+        except ValueError as e:
+            print(f"--mesh {args.mesh}: {e}", file=sys.stderr)
+            return 1
+
+    from vit_cpp_tpu.finetune import finetune
+    from vit_cpp_tpu.models.export import save_params
+
+    try:
+        params, hp, classes, _ = finetune(
+            args.model,
+            args.data_dir,
+            epochs=args.epochs,
+            batch=args.batch,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            freeze_backbone=args.freeze_backbone,
+            mesh=mesh,
+            ckpt_dir=args.ckpt_dir,
+            seed=args.seed,
+            decode_threads=args.decode_threads,
+            val_dir=args.val_dir,
+            log=lambda m: print(m, file=sys.stderr),
+        )
+    except ValueError as e:
+        print(f"finetune: {e}", file=sys.stderr)
+        return 1
+    save_params(
+        args.out,
+        params,
+        hp,
+        id2label=dict(enumerate(classes)),
+        ftype=args.ftype,
+    )
+    print(
+        f"vit-finetune: wrote {args.out} ({len(classes)} classes)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

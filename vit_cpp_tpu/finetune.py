@@ -1,0 +1,248 @@
+"""Fine-tune a classifier checkpoint on an image-folder dataset.
+
+The reference is inference-only (SURVEY.md §0); this closes the loop the
+TPU build adds: gguf checkpoint -> dequantized f32 pytree -> pjit train
+steps (parallel/train.py) over an optional dp x tp mesh -> orbax
+checkpoint/resume (parallel/checkpoint.py) -> servable gguf
+(models/export.py). Dataset layout is the benchmark harness's tree
+(cli/benchmark.py, reference tests/benchmark.cpp:54-76): one subdirectory
+per class, any decodable image inside.
+
+Head transfer: when the dataset's class count differs from the
+checkpoint's, the head is re-initialized (zeros — the standard
+linear-probe init) and hparams are rewritten, so any ImageNet checkpoint
+fine-tunes onto an arbitrary folder taxonomy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+IMAGE_EXTS = {
+    ".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".pnm", ".gif",
+    ".tga", ".webp", ".JPEG", ".JPG", ".PNG", ".BMP",
+}
+
+
+def load_dataset(data_dir: str) -> Tuple[List[str], np.ndarray, List[str]]:
+    """Walk `data_dir/<class>/*` -> (paths, int labels, sorted class names)."""
+    classes = sorted(
+        d
+        for d in os.listdir(data_dir)
+        if os.path.isdir(os.path.join(data_dir, d))
+    )
+    if not classes:
+        raise ValueError(f"{data_dir}: no class subdirectories")
+    paths: List[str] = []
+    labels: List[int] = []
+    for ci, cls in enumerate(classes):
+        sub = os.path.join(data_dir, cls)
+        for f in sorted(os.listdir(sub)):
+            if os.path.splitext(f)[1] in IMAGE_EXTS:
+                paths.append(os.path.join(sub, f))
+                labels.append(ci)
+    if not paths:
+        raise ValueError(f"{data_dir}: no images under class directories")
+    return paths, np.asarray(labels, np.int32), classes
+
+
+def _dense_f32(params):
+    """Dequantize every QuantLinear leaf -> trainable dense f32 pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.quant.qlinear import QuantLinear
+
+    def leaf(l):
+        if isinstance(l, QuantLinear):
+            return jnp.asarray(l.dequantize(), jnp.float32)
+        return jnp.asarray(l, jnp.float32)
+
+    return jax.tree.map(leaf, params, is_leaf=lambda x: isinstance(x, QuantLinear))
+
+
+def _reinit_head(params, hp, num_classes: int):
+    """Zero-init a fresh (h, num_classes) head for transfer learning."""
+    import jax.numpy as jnp
+
+    params = dict(params)
+    params["head"] = {
+        "kernel": jnp.zeros((hp.hidden_size, num_classes), jnp.float32),
+        "bias": jnp.zeros((num_classes,), jnp.float32),
+    }
+    return params, dataclasses.replace(hp, num_classes=num_classes)
+
+
+def _trainable_labels(params, freeze_backbone: bool):
+    """Per-leaf optax.multi_transform labels: 'train' or 'freeze'."""
+    import jax.tree_util as jtu
+
+    def label(path, _):
+        if not freeze_backbone:
+            return "train"
+        top = path[0]
+        key = getattr(top, "key", getattr(top, "name", None))
+        return "train" if key == "head" else "freeze"
+
+    return jtu.tree_map_with_path(label, params)
+
+
+def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
+    """Decode + canvas-preprocess every file -> (N, C, S, S) f32 host array.
+
+    Failed decodes raise (training data must be clean, unlike the serving
+    skip-markers)."""
+    from vit_cpp_tpu.ops.preprocess import preprocess_batch
+    from vit_cpp_tpu.serve import _decode_many
+
+    out = []
+    chunk = 64
+    for i in range(0, len(paths), chunk):
+        batch_paths = paths[i : i + chunk]
+        imgs = _decode_many(batch_paths, decode_threads or (os.cpu_count() or 1))
+        for p, im in zip(batch_paths, imgs):
+            if im is None:
+                raise ValueError(f"undecodable training image: {p}")
+        out.append(np.asarray(preprocess_batch(imgs, hp.img_size, mode=hp.interpolation)))
+    return np.concatenate(out, axis=0)
+
+
+def evaluate(params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int) -> float:
+    """Top-1 accuracy of `params` on preprocessed pixels (pads the tail so
+    one program serves every chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.models.vit import forward
+
+    fwd = jax.jit(lambda p, x: jnp.argmax(forward(p, x, hp), axis=-1))
+    correct = 0
+    for i in range(0, len(pixels), batch):
+        chunk = pixels[i : i + batch]
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
+        pred = np.asarray(fwd(params, jnp.asarray(chunk)))[:n]
+        correct += int((pred == labels[i : i + n]).sum())
+    return correct / len(pixels)
+
+
+def finetune(
+    model: str,
+    data_dir: str,
+    *,
+    epochs: int = 3,
+    batch: int = 32,
+    lr: float = 1e-4,
+    weight_decay: float = 0.05,
+    freeze_backbone: bool = False,
+    mesh=None,
+    ckpt_dir: Optional[str] = None,
+    seed: int = 0,
+    decode_threads: int = 0,
+    val_dir: Optional[str] = None,
+    log=print,
+) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
+    """Run the fine-tune loop; returns (params, hp, classnames, epoch_losses).
+
+    Resumable: when `ckpt_dir` holds a previous run's state, training
+    continues from its step count (epochs already covered are skipped).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_cpp_tpu.engine import detect_hparams
+    from vit_cpp_tpu.gguf.reader import read_model
+    from vit_cpp_tpu.models.params import load_params
+    from vit_cpp_tpu.parallel.train import (
+        TrainState,
+        create_train_state,
+        shard_batch,
+        train_step,
+    )
+
+    mf = read_model(model)
+    hp = detect_hparams(mf)
+    if hp.seq_len is not None:
+        raise ValueError("fine-tuning supports classifier checkpoints only")
+    paths, labels, classes = load_dataset(data_dir)
+    if len(paths) < batch:
+        raise ValueError(
+            f"dataset has {len(paths)} images < batch {batch}; lower --batch"
+        )
+
+    params = _dense_f32(load_params(mf, jnp.float32, hparams=hp))
+    if len(classes) != hp.num_classes:
+        log(
+            f"finetune: re-initializing head {hp.num_classes} -> "
+            f"{len(classes)} classes"
+        )
+        params, hp = _reinit_head(params, hp, len(classes))
+
+    inner = optax.adamw(lr, weight_decay=weight_decay)
+    if freeze_backbone:
+        optimizer = optax.multi_transform(
+            {"train": inner, "freeze": optax.set_to_zero()},
+            _trainable_labels(params, True),
+        )
+    else:
+        optimizer = inner
+
+    if mesh is not None:
+        state = create_train_state(params, mesh, optimizer)
+    else:
+        state = TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        from vit_cpp_tpu.parallel.checkpoint import restore_train_state
+
+        state = restore_train_state(ckpt_dir, state)
+        log(f"finetune: resumed from {ckpt_dir} at step {int(state.step)}")
+
+    log(f"finetune: preprocessing {len(paths)} images ...")
+    pixels = _preprocess_all(paths, hp, decode_threads)
+    val = None
+    if val_dir:
+        vpaths, vlabels, vclasses = load_dataset(val_dir)
+        if vclasses != classes:
+            raise ValueError(
+                f"val classes {vclasses} != train classes {classes}"
+            )
+        val = (_preprocess_all(vpaths, hp, decode_threads), vlabels)
+
+    steps_per_epoch = len(paths) // batch
+    start_epoch = int(state.step) // steps_per_epoch
+    losses: List[float] = []
+    for epoch in range(start_epoch, epochs):
+        # deterministic per-epoch shuffle: the same order replays on resume
+        order = np.random.default_rng(seed + epoch).permutation(len(paths))
+        epoch_losses = []
+        for s in range(steps_per_epoch):
+            idx = order[s * batch : (s + 1) * batch]
+            bx = jnp.asarray(pixels[idx])
+            by = jnp.asarray(labels[idx])
+            if mesh is not None:
+                bx, by = shard_batch(bx, by, mesh)
+            state, loss = train_step(state, bx, by, hp, optimizer)
+            epoch_losses.append(float(loss))
+        mean_loss = float(np.mean(epoch_losses))
+        losses.append(mean_loss)
+        msg = f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}"
+        if val is not None:
+            acc = evaluate(state.params, hp, val[0], val[1], batch)
+            msg += f", val top-1 {acc:.3f}"
+        log(msg)
+        if ckpt_dir:
+            from vit_cpp_tpu.parallel.checkpoint import save_train_state
+
+            save_train_state(ckpt_dir, state)
+    return state.params, hp, classes, losses
