@@ -84,6 +84,12 @@ def main() -> int:
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler device trace of the timed runs",
     )
+    ap.add_argument(
+        "--aot", action="store_true",
+        help="serialize the forward through jax.export and bench the "
+        "deserialized artifact program (the .vitx serving path, aot.py) — "
+        "proves AOT serving costs no throughput",
+    )
     args = ap.parse_args()
 
     import jax
@@ -165,23 +171,60 @@ def main() -> int:
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((batch, hp.in_chans, hp.img_size, hp.img_size)), dtype=dtype)
 
-    @jax.jit
-    def chained(p, x0):
-        # thread a (runtime-zero, not compile-time-zero) scalar dependency
-        # through the 768-element cls_token so the K forwards execute
-        # sequentially on device; the scan carry is one scalar and the
-        # per-step perturbation touches no batch-sized buffer, so the
-        # harness adds nothing measurable to the model under test
-        cls = p["cls_token"]
+    if args.aot:
+        # the .vitx serving path (aot.py): weights constant-folded at
+        # export, program round-tripped through serialize/deserialize.
+        # The same runtime-zero cls_token perturbation lives INSIDE the
+        # exported fn so the chained harness is identical to the live one.
+        from jax import export as jex
 
-        def step(c, _):
-            p2 = dict(p, cls_token=cls + (c * 1e-30).astype(cls.dtype))
-            out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll)
+        cls0 = params["cls_token"]
+
+        def aot_fwd(c, x0):
+            p2 = dict(params, cls_token=cls0 + (c * 1e-30).astype(cls0.dtype))
+            out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm,
+                          unroll=args.unroll)
             dep = out[0, 0, 0] if out.ndim == 3 else out[0, 0]
-            return dep.astype(cls.dtype), ()
+            return dep.astype(cls0.dtype)
 
-        cK, _ = jax.lax.scan(step, jnp.zeros((), cls.dtype), None, length=K)
-        return cK
+        disabled = [
+            jex.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+            jex.DisabledSafetyCheck.custom_call("Mosaic"),
+        ]
+        blob = jex.export(jax.jit(aot_fwd), disabled_checks=disabled)(
+            jax.ShapeDtypeStruct((), dtype),
+            jax.ShapeDtypeStruct((batch, hp.in_chans, hp.img_size, hp.img_size), dtype),
+        ).serialize()
+        exported = jex.deserialize(blob)
+        suffix += "_aot"
+
+        @jax.jit
+        def chained(p, x0):
+            def step(c, _):
+                return exported.call(c, x0), ()
+
+            cK, _ = jax.lax.scan(step, jnp.zeros((), dtype), None, length=K)
+            return cK
+
+    else:
+
+        @jax.jit
+        def chained(p, x0):
+            # thread a (runtime-zero, not compile-time-zero) scalar dependency
+            # through the 768-element cls_token so the K forwards execute
+            # sequentially on device; the scan carry is one scalar and the
+            # per-step perturbation touches no batch-sized buffer, so the
+            # harness adds nothing measurable to the model under test
+            cls = p["cls_token"]
+
+            def step(c, _):
+                p2 = dict(p, cls_token=cls + (c * 1e-30).astype(cls.dtype))
+                out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll)
+                dep = out[0, 0, 0] if out.ndim == 3 else out[0, 0]
+                return dep.astype(cls.dtype), ()
+
+            cK, _ = jax.lax.scan(step, jnp.zeros((), cls.dtype), None, length=K)
+            return cK
 
     # measure tunnel roundtrip with a trivial program
     trivial = jax.jit(lambda x: x[0, 0, 0, 0])

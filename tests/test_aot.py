@@ -67,6 +67,29 @@ def test_bad_magic_rejected(tmp_path):
         AotEngine(str(p))
 
 
+def test_truncated_artifact_clean_error(model_path, tmp_path):
+    """Interrupted writes fail with the designed ValueError, not a raw
+    struct/json traceback (is_vitx says True for these, so the serving
+    CLIs route them to AotEngine)."""
+    from vit_cpp_tpu.aot import MAGIC, AotEngine, read_meta, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    full = str(tmp_path / "m.vitx")
+    save_engine(VitEngine(model_path, verbose=False), full, batch=2)
+    with open(full, "rb") as f:
+        data = f.read()
+
+    cut_header = tmp_path / "h.vitx"
+    cut_header.write_bytes(MAGIC + b"\x00")  # truncated inside json_len
+    cut_meta = tmp_path / "meta.vitx"
+    cut_meta.write_bytes(data[: len(MAGIC) + 4 + 10])  # truncated metadata
+    for p in (cut_header, cut_meta):
+        with pytest.raises(ValueError, match="VITX"):
+            AotEngine(str(p))
+        with pytest.raises(ValueError, match="VITX"):
+            read_meta(str(p))
+
+
 def test_serve_files_with_aot_engine(model_path, tmp_path):
     """The artifact drops into the file-serving pipeline."""
     from PIL import Image

@@ -70,6 +70,32 @@ def test_finetune_learns_and_serves(model_path, tmp_path):
     assert top[0] == 0  # a dark image classifies as class 0
 
 
+def test_finetuned_model_quantizes_and_serves_w8a8(model_path, tmp_path):
+    """The full production loop: fine-tune -> f16 gguf -> Q8_0 quantize ->
+    W8A8 int8 serving still separates the classes."""
+    from vit_cpp_tpu.cli.quantize import quantize_model_file
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.finetune import finetune, load_dataset
+    from vit_cpp_tpu.models.export import save_params
+
+    data = _make_dataset(tmp_path / "train")
+    params, hp, classes, _ = finetune(
+        model_path, data, epochs=4, batch=4, lr=1e-3, log=lambda m: None
+    )
+    f16 = str(tmp_path / "ft-f16.gguf")
+    q8 = str(tmp_path / "ft-q8_0.gguf")
+    save_params(f16, params, hp, id2label=dict(enumerate(classes)))
+    quantize_model_file(f16, q8, 8, verbose=False)
+
+    engine = VitEngine(q8, mm_impl="int8", fold_ln=True, verbose=False)
+    paths, labels, _ = load_dataset(data)
+    correct = sum(
+        engine.classify_file(p, topk=1, verbose=False)[0][0] == int(l)
+        for p, l in zip(paths, labels)
+    )
+    assert correct / len(paths) >= 0.9
+
+
 def test_freeze_backbone_trains_head_only(model_path, tmp_path):
     import jax
     import jax.numpy as jnp
@@ -125,6 +151,18 @@ def test_resume_is_bit_identical(model_path, tmp_path):
         straight,
         resumed,
     )
+
+
+def test_resume_with_different_batch_rejected(model_path, tmp_path):
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    ck = str(tmp_path / "ckpt")
+    finetune(model_path, data, epochs=1, batch=4, ckpt_dir=ck, log=lambda m: None)
+    with pytest.raises(ValueError, match="mis-count epochs"):
+        finetune(
+            model_path, data, epochs=2, batch=8, ckpt_dir=ck, log=lambda m: None
+        )
 
 
 def test_mesh_finetune_runs(model_path, tmp_path):

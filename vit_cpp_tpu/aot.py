@@ -87,22 +87,43 @@ def save_engine(engine, path: str, batch: int, platforms=None) -> Dict[str, Any]
     blob = export_engine(engine, batch, platforms=platforms)
     with open(path, "wb") as f:
         f.write(blob)
-    return read_meta(path)
+    meta, _ = _split(blob)
+    return meta
 
 
 def _split(data: bytes) -> Tuple[Dict[str, Any], bytes]:
     if data[: len(MAGIC)] != MAGIC:
         raise ValueError("not a VITX artifact (bad magic)")
-    (n,) = struct.unpack_from("<I", data, len(MAGIC))
     off = len(MAGIC) + 4
-    meta = json.loads(data[off : off + n])
+    if len(data) < off:
+        raise ValueError("truncated VITX artifact (header)")
+    (n,) = struct.unpack_from("<I", data, len(MAGIC))
+    if len(data) < off + n:
+        raise ValueError("truncated VITX artifact (metadata)")
+    try:
+        meta = json.loads(data[off : off + n])
+    except ValueError as e:
+        raise ValueError(f"corrupt VITX metadata: {e}") from None
     return meta, data[off + n :]
 
 
 def read_meta(path: str) -> Dict[str, Any]:
+    """Parse just the metadata header (no full-file read — artifacts
+    embed the weights and can be GB-sized)."""
     with open(path, "rb") as f:
-        meta, _ = _split(f.read())
-    return meta
+        head = f.read(len(MAGIC) + 4)
+        if head[: len(MAGIC)] != MAGIC:
+            raise ValueError("not a VITX artifact (bad magic)")
+        if len(head) < len(MAGIC) + 4:
+            raise ValueError("truncated VITX artifact (header)")
+        (n,) = struct.unpack("<I", head[len(MAGIC) :])
+        mj = f.read(n)
+    if len(mj) < n:
+        raise ValueError("truncated VITX artifact (metadata)")
+    try:
+        return json.loads(mj)
+    except ValueError as e:
+        raise ValueError(f"corrupt VITX metadata: {e}") from None
 
 
 def is_vitx(path: str) -> bool:
@@ -135,13 +156,17 @@ class AotEngine:
         self.hp = VitHParams(**meta["hparams"])
         self.id2label = {int(k): v for k, v in meta["id2label"].items()}
         # fail at load, not per-request: platform mismatch is a deploy
-        # error (vit-export --platforms cross-lowers for other targets)
+        # error (vit-export --platforms cross-lowers for other targets).
+        # jax.default_backend() says 'gpu' where export records the
+        # lowering platform 'cuda'/'rocm' — accept either alias.
         backend = jax.default_backend()
-        if backend not in meta["platforms"]:
+        accepted = {"gpu": {"cuda", "rocm"}}.get(backend, {backend})
+        if accepted.isdisjoint(meta["platforms"]):
+            want = "/".join(sorted(accepted))
             raise ValueError(
                 f"{path} was exported for platforms {meta['platforms']} "
                 f"but this process runs on {backend!r}; re-export with "
-                f"vit-export --platforms {backend} (or export on the "
+                f"vit-export --platforms {want} (or export on the "
                 "serving platform)"
             )
         self._exported = jex.deserialize(blob)

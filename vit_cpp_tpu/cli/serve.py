@@ -19,11 +19,7 @@ import sys
 import time
 
 
-# native decode: jpg/png/bmp/pnm; gif/tga/webp via the per-file PIL retry
-IMAGE_EXTS = {
-    ".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".pnm", ".gif",
-    ".tga", ".webp", ".JPEG", ".JPG", ".PNG", ".BMP",
-}
+from vit_cpp_tpu.io.image import IMAGE_EXTS
 
 
 def main(argv=None) -> int:

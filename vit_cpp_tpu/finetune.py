@@ -22,10 +22,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-IMAGE_EXTS = {
-    ".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".pnm", ".gif",
-    ".tga", ".webp", ".JPEG", ".JPG", ".PNG", ".BMP",
-}
+from vit_cpp_tpu.io.image import IMAGE_EXTS
 
 
 def load_dataset(data_dir: str) -> Tuple[List[str], np.ndarray, List[str]]:
@@ -111,22 +108,37 @@ def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
     return np.concatenate(out, axis=0)
 
 
+_EVAL_FWD = None  # one persistent jitted fn: per-epoch eval must not retrace
+
+
+def _eval_fwd():
+    global _EVAL_FWD
+    if _EVAL_FWD is None:
+        import jax
+        import jax.numpy as jnp
+
+        from vit_cpp_tpu.models.vit import forward
+
+        _EVAL_FWD = jax.jit(
+            lambda p, x, hp: jnp.argmax(forward(p, x, hp), axis=-1),
+            static_argnames=("hp",),
+        )
+    return _EVAL_FWD
+
+
 def evaluate(params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int) -> float:
     """Top-1 accuracy of `params` on preprocessed pixels (pads the tail so
     one program serves every chunk)."""
-    import jax
     import jax.numpy as jnp
 
-    from vit_cpp_tpu.models.vit import forward
-
-    fwd = jax.jit(lambda p, x: jnp.argmax(forward(p, x, hp), axis=-1))
+    fwd = _eval_fwd()
     correct = 0
     for i in range(0, len(pixels), batch):
         chunk = pixels[i : i + batch]
         n = len(chunk)
         if n < batch:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
-        pred = np.asarray(fwd(params, jnp.asarray(chunk)))[:n]
+        pred = np.asarray(fwd(params, jnp.asarray(chunk), hp=hp))[:n]
         correct += int((pred == labels[i : i + n]).sum())
     return correct / len(pixels)
 
@@ -202,7 +214,36 @@ def finetune(
             step=jnp.zeros((), jnp.int32),
         )
 
+    # validate cheap things BEFORE the expensive dataset preprocessing
+    vpaths = vlabels = None
+    if val_dir:
+        vpaths, vlabels, vclasses = load_dataset(val_dir)
+        if vclasses != classes:
+            raise ValueError(
+                f"val classes {vclasses} != train classes {classes}"
+            )
+
+    # sibling file, NOT inside ckpt_dir: orbax owns that directory and
+    # wipes it on every save
+    meta_path = (
+        os.path.abspath(ckpt_dir).rstrip("/") + ".meta.json" if ckpt_dir else None
+    )
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        import json
+
+        # epoch accounting derives from step // steps_per_epoch, so a
+        # resumed run must replay the exact batching of the original
+        if meta_path and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved = json.load(f)
+            if saved.get("batch") != batch or saved.get("n_images") != len(paths):
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} was written with batch "
+                    f"{saved.get('batch')} over {saved.get('n_images')} "
+                    f"images; resuming with batch {batch} over "
+                    f"{len(paths)} would mis-count epochs — rerun with "
+                    "the original settings or use a fresh --ckpt-dir"
+                )
         from vit_cpp_tpu.parallel.checkpoint import restore_train_state
 
         state = restore_train_state(ckpt_dir, state)
@@ -212,11 +253,6 @@ def finetune(
     pixels = _preprocess_all(paths, hp, decode_threads)
     val = None
     if val_dir:
-        vpaths, vlabels, vclasses = load_dataset(val_dir)
-        if vclasses != classes:
-            raise ValueError(
-                f"val classes {vclasses} != train classes {classes}"
-            )
         val = (_preprocess_all(vpaths, hp, decode_threads), vlabels)
 
     steps_per_epoch = len(paths) // batch
@@ -242,7 +278,11 @@ def finetune(
             msg += f", val top-1 {acc:.3f}"
         log(msg)
         if ckpt_dir:
+            import json
+
             from vit_cpp_tpu.parallel.checkpoint import save_train_state
 
             save_train_state(ckpt_dir, state)
+            with open(meta_path, "w") as f:
+                json.dump({"batch": batch, "n_images": len(paths)}, f)
     return state.params, hp, classes, losses

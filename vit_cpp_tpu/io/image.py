@@ -10,6 +10,14 @@ from __future__ import annotations
 
 import numpy as np
 
+# formats some decoder in the chain can read: native decode handles
+# jpg/png/bmp/pnm, the per-file PIL retry covers gif/tga/webp; shared by
+# the serve CLI's directory walk and the finetune dataset walk
+IMAGE_EXTS = {
+    ".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".pnm", ".gif",
+    ".tga", ".webp", ".JPEG", ".JPG", ".PNG", ".BMP",
+}
+
 
 def _load_native(path: str):
     try:
