@@ -156,6 +156,35 @@ def test_serve_cli_accepts_vitx(model_path, tmp_path, capsys):
     assert "not supported for .vitx" in capsys.readouterr().err
 
 
+def test_vit_cli_accepts_vitx(model_path, tmp_path, capsys):
+    """The reference-parity vit CLI serves a .vitx artifact: single image
+    broadcast to the artifact batch, same top-k lines."""
+    from PIL import Image
+
+    from vit_cpp_tpu.aot import save_engine
+    from vit_cpp_tpu.cli.vit import main
+    from vit_cpp_tpu.engine import VitEngine
+
+    engine = VitEngine(model_path, verbose=False)
+    vitx = str(tmp_path / "m.vitx")
+    save_engine(engine, vitx, batch=2)
+    img = str(tmp_path / "x.png")
+    Image.fromarray(
+        np.random.default_rng(3).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ).save(img)
+
+    assert main(["vit", "-m", vitx, "-i", img, "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith(" > ")]
+    assert len(lines) == 2
+    # top-1 label parity with the live engine (canvas preprocess on both
+    # sides: compare against the AotEngine's own classify)
+    from vit_cpp_tpu.aot import AotEngine
+
+    want = AotEngine(vitx).classify_file(img, topk=1, verbose=False)[0]
+    assert lines[0] == f" > {want[2]} : {want[1]:.2f}"
+
+
 def test_vitstr_artifact_recognize(tmp_path):
     """ViTSTR checkpoints export too: the artifact drives recognize_files
     and matches the live engine's decoded text."""
@@ -198,6 +227,11 @@ def test_vitstr_artifact_recognize(tmp_path):
     np.testing.assert_allclose(
         [r.confidence for r in got], [r.confidence for r in want], atol=1e-5
     )
+
+    # the vitstr CLI serves the artifact too
+    from vit_cpp_tpu.cli.vitstr import main
+
+    assert main(["vitstr", "-m", vitx, "-i", paths[0]]) == 0
 
 
 def test_http_daemon_serves_artifact(model_path, tmp_path):

@@ -153,6 +153,43 @@ def test_resume_is_bit_identical(model_path, tmp_path):
     )
 
 
+def test_grad_accum_matches_big_batch(model_path, tmp_path):
+    """grad_accum=2 with batch=4 produces the same updates as one batch=8
+    step (mean-of-grads == grad-of-mean for equal micro sizes)."""
+    import jax
+
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    kw = dict(epochs=2, lr=1e-3, seed=5, log=lambda m: None)
+    big, _, _, big_losses = finetune(model_path, data, batch=8, **kw)
+    acc, _, _, acc_losses = finetune(
+        model_path, data, batch=4, grad_accum=2, **kw
+    )
+    # not bit-equal: summing micro-grads reassociates f32 adds, and adamw's
+    # 1/sqrt(v) amplifies those last-ulp differences where the second
+    # moment is still near zero — so compare with a small budget
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=0.1
+        ),
+        big,
+        acc,
+    )
+    np.testing.assert_allclose(big_losses, acc_losses, atol=1e-4)
+
+
+def test_cosine_schedule_and_warmup_learn(model_path, tmp_path):
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    _, _, _, losses = finetune(
+        model_path, data, epochs=4, batch=4, lr=3e-3,
+        schedule="cosine", warmup_steps=2, log=lambda m: None,
+    )
+    assert losses[-1] < losses[0]
+
+
 def test_resume_with_different_batch_rejected(model_path, tmp_path):
     from vit_cpp_tpu.finetune import finetune
 

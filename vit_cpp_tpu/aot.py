@@ -144,10 +144,14 @@ class AotEngine:
     HTTP daemon's MicroBatcher(batch=engine.batch)."""
 
     def __init__(self, path: str):
+        import time
+
         import jax
         from jax import export as jex
 
         from vit_cpp_tpu.hparams import VitHParams
+
+        t0 = time.perf_counter()
 
         with open(path, "rb") as f:
             meta, blob = _split(f.read())
@@ -170,6 +174,7 @@ class AotEngine:
                 "serving platform)"
             )
         self._exported = jex.deserialize(blob)
+        self.load_ms = (time.perf_counter() - t0) * 1000.0
 
     def preprocess_image(self, img_u8: np.ndarray):
         from vit_cpp_tpu.ops.preprocess import preprocess_batch
@@ -191,3 +196,52 @@ class AotEngine:
                 f"got {images.shape[0]} (pad at the serving layer)"
             )
         return self._exported.call(images.astype(jnp.float32))
+
+    # -- single-image front ends (the vit / vitstr CLIs accept .vitx) ------
+
+    def _predict_one(self, path: str, verbose: bool):
+        import jax.numpy as jnp
+
+        from vit_cpp_tpu.io.image import load_image_rgb
+
+        img = load_image_rgb(path)
+        if verbose:
+            print(
+                f"load_image_from_file: loaded image '{path}' "
+                f"({img.shape[1]} x {img.shape[0]})"
+            )
+        pixels = self.preprocess_image(img)
+        if verbose:
+            print(
+                f"processed, out dims : ({self.hp.img_size} x {self.hp.img_size})"
+            )
+        # artifact batch is fixed: broadcast the one image and read row 0
+        stacked = jnp.broadcast_to(pixels[None], (self.batch,) + pixels.shape)
+        return np.asarray(self.predict_probs_batch(stacked)[0])
+
+    def classify_file(self, path: str, topk: int = 5, verbose: bool = True):
+        """[(class_id, prob, label)] — VitEngine.classify_file's surface;
+        preprocessing is the canvas batch path (serving semantics), not
+        the per-size parity path."""
+        if self.hp.seq_len is not None:
+            raise ValueError(
+                "this artifact has a sequence head (ViTSTR); use the "
+                "vitstr CLI / recognize_file instead of the classifier"
+            )
+        probs = self._predict_one(path, verbose)
+        order = np.argsort(-probs, kind="stable")[:topk]
+        return [
+            (int(i), float(probs[i]), self.id2label.get(int(i), f"LABEL_{i}"))
+            for i in order
+        ]
+
+    def recognize_file(self, path: str, verbose: bool = True):
+        """(text, confidence) via greedy decode — VitstrEngine's surface."""
+        from vit_cpp_tpu.models.vitstr import greedy_decode
+
+        if self.hp.seq_len is None:
+            raise ValueError(
+                "this artifact is a classifier; use classify_file / the vit CLI"
+            )
+        probs = self._predict_one(path, verbose)
+        return greedy_decode(probs, self.id2label)

@@ -28,6 +28,19 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--weight-decay", type=float, default=0.05)
     ap.add_argument(
+        "--schedule", choices=["const", "cosine"], default="const",
+        help="learning-rate schedule (cosine decays to 0 over the run)",
+    )
+    ap.add_argument(
+        "--warmup-steps", type=int, default=0,
+        help="linear LR warmup over this many optimizer updates",
+    )
+    ap.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="accumulate N micro-batches per optimizer update (effective "
+        "batch = batch * N with one micro-batch's memory)",
+    )
+    ap.add_argument(
         "--freeze-backbone", action="store_true",
         help="train the head only (linear probe)",
     )
@@ -77,6 +90,9 @@ def main(argv=None) -> int:
             batch=args.batch,
             lr=args.lr,
             weight_decay=args.weight_decay,
+            schedule=args.schedule,
+            warmup_steps=args.warmup_steps,
+            grad_accum=args.grad_accum,
             freeze_backbone=args.freeze_backbone,
             mesh=mesh,
             ckpt_dir=args.ckpt_dir,

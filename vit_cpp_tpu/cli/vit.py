@@ -108,10 +108,17 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
+    from vit_cpp_tpu.aot import is_vitx
     from vit_cpp_tpu.engine import VitEngine
 
     try:
-        engine = VitEngine(params.model, eps=params.eps)
+        if is_vitx(params.model):
+            # AOT artifact: eps (and every engine knob) baked at export
+            from vit_cpp_tpu.aot import AotEngine
+
+            engine = AotEngine(params.model)
+        else:
+            engine = VitEngine(params.model, eps=params.eps)
     except (OSError, ValueError) as exc:
         print(f"main: failed to load model from '{params.model}': {exc}", file=sys.stderr)
         return 1

@@ -38,10 +38,17 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
+    from vit_cpp_tpu.aot import is_vitx
     from vit_cpp_tpu.engine import VitstrEngine
 
     try:
-        engine = VitstrEngine(params.model, eps=params.eps)
+        if is_vitx(params.model):
+            # AOT artifact: eps (and every engine knob) baked at export
+            from vit_cpp_tpu.aot import AotEngine
+
+            engine = AotEngine(params.model)
+        else:
+            engine = VitstrEngine(params.model, eps=params.eps)
     except (OSError, ValueError) as exc:
         print(
             f"main: failed to load model from '{params.model}': {exc}",

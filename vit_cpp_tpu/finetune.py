@@ -151,6 +151,9 @@ def finetune(
     batch: int = 32,
     lr: float = 1e-4,
     weight_decay: float = 0.05,
+    schedule: str = "const",
+    warmup_steps: int = 0,
+    grad_accum: int = 1,
     freeze_backbone: bool = False,
     mesh=None,
     ckpt_dir: Optional[str] = None,
@@ -174,18 +177,24 @@ def finetune(
     from vit_cpp_tpu.parallel.train import (
         TrainState,
         create_train_state,
+        make_optimizer,
         shard_batch,
         train_step,
+        train_step_accum,
     )
 
     mf = read_model(model)
     hp = detect_hparams(mf)
     if hp.seq_len is not None:
         raise ValueError("fine-tuning supports classifier checkpoints only")
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     paths, labels, classes = load_dataset(data_dir)
-    if len(paths) < batch:
+    samples_per_update = batch * grad_accum
+    if len(paths) < samples_per_update:
         raise ValueError(
-            f"dataset has {len(paths)} images < batch {batch}; lower --batch"
+            f"dataset has {len(paths)} images < batch*grad_accum "
+            f"{samples_per_update}; lower --batch/--grad-accum"
         )
 
     params = _dense_f32(load_params(mf, jnp.float32, hparams=hp))
@@ -196,7 +205,16 @@ def finetune(
         )
         params, hp = _reinit_head(params, hp, len(classes))
 
-    inner = optax.adamw(lr, weight_decay=weight_decay)
+    # optimizer-update count for the schedule: one update per
+    # batch*grad_accum samples
+    updates_per_epoch = len(paths) // samples_per_update
+    inner = make_optimizer(
+        lr,
+        weight_decay=weight_decay,
+        schedule=schedule,
+        total_steps=updates_per_epoch * epochs,
+        warmup_steps=warmup_steps,
+    )
     if freeze_backbone:
         optimizer = optax.multi_transform(
             {"train": inner, "freeze": optax.set_to_zero()},
@@ -236,13 +254,17 @@ def finetune(
         if meta_path and os.path.exists(meta_path):
             with open(meta_path) as f:
                 saved = json.load(f)
-            if saved.get("batch") != batch or saved.get("n_images") != len(paths):
+            mine = {
+                "batch": batch,
+                "n_images": len(paths),
+                "grad_accum": grad_accum,
+            }
+            theirs = {k: saved.get(k, 1 if k == "grad_accum" else None) for k in mine}
+            if theirs != mine:
                 raise ValueError(
-                    f"checkpoint at {ckpt_dir} was written with batch "
-                    f"{saved.get('batch')} over {saved.get('n_images')} "
-                    f"images; resuming with batch {batch} over "
-                    f"{len(paths)} would mis-count epochs — rerun with "
-                    "the original settings or use a fresh --ckpt-dir"
+                    f"checkpoint at {ckpt_dir} was written with {theirs}; "
+                    f"resuming with {mine} would mis-count epochs — rerun "
+                    "with the original settings or use a fresh --ckpt-dir"
                 )
         from vit_cpp_tpu.parallel.checkpoint import restore_train_state
 
@@ -255,20 +277,24 @@ def finetune(
     if val_dir:
         val = (_preprocess_all(vpaths, hp, decode_threads), vlabels)
 
-    steps_per_epoch = len(paths) // batch
-    start_epoch = int(state.step) // steps_per_epoch
+    start_epoch = int(state.step) // updates_per_epoch
     losses: List[float] = []
     for epoch in range(start_epoch, epochs):
         # deterministic per-epoch shuffle: the same order replays on resume
         order = np.random.default_rng(seed + epoch).permutation(len(paths))
         epoch_losses = []
-        for s in range(steps_per_epoch):
-            idx = order[s * batch : (s + 1) * batch]
+        for s in range(updates_per_epoch):
+            idx = order[s * samples_per_update : (s + 1) * samples_per_update]
             bx = jnp.asarray(pixels[idx])
             by = jnp.asarray(labels[idx])
             if mesh is not None:
                 bx, by = shard_batch(bx, by, mesh)
-            state, loss = train_step(state, bx, by, hp, optimizer)
+            if grad_accum > 1:
+                state, loss = train_step_accum(
+                    state, bx, by, hp, optimizer, grad_accum
+                )
+            else:
+                state, loss = train_step(state, bx, by, hp, optimizer)
             epoch_losses.append(float(loss))
         mean_loss = float(np.mean(epoch_losses))
         losses.append(mean_loss)
@@ -284,5 +310,12 @@ def finetune(
 
             save_train_state(ckpt_dir, state)
             with open(meta_path, "w") as f:
-                json.dump({"batch": batch, "n_images": len(paths)}, f)
+                json.dump(
+                    {
+                        "batch": batch,
+                        "n_images": len(paths),
+                        "grad_accum": grad_accum,
+                    },
+                    f,
+                )
     return state.params, hp, classes, losses

@@ -30,8 +30,32 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.05):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.05,
+    schedule: str = "const",
+    total_steps: int = 0,
+    warmup_steps: int = 0,
+):
+    """adamw with an optional cosine decay + linear warmup.
+
+    `schedule="cosine"` needs `total_steps` (optimizer updates over the
+    whole run); warmup ramps 0 -> lr over `warmup_steps`."""
+    if schedule == "const":
+        if warmup_steps:
+            lr = optax.linear_schedule(0.0, lr, warmup_steps)
+        return optax.adamw(lr, weight_decay=weight_decay)
+    if schedule != "cosine":
+        raise ValueError(f"schedule must be const|cosine, got {schedule!r}")
+    if total_steps <= 0:
+        raise ValueError("schedule='cosine' needs total_steps > 0")
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=lr,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+    )
+    return optax.adamw(sched, weight_decay=weight_decay)
 
 
 def cross_entropy_loss(
@@ -57,6 +81,44 @@ def train_step(
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
+
+
+@partial(jax.jit, static_argnames=("hp", "optimizer", "accum"))
+def train_step_accum(
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    hp: VitHParams,
+    optimizer,
+    accum: int,
+) -> Tuple[TrainState, jax.Array]:
+    """One optimizer update from `accum` sequential micro-batches.
+
+    images is (accum * B, C, S, S): each (B, ...) slice runs its own
+    forward/backward (a lax.scan, so peak memory is one micro-batch's
+    activations) and the mean gradient feeds a single update — effective
+    batch accum*B with the footprint of B."""
+    micro = images.shape[0] // accum
+    imgs = images.reshape(accum, micro, *images.shape[1:])
+    lbls = labels.reshape(accum, micro)
+
+    def step(carry, xy):
+        gsum, lsum = carry
+        x, y = xy
+        loss, grads = jax.value_and_grad(cross_entropy_loss)(
+            state.params, x, y, hp
+        )
+        return (
+            jax.tree.map(jnp.add, gsum, grads),
+            lsum + loss,
+        ), ()
+
+    zeros = jax.tree.map(jnp.zeros_like, state.params)
+    (gsum, lsum), _ = jax.lax.scan(step, (zeros, jnp.zeros(())), (imgs, lbls))
+    grads = jax.tree.map(lambda g: g / accum, gsum)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), lsum / accum
 
 
 def create_train_state(
