@@ -176,6 +176,98 @@ def test_vitstr_recognize_route(tmp_path):
         batcher.close()
 
 
+def test_multi_model_daemon(tmp_path):
+    """One daemon serving a classifier AND a ViTSTR model: per-model
+    routes, healthz/stats per model, wrong route 404s with the route list."""
+    import urllib.request
+
+    from vit_cpp_tpu.engine import VitEngine, VitstrEngine
+    from vit_cpp_tpu.models.vitstr import vitstr_id2label
+    from vit_cpp_tpu.server import create_multi_server
+
+    cls_hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    str_hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=96,
+        patch_size=8,
+        img_size=32,
+        in_chans=1,
+        seq_len=5,
+    )
+    cls_path = str(tmp_path / "c.gguf")
+    str_path = str(tmp_path / "s.gguf")
+    write_synthetic_model(cls_path, cls_hp, ftype=1, seed=1)
+    write_synthetic_model(
+        str_path, str_hp, ftype=1, seed=2, id2label=vitstr_id2label()
+    )
+    engines = {
+        "cls": VitEngine(cls_path, verbose=False),
+        "ocr": VitstrEngine(str_path, verbose=False),
+    }
+    httpd, batchers = create_multi_server(
+        engines, port=0, batch={"cls": 3, "ocr": 2}, max_wait_ms=5.0
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and set(health["models"]) == {"cls", "ocr"}
+        assert health["models"]["cls"]["model"] == "vit"
+        assert health["models"]["ocr"]["model"] == "vitstr"
+        assert health["models"]["cls"]["batch"] == 3
+
+        png = _png_bytes(11)
+        code, body = _post(f"{base}/v1/cls/classify?topk=2", png)
+        assert code == 200 and len(body["topk"]) == 2
+        code, body = _post(f"{base}/v1/ocr/recognize", png)
+        assert code == 200 and isinstance(body["text"], str)
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/classify", png)
+        assert e.value.code == 404
+        assert "/v1/cls/classify" in json.loads(e.value.read())["error"]
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["cls"]["requests"] == 1 and stats["ocr"]["requests"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        for b in batchers.values():
+            b.close()
+
+
+def test_multi_model_cli_parses_specs(tmp_path, capsys):
+    """CLI spec errors: bare path in multi mode, duplicate names."""
+    from vit_cpp_tpu.cli.server import main
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    model = str(tmp_path / "m.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=1)
+    assert main(["-m", model, "-m", model]) == 1
+    assert "name=path" in capsys.readouterr().err
+    assert main(["-m", f"a={model}", "-m", f"a={model}"]) == 1
+    assert "duplicate" in capsys.readouterr().err
+
+
 def test_device_failure_returns_500():
     """A raising predict resolves waiters with the exception and the
     handler returns JSON 500 instead of dropping the socket."""

@@ -15,9 +15,43 @@ import argparse
 import sys
 
 
+def _build_engine(path, args):
+    """gguf or .vitx -> engine with the CLI's knobs (artifact: baked)."""
+    from vit_cpp_tpu.aot import is_vitx
+
+    if is_vitx(path):
+        from vit_cpp_tpu.aot import AotEngine
+
+        return AotEngine(path)
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
+    from vit_cpp_tpu.gguf.reader import read_model
+
+    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
+    cls = (
+        VitstrEngine
+        if detect_hparams(read_model(path)).seq_len is not None
+        else VitEngine
+    )
+    return cls(
+        path,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        attn_impl=args.attn,
+        mm_impl=args.mm,
+        fold_ln=fold_ln,
+        verbose=False,
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument(
+        "-m", "--model", required=True, action="append",
+        help="model path (gguf or .vitx). Repeat with name=path to serve "
+        "several models from one daemon (routes /v1/<name>/classify|"
+        "recognize): -m cls=model.gguf -m ocr=vitstr.gguf",
+    )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument(
@@ -57,18 +91,62 @@ def main(argv=None) -> int:
     else:
         enable_from_env()
 
-    import jax.numpy as jnp
+    from vit_cpp_tpu.aot import AotEngine, is_vitx
+    from vit_cpp_tpu.server import create_multi_server, create_server
 
-    from vit_cpp_tpu.aot import is_vitx
-    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
-    from vit_cpp_tpu.gguf.reader import read_model
-    from vit_cpp_tpu.server import create_server
+    multi = len(args.model) > 1 or "=" in args.model[0]
+    if multi:
+        # several models in one daemon: -m name=path repeated
+        if args.mesh:
+            print("--mesh is not supported with multiple models", file=sys.stderr)
+            return 1
+        engines, batches = {}, {}
+        for spec in args.model:
+            name, sep, path = spec.partition("=")
+            if not sep or not name or not path:
+                print(
+                    f"bad -m {spec!r}: multi-model mode needs name=path",
+                    file=sys.stderr,
+                )
+                return 1
+            if name in engines:
+                print(f"duplicate model name {name!r}", file=sys.stderr)
+                return 1
+            engines[name] = _build_engine(path, args)
+            batches[name] = (
+                engines[name].batch
+                if is_vitx(path)
+                else args.batch
+            )
+        httpd, batchers = create_multi_server(
+            engines,
+            host=args.host,
+            port=args.port,
+            batch=batches,
+            max_wait_ms=args.max_wait_ms,
+            warmup=not args.no_warmup,
+            request_timeout_s=args.request_timeout,
+        )
+        print(
+            f"vit-server: {len(engines)} models on "
+            f"http://{args.host}:{httpd.server_port} "
+            f"({', '.join(sorted(engines))})",
+            file=sys.stderr,
+        )
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+            for b in batchers.values():
+                b.close()
+        return 0
 
-    if is_vitx(args.model):
+    model_path = args.model[0]
+    if is_vitx(model_path):
         # AOT artifact: engine knobs and batch baked at export; the
         # micro-batcher must use the artifact's compiled batch size
-        from vit_cpp_tpu.aot import AotEngine
-
         if args.mesh:
             print(
                 "--mesh is not supported for .vitx artifacts (the exported "
@@ -76,7 +154,7 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
-        engine = AotEngine(args.model)
+        engine = AotEngine(model_path)
         if args.batch != engine.batch:
             print(
                 f"vit-server: .vitx artifact is compiled for batch "
@@ -86,17 +164,8 @@ def main(argv=None) -> int:
             args.batch = engine.batch
         is_vitstr = engine.hp.seq_len is not None
     else:
-        fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
-        is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
-        cls = VitstrEngine if is_vitstr else VitEngine
-        engine = cls(
-            args.model,
-            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-            attn_impl=args.attn,
-            mm_impl=args.mm,
-            fold_ln=fold_ln,
-            verbose=False,
-        )
+        engine = _build_engine(model_path, args)
+        is_vitstr = engine.hp.seq_len is not None
     if args.mesh:
         from vit_cpp_tpu.parallel.mesh import make_mesh
 

@@ -9,11 +9,15 @@ compiled — same trick as serve.py's file pipeline) before running the
 jitted forward. Decode + preprocess run in the per-request handler
 threads, so host work overlaps device compute exactly as in serve.py.
 
-Endpoints:
+Endpoints (single model, create_server):
   GET  /healthz               -> {"ok": true, "model": ..., ...}
   GET  /stats                 -> request/batch counters
   POST /v1/classify[?topk=K]  -> {"topk": [{"id", "label", "prob"}, ...]}
   POST /v1/recognize          -> {"text", "confidence"}   (ViTSTR models)
+
+Multi-model (create_multi_server, `vit-server -m name=path` repeated):
+each model gets its own MicroBatcher and POST route
+/v1/<name>/classify|recognize; /healthz and /stats report per model.
 
 Request body = raw image bytes (JPEG/PNG/BMP/PNM via the native decoder,
 anything else via PIL).
@@ -136,32 +140,71 @@ class MicroBatcher:
             fut.set_result(out[i])
 
 
+class _Model:
+    """One served model: engine + its micro-batcher + routing kind."""
+
+    def __init__(self, name, engine, batcher: MicroBatcher):
+        self.name = name
+        self.engine = engine
+        self.batcher = batcher
+        # hp-based so AotEngine (aot.py) routes the same as VitstrEngine:
+        # a sequence head means the recognize route + grayscale preprocess
+        self.is_vitstr = engine.hp.seq_len is not None
+
+    def preprocess(self, img):
+        # canvas-bucketed batch path, NOT the per-size parity path: one
+        # compiled program per 256-px source bucket instead of one per
+        # distinct (H, W) — arbitrary client image sizes must not grow
+        # the jit cache per request (ops/preprocess.py docstring; same
+        # reason serve.py uses preprocess_batch)
+        if self.is_vitstr:
+            from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
+
+            return preprocess_grayscale_batch([img], self.engine.hp.img_size)[0]
+        from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+        return preprocess_batch(
+            [img], self.engine.hp.img_size, mode=self.engine.hp.interpolation
+        )[0]
+
+    def health(self):
+        hp = self.engine.hp
+        return {
+            "model": "vitstr" if self.is_vitstr else "vit",
+            "hidden_size": hp.hidden_size,
+            "img_size": hp.img_size,
+            "batch": self.batcher.batch,
+        }
+
+
 def make_handler(
     engine,
     batcher: MicroBatcher,
     timeout_s: float = 30.0,
     max_body_bytes: int = 32 * 1024 * 1024,
 ):
-    """Build the request-handler class bound to an engine + batcher."""
-    # hp-based so AotEngine (aot.py) routes the same as VitstrEngine:
-    # a sequence head means the recognize route + grayscale preprocess
-    is_vitstr = engine.hp.seq_len is not None
+    """Single-model request handler (legacy routes /v1/classify|recognize)."""
+    m = _Model(None, engine, batcher)
+    route = "/v1/recognize" if m.is_vitstr else "/v1/classify"
+    return _make_handler({route: m}, single=m, timeout_s=timeout_s,
+                         max_body_bytes=max_body_bytes)
 
-    def preprocess(img):
-        # canvas-bucketed batch path, NOT the per-size parity path: one
-        # compiled program per 256-px source bucket instead of one per
-        # distinct (H, W) — arbitrary client image sizes must not grow
-        # the jit cache per request (ops/preprocess.py docstring; same
-        # reason serve.py uses preprocess_batch)
-        if is_vitstr:
-            from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
 
-            return preprocess_grayscale_batch([img], engine.hp.img_size)[0]
-        from vit_cpp_tpu.ops.preprocess import preprocess_batch
+def make_multi_handler(
+    models,
+    timeout_s: float = 30.0,
+    max_body_bytes: int = 32 * 1024 * 1024,
+):
+    """Multi-model handler: routes /v1/<name>/classify|recognize per model."""
+    routes = {}
+    for m in models:
+        kind = "recognize" if m.is_vitstr else "classify"
+        routes[f"/v1/{m.name}/{kind}"] = m
+    return _make_handler(routes, single=None, timeout_s=timeout_s,
+                         max_body_bytes=max_body_bytes)
 
-        return preprocess_batch(
-            [img], engine.hp.img_size, mode=engine.hp.interpolation
-        )[0]
+
+def _make_handler(routes, single, timeout_s, max_body_bytes):
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; the CLI wires log_request through --verbose
@@ -178,33 +221,47 @@ def make_handler(
 
         def do_GET(self):
             if self.path == "/healthz":
-                hp = engine.hp
-                self._json(
-                    200,
-                    {
-                        "ok": True,
-                        "model": "vitstr" if is_vitstr else "vit",
-                        "hidden_size": hp.hidden_size,
-                        "img_size": hp.img_size,
-                        "batch": batcher.batch,
-                    },
-                )
+                if single is not None:
+                    self._json(200, {"ok": True, **single.health()})
+                else:
+                    self._json(
+                        200,
+                        {
+                            "ok": True,
+                            "models": {m.name: m.health() for m in routes.values()},
+                        },
+                    )
             elif self.path == "/stats":
-                self._json(
-                    200,
-                    {
-                        "requests": batcher.n_requests,
-                        "batches": batcher.n_batches,
-                    },
-                )
+                if single is not None:
+                    self._json(
+                        200,
+                        {
+                            "requests": single.batcher.n_requests,
+                            "batches": single.batcher.n_batches,
+                        },
+                    )
+                else:
+                    self._json(
+                        200,
+                        {
+                            m.name: {
+                                "requests": m.batcher.n_requests,
+                                "batches": m.batcher.n_batches,
+                            }
+                            for m in routes.values()
+                        },
+                    )
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
             path, _, query = self.path.partition("?")
-            want = "/v1/recognize" if is_vitstr else "/v1/classify"
-            if path != want:
-                self._json(404, {"error": f"no route {path} (use {want})"})
+            model = routes.get(path)
+            if model is None:
+                self._json(
+                    404,
+                    {"error": f"no route {path} (use {' or '.join(sorted(routes))})"},
+                )
                 return
             n = int(self.headers.get("Content-Length") or 0)
             if n > max_body_bytes:
@@ -225,16 +282,18 @@ def make_handler(
                     except ValueError:
                         self._json(400, {"error": f"bad query {kv!r}"})
                         return
-            pixels = preprocess(img)
+            pixels = model.preprocess(img)
             try:
-                probs = batcher.submit(pixels).result(timeout=timeout_s)
+                probs = model.batcher.submit(pixels).result(timeout=timeout_s)
             except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            if is_vitstr:
+            if model.is_vitstr:
                 from vit_cpp_tpu.models.vitstr import greedy_decode
 
-                text, conf = greedy_decode(np.asarray(probs), engine.id2label)
+                text, conf = greedy_decode(
+                    np.asarray(probs), model.engine.id2label
+                )
                 self._json(200, {"text": text, "confidence": float(conf)})
                 return
             order = np.argsort(-probs, kind="stable")[:topk]
@@ -244,7 +303,9 @@ def make_handler(
                     "topk": [
                         {
                             "id": int(i),
-                            "label": engine.id2label.get(int(i), f"LABEL_{i}"),
+                            "label": model.engine.id2label.get(
+                                int(i), f"LABEL_{i}"
+                            ),
                             "prob": float(probs[i]),
                         }
                         for i in order
@@ -293,3 +354,54 @@ def create_server(
         ),
     )
     return httpd, batcher
+
+
+def create_multi_server(
+    engines,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    batch: int = 8,
+    max_wait_ms: float = 5.0,
+    warmup: bool = True,
+    request_timeout_s: float = 30.0,
+    max_body_bytes: int = 32 * 1024 * 1024,
+):
+    """Serve several models from one daemon: `engines` is {name: engine}
+    (classifier and ViTSTR mixed freely), each with its own MicroBatcher
+    and route /v1/<name>/classify|recognize. Returns (httpd, {name:
+    batcher}); the caller closes all batchers. `batch` may be an int or a
+    {name: int} per-model map (an AotEngine's fixed batch must match)."""
+    if not engines:
+        raise ValueError("create_multi_server needs at least one engine")
+    models = []
+    for name, engine in engines.items():
+        if not name or "/" in name:
+            raise ValueError(f"bad model name {name!r} (non-empty, no '/')")
+        b = batch[name] if isinstance(batch, dict) else batch
+        models.append(
+            _Model(
+                name,
+                engine,
+                MicroBatcher(
+                    engine.predict_probs_batch, batch=b, max_wait_ms=max_wait_ms
+                ),
+            )
+        )
+    if warmup:
+        import jax.numpy as jnp
+
+        for m in models:
+            hp = m.engine.hp
+            dummy = jnp.zeros((hp.in_chans, hp.img_size, hp.img_size), jnp.float32)
+            m.batcher.submit(dummy).result()
+            m.batcher.n_requests = 0
+            m.batcher.n_batches = 0
+    httpd = ThreadingHTTPServer(
+        (host, port),
+        make_multi_handler(
+            models,
+            timeout_s=request_timeout_s,
+            max_body_bytes=max_body_bytes,
+        ),
+    )
+    return httpd, {m.name: m.batcher for m in models}
