@@ -62,6 +62,14 @@ CONFIGS = [
         "latency_q8_0_w8a8",
         ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
+    # the .vitx AOT artifact path (deserialized jax.export program) on the
+    # flagship config — must match q8_0_w8a8 within chip variance
+    (
+        "q8_0_w8a8_aot",
+        ["--aot", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
+    ),
+    # fine-tune train-step throughput (fwd+bwd+adamw, parity graph)
+    ("train_bf16", ["--train", "--chain", "10"]),
 ]
 
 

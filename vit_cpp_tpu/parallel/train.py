@@ -61,7 +61,12 @@ def make_optimizer(
 def cross_entropy_loss(
     params, images, labels, hp: VitHParams
 ) -> jax.Array:
-    logits = forward(params, images, hp)
+    # remat="dots": recompute the blocks' elementwise chain in the
+    # backward pass but keep their GEMM outputs — ViT-B/16 batch-128
+    # training OOMs a 16 GB v5e with no remat (23.5 GB of stored
+    # activations), and full remat pays a 4th forward of FLOPs
+    # (models/vit.py forward docstring; measured in docs/TUNING.md)
+    logits = forward(params, images, hp, remat="dots")
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
     return jnp.mean(nll)
