@@ -96,6 +96,12 @@ def main() -> int:
         "+ adamw, parallel/train.py) instead of inference; forces the "
         "differentiable parity graph (--quant none --mm xla --attn xla)",
     )
+    ap.add_argument(
+        "--train-remat", choices=["none", "dots", "full"], default="dots",
+        help="rematerialization for --train: none (store all activations "
+        "— OOMs batch 128), dots (keep GEMM outputs; the train default), "
+        "full (recompute everything)",
+    )
     args = ap.parse_args()
     if args.train:
         # grads flow through the XLA graph only (the Pallas serving
@@ -185,11 +191,14 @@ def main() -> int:
     if args.train:
         import optax
 
-        from vit_cpp_tpu.parallel.train import (
-            TrainState,
-            cross_entropy_loss,
-            make_optimizer,
-        )
+        from vit_cpp_tpu.parallel.train import TrainState, make_optimizer
+
+        remat = {"none": False, "dots": "dots", "full": True}[args.train_remat]
+
+        def cross_entropy_loss(p, x, y, hp):
+            logits = forward(p, x, hp, remat=remat)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
 
         optimizer = make_optimizer()
         state0 = TrainState(

@@ -185,7 +185,7 @@ def test_cosine_schedule_and_warmup_learn(model_path, tmp_path):
     data = _make_dataset(tmp_path / "train")
     _, _, _, losses = finetune(
         model_path, data, epochs=4, batch=4, lr=3e-3,
-        schedule="cosine", warmup_steps=2, log=lambda m: None,
+        schedule="cosine", warmup_steps=2, clip_norm=1.0, log=lambda m: None,
     )
     assert losses[-1] < losses[0]
 

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
         "batch = batch * N with one micro-batch's memory)",
     )
     ap.add_argument(
+        "--clip-norm", type=float, default=0.0,
+        help="clip the global gradient norm before each update (0 = off)",
+    )
+    ap.add_argument(
         "--freeze-backbone", action="store_true",
         help="train the head only (linear probe)",
     )
@@ -93,6 +97,7 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             warmup_steps=args.warmup_steps,
             grad_accum=args.grad_accum,
+            clip_norm=args.clip_norm,
             freeze_backbone=args.freeze_backbone,
             mesh=mesh,
             ckpt_dir=args.ckpt_dir,

@@ -154,6 +154,7 @@ def finetune(
     schedule: str = "const",
     warmup_steps: int = 0,
     grad_accum: int = 1,
+    clip_norm: float = 0.0,
     freeze_backbone: bool = False,
     mesh=None,
     ckpt_dir: Optional[str] = None,
@@ -214,6 +215,7 @@ def finetune(
         schedule=schedule,
         total_steps=updates_per_epoch * epochs,
         warmup_steps=warmup_steps,
+        clip_norm=clip_norm,
     )
     if freeze_backbone:
         optimizer = optax.multi_transform(

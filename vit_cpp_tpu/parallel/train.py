@@ -36,26 +36,31 @@ def make_optimizer(
     schedule: str = "const",
     total_steps: int = 0,
     warmup_steps: int = 0,
+    clip_norm: float = 0.0,
 ):
     """adamw with an optional cosine decay + linear warmup.
 
     `schedule="cosine"` needs `total_steps` (optimizer updates over the
-    whole run); warmup ramps 0 -> lr over `warmup_steps`."""
+    whole run); warmup ramps 0 -> lr over `warmup_steps`; `clip_norm` > 0
+    clips the global gradient norm before the update."""
     if schedule == "const":
         if warmup_steps:
             lr = optax.linear_schedule(0.0, lr, warmup_steps)
-        return optax.adamw(lr, weight_decay=weight_decay)
-    if schedule != "cosine":
+    elif schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("schedule='cosine' needs total_steps > 0")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+        )
+    else:
         raise ValueError(f"schedule must be const|cosine, got {schedule!r}")
-    if total_steps <= 0:
-        raise ValueError("schedule='cosine' needs total_steps > 0")
-    sched = optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
-        peak_value=lr,
-        warmup_steps=warmup_steps,
-        decay_steps=total_steps,
-    )
-    return optax.adamw(sched, weight_decay=weight_decay)
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    if clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    return opt
 
 
 def cross_entropy_loss(
