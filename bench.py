@@ -196,7 +196,7 @@ def main() -> int:
         remat = {"none": False, "dots": "dots", "full": True}[args.train_remat]
 
         def cross_entropy_loss(p, x, y, hp):
-            logits = forward(p, x, hp, remat=remat)
+            logits = forward(p, x, hp, remat=remat, unroll=args.unroll)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
 
