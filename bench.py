@@ -195,8 +195,12 @@ def main() -> int:
 
         remat = {"none": False, "dots": "dots", "full": True}[args.train_remat]
 
+        # training default = full layer unroll (+11% vs scan, measured);
+        # --unroll N overrides for A/B probes
+        train_unroll = args.unroll if args.unroll != 1 else geo[1]
+
         def cross_entropy_loss(p, x, y, hp):
-            logits = forward(p, x, hp, remat=remat, unroll=args.unroll)
+            logits = forward(p, x, hp, remat=remat, unroll=train_unroll)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
 

@@ -68,8 +68,10 @@ CONFIGS = [
         "q8_0_w8a8_aot",
         ["--aot", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
-    # fine-tune train-step throughput (fwd+bwd+adamw, parity graph)
-    ("train_bf16", ["--train", "--chain", "10"]),
+    # fine-tune train-step throughput (fwd+bwd+adamw, parity graph;
+    # dots remat + full layer unroll, batch 32 — the measured sweet
+    # config band, docs/TUNING.md training section)
+    ("train_bf16_bs32", ["--train", "--chain", "10", "--batch", "32"]),
 ]
 
 

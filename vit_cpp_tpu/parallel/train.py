@@ -69,9 +69,15 @@ def cross_entropy_loss(
     # remat="dots": recompute the blocks' elementwise chain in the
     # backward pass but keep their GEMM outputs — ViT-B/16 batch-128
     # training OOMs a 16 GB v5e with no remat (23.5 GB of stored
-    # activations), and full remat pays a 4th forward of FLOPs
-    # (models/vit.py forward docstring; measured in docs/TUNING.md)
-    logits = forward(params, images, hp, remat="dots")
+    # activations), and full remat pays a 4th forward of FLOPs.
+    # Full layer unroll: the backward of a scanned graph spends
+    # ~12-15 ms/step on dynamic-slice reads of stacked params and
+    # dynamic-update-slice writes of stacked grads; unrolling removes the
+    # bookkeeping (+11% train rate, measured — the OPPOSITE of inference,
+    # where unroll loses; docs/TUNING.md training section).
+    logits = forward(
+        params, images, hp, remat="dots", unroll=hp.num_hidden_layers
+    )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
     return jnp.mean(nll)
