@@ -102,6 +102,12 @@ def main() -> int:
         "— OOMs batch 128), dots (keep GEMM outputs; the train default), "
         "full (recompute everything)",
     )
+    ap.add_argument(
+        "--train-attn", choices=["pallas-train", "xla"], default="pallas-train",
+        help="attention for --train: the fused custom-VJP kernel pair "
+        "(neither direction touches HBM with (B,nh,T,T) scores; the "
+        "training default) or plain XLA ops",
+    )
     args = ap.parse_args()
     if args.train:
         # grads flow through the XLA graph only (the Pallas serving
@@ -200,7 +206,12 @@ def main() -> int:
         train_unroll = args.unroll if args.unroll != 1 else geo[1]
 
         def cross_entropy_loss(p, x, y, hp):
-            logits = forward(p, x, hp, remat=remat, unroll=train_unroll)
+            logits = forward(
+                p, x, hp,
+                attn_impl=args.train_attn,
+                remat=remat,
+                unroll=train_unroll,
+            )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
 

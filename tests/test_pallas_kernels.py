@@ -62,6 +62,83 @@ class TestFlashAttention:
         out = attention_qkv(jnp.asarray(qkv5.reshape(b, t, 3 * nh * d)), nh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("nh,d", [(2, 64), (2, 32), (3, 64)])
+    def test_attention_qkv_train_grad_matches_xla(self, nh, d):
+        """The custom-VJP training attention: value AND gradient parity
+        with the composed-XLA-ops path (which JAX differentiates itself)."""
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
+
+        b, t, h = 2, 37, nh * d
+        rng = np.random.default_rng(11)
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+
+        def ref_fn(x):
+            xs = x.reshape(b, t, 3, nh, d)
+            q, k, v = (xs[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            o = attention(q, k, v, impl="xla")
+            return jnp.sum(o.transpose(0, 2, 1, 3).reshape(b, t, h) * w)
+
+        def pal_fn(x):
+            return jnp.sum(attention_qkv_train(x, nh) * w)
+
+        np.testing.assert_allclose(
+            float(pal_fn(qkv)), float(ref_fn(qkv)), rtol=1e-5
+        )
+        g_ref = np.asarray(jax.grad(ref_fn)(qkv))
+        g_pal = np.asarray(jax.grad(pal_fn)(qkv))
+        np.testing.assert_allclose(g_pal, g_ref, atol=3e-5, rtol=1e-4)
+
+    def test_attention_qkv_train_long_t_fallback_grads(self):
+        """T > 600 takes the composed-XLA fallback and stays differentiable."""
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
+
+        b, t, nh, d = 1, 608, 1, 32
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * nh * d)), jnp.float32)
+        g = jax.grad(lambda x: jnp.sum(attention_qkv_train(x, nh) ** 2))(qkv)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_train_forward_grad_through_model(self):
+        """cross_entropy_loss (pallas-train attention + remat + unroll)
+        grads match the plain-XLA forward's grads on a tiny model."""
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models import params_from_state_dict
+        from vit_cpp_tpu.models.vit import forward
+        from vit_cpp_tpu.parallel.train import cross_entropy_loss
+        from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+        hp = VitHParams(
+            hidden_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_classes=5,
+            patch_size=8,
+            img_size=32,
+        )
+        params = params_from_state_dict(random_state_dict(hp, seed=2), hp)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 5, (2,)), jnp.int32)
+
+        def ref_loss(p):
+            logits = forward(p, x, hp)  # plain XLA graph
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+        l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+        l_tr, g_tr = jax.value_and_grad(
+            lambda p: cross_entropy_loss(p, x, y, hp)
+        )(params)
+        np.testing.assert_allclose(float(l_tr), float(l_ref), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+            ),
+            g_tr,
+            g_ref,
+        )
+
     def test_model_forward_selects_pallas(self):
         from vit_cpp_tpu.hparams import VitHParams
         from vit_cpp_tpu.models import params_from_state_dict

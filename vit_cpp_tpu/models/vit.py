@@ -102,6 +102,12 @@ def transformer_block(
         from vit_cpp_tpu.ops.flash_attention import attention_qkv
 
         o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
+    elif attn_impl == "pallas-train":
+        # differentiable fused kernel (custom_vjp): forward = the serving
+        # kernel, backward recomputes scores in VMEM — the training path
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
+
+        o = attention_qkv_train(qkv, nh)
     else:
         qkv = qkv.reshape(b, t, 3, nh, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))

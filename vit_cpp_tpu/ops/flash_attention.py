@@ -438,6 +438,154 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
 # the relayout overhead without touching the proj GEMM (docs/TUNING.md).
 
 
+def _qkv_grad_kernel(x_ref, do_ref, dx_ref, *, nh: int):
+    """Backward of the fused-QKV attention: one batch element per grid
+    step; x is the (1, T, 3h) projection block, do the (1, T, h) output
+    cotangent, dx the (1, T, 3h) input cotangent.
+
+    Everything lives in VMEM: scores are RECOMPUTED from x (one extra
+    QK^T per head — MXU time, not HBM), so the (T, T) probability and
+    score-grad matrices never exist in HBM in either direction. The XLA
+    attention backward materializes S, P and dS per layer per direction —
+    at ViT-B/16 batch 32 that is ~180 MB of HBM round trips per layer
+    that this kernel deletes. Safe softmax only (training is the parity
+    graph)."""
+    t = x_ref.shape[1]
+    h = x_ref.shape[2] // 3
+    d = h // nh
+    x = x_ref[0]
+    do = do_ref[0]
+    scale = 1.4426950408889634 / (d**0.5)  # log2(e)/sqrt(d), as forward
+    nat = 1.0 / (d**0.5)
+    for i in range(nh):
+        q = x[:, i * d : (i + 1) * d]
+        k = x[:, h + i * d : h + (i + 1) * d]
+        v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
+        do_h = do[:, i * d : (i + 1) * d]
+        s = jax.lax.dot_general(
+            (q.astype(jnp.float32) * scale).astype(q.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+        pn = p / jnp.sum(p, axis=-1, keepdims=True)  # softmax(QK^T/sqrt d)
+        # dV = Pn^T dO
+        dv = jax.lax.dot_general(
+            pn.astype(x.dtype),
+            do_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T
+        dp = jax.lax.dot_general(
+            do_h,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # softmax backward (natural-log domain): dS = Pn ∘ (dP - rowsum(dP∘Pn))
+        r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+        ds = (pn * (dp - r)).astype(x.dtype)
+        dq = (
+            jax.lax.dot_general(
+                ds,
+                k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * nat
+        )
+        dk = (
+            jax.lax.dot_general(
+                ds,
+                q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * nat
+        )
+        dx_ref[0, :, i * d : (i + 1) * d] = dq.astype(dx_ref.dtype)
+        dx_ref[0, :, h + i * d : h + (i + 1) * d] = dk.astype(dx_ref.dtype)
+        dx_ref[0, :, 2 * h + i * d : 2 * h + (i + 1) * d] = dv.astype(
+            dx_ref.dtype
+        )
+
+
+def _attention_qkv_grad(qkv, do, num_heads: int, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    return pl.pallas_call(
+        functools.partial(_qkv_grad_kernel, nh=num_heads),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, three_h), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * t * t * h,
+            bytes_accessed=8 * b * t * h * qkv.dtype.itemsize,
+            transcendentals=b * t * t * num_heads,
+        ),
+        interpret=interpret,
+    )(qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _attention_qkv_cv(qkv, num_heads: int):
+    return attention_qkv(qkv, num_heads, fast=False)
+
+
+def _attention_qkv_cv_fwd(qkv, num_heads: int):
+    # residual = the projection output itself; the backward recomputes
+    # scores in VMEM (recompute costs one QK^T dot; saving P would cost a
+    # (B, nh, T, T) HBM tensor — the thing this kernel family exists to
+    # avoid)
+    return _attention_qkv_cv(qkv, num_heads), qkv
+
+
+def _attention_qkv_cv_bwd(num_heads: int, qkv, do):
+    return (_attention_qkv_grad(qkv, do, num_heads),)
+
+
+_attention_qkv_cv.defvjp(_attention_qkv_cv_fwd, _attention_qkv_cv_bwd)
+
+
+def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Differentiable fused attention for the training path.
+
+    Forward = the serving kernel (safe softmax); backward = a Pallas
+    kernel that recomputes scores per (batch, head) in VMEM — neither
+    direction materializes a (B, nh, T, T) tensor in HBM. Falls back to
+    plain composed XLA ops when the (T, T) f32 workspaces exceed the
+    scoped VMEM budget (T > ~600: ViT-B/8's 785 tokens)."""
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    d = h // num_heads
+    if t > 600 or h % num_heads:
+        # differentiable by construction; XLA owns the backward
+        from vit_cpp_tpu.ops.core import attention
+
+        qkv_s = qkv.reshape(b, t, 3, num_heads, d)
+        q, k, v = (qkv_s[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        o = attention(q, k, v, impl="xla")
+        return o.transpose(0, 2, 1, 3).reshape(b, t, h)
+    return _attention_qkv_cv(qkv, num_heads)
+
+
 def _bhtd_kernel(q_ref, k_ref, v_ref, o_ref):
     """Blocks of (B, H, T, D) arrays: refs are (1, 1, T, D)."""
     o_ref[0, 0] = _sdpa(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], o_ref.dtype)

@@ -75,8 +75,16 @@ def cross_entropy_loss(
     # dynamic-update-slice writes of stacked grads; unrolling removes the
     # bookkeeping (+11% train rate, measured — the OPPOSITE of inference,
     # where unroll loses; docs/TUNING.md training section).
+    # attn_impl="pallas-train": fused custom-VJP attention — neither
+    # direction materializes the (B, nh, T, T) scores in HBM (the XLA
+    # backward's dominant traffic); falls back to XLA ops at T > 600
     logits = forward(
-        params, images, hp, remat="dots", unroll=hp.num_hidden_layers
+        params,
+        images,
+        hp,
+        attn_impl="pallas-train",
+        remat="dots",
+        unroll=hp.num_hidden_layers,
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
