@@ -68,10 +68,10 @@ CONFIGS = [
         "q8_0_w8a8_aot",
         ["--aot", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
-    # fine-tune train-step throughput (fwd+bwd+adamw, parity graph;
-    # dots remat + full layer unroll, batch 32 — the measured sweet
-    # config band, docs/TUNING.md training section)
-    ("train_bf16_bs32", ["--train", "--chain", "10", "--batch", "32"]),
+    # fine-tune train-step throughput (fwd+bwd+adamw; custom-VJP
+    # attention + dots remat + full layer unroll, batch 64 — the
+    # measured peak, docs/TUNING.md training section)
+    ("train_bf16_bs64", ["--train", "--chain", "10", "--batch", "64"]),
 ]
 
 
