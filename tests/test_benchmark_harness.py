@@ -90,3 +90,29 @@ class TestHarness:
             for f in (dataset / cls).glob("img_*.JPEG"):
                 top = engine.classify_file(str(f), topk=1, verbose=False)[0]
                 assert by_file[(cls, f.name)] == classnames[top[0]]
+
+    def test_run_eval_accepts_vitx(self, setup, tmp_path, capsys):
+        """The accuracy harness evaluates a .vitx artifact; its compiled
+        batch size overrides --batch and predictions match the gguf run."""
+        from vit_cpp_tpu.aot import save_engine
+        from vit_cpp_tpu.engine import VitEngine
+
+        model, dataset, classnames, hp = setup
+        vitx = str(tmp_path / "m.vitx")
+        save_engine(VitEngine(str(model), verbose=False), vitx, batch=4)
+
+        gguf_csv = tmp_path / "gguf.csv"
+        run_eval(
+            str(model), str(dataset), per_class=0,
+            output_file=str(gguf_csv), batch=4, verbose=False,
+        )
+        vitx_csv = tmp_path / "vitx.csv"
+        acc = run_eval(
+            vitx, str(dataset), per_class=0,
+            output_file=str(vitx_csv), batch=8, verbose=False,
+        )
+        assert "compiled for batch 4" in capsys.readouterr().err
+        assert 0.0 <= acc <= 1.0
+        assert sorted(vitx_csv.read_text().splitlines()) == sorted(
+            gguf_csv.read_text().splitlines()
+        )

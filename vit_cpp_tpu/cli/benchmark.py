@@ -94,13 +94,29 @@ def run_eval(
             )
         classnames = read_class_names(path)
 
-    engine = VitEngine(
-        model_path,
-        dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
-        attn_impl=attn_impl,
-        mm_impl=mm_impl,
-        verbose=verbose,
-    )
+    from vit_cpp_tpu.aot import is_vitx
+
+    if is_vitx(model_path):
+        # AOT artifact: engine knobs baked at export; its compiled batch
+        # size wins (the loop below pads every chunk to `batch` anyway)
+        from vit_cpp_tpu.aot import AotEngine
+
+        engine = AotEngine(model_path)
+        if batch != engine.batch:
+            print(
+                f"benchmark: .vitx artifact is compiled for batch "
+                f"{engine.batch}; using it (ignoring --batch {batch})",
+                file=sys.stderr,
+            )
+            batch = engine.batch
+    else:
+        engine = VitEngine(
+            model_path,
+            dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+            attn_impl=attn_impl,
+            mm_impl=mm_impl,
+            verbose=verbose,
+        )
     items = collect_images(dataset_dir, per_class, ext)
     if not items:
         print(f"no *{ext} images under {dataset_dir}", file=sys.stderr)
