@@ -4,11 +4,16 @@
         -o finetuned.gguf --epochs 3 --batch 32 [--val-dir val_dir] \\
         [--freeze-backbone] [--mesh 4x2] [--ckpt-dir ckpt/]
 
-The dataset tree is the benchmark harness layout (one subdirectory per
-class). The output gguf serves everywhere a converted checkpoint does
-(vit CLI, serve, server, quantize, vit-export); --ckpt-dir makes the run
-resumable (orbax). The reference has no training story at all
-(SURVEY.md §0) — this is the fine-tune -> serve loop the TPU build adds.
+Classifier checkpoints train on the benchmark-harness tree (one
+subdirectory per class; the head transfers to the folder's class
+count). ViTSTR checkpoints are auto-detected and train on scene-text
+pairs: a flat directory with `gt.txt` (`path<TAB>text` lines) or
+filename-stem labels (`hello_1.png` -> "hello"); --val-dir then reports
+word-level exact-match accuracy. The output gguf serves everywhere a
+converted checkpoint does (vit/vitstr CLI, serve, server, quantize,
+vit-export); --ckpt-dir makes the run resumable (orbax). The reference
+has no training story at all (SURVEY.md §0) — this is the fine-tune ->
+serve loop the TPU build adds.
 """
 
 from __future__ import annotations

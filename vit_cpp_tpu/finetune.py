@@ -47,6 +47,92 @@ def load_dataset(data_dir: str) -> Tuple[List[str], np.ndarray, List[str]]:
     return paths, np.asarray(labels, np.int32), classes
 
 
+def load_vitstr_dataset(data_dir: str) -> Tuple[List[str], List[str]]:
+    """Scene-text training pairs from `data_dir`.
+
+    Preferred: a `gt.txt` with one `relative/path<TAB>text` line per
+    sample (ICDAR-style). Fallback: every image's ground truth is its
+    filename stem, with a trailing `_<digits>` dedup suffix stripped
+    (`hello_2.png` -> "hello")."""
+    gt = os.path.join(data_dir, "gt.txt")
+    paths: List[str] = []
+    texts: List[str] = []
+    if os.path.exists(gt):
+        with open(gt, encoding="utf-8") as f:
+            for ln, line in enumerate(f, 1):
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                rel, sep, text = line.partition("\t")
+                if not sep:
+                    raise ValueError(f"{gt}:{ln}: want 'path<TAB>text'")
+                paths.append(os.path.join(data_dir, rel))
+                texts.append(text)
+    else:
+        for f in sorted(os.listdir(data_dir)):
+            stem, ext = os.path.splitext(f)
+            if ext not in IMAGE_EXTS:
+                continue
+            head, _, tail = stem.rpartition("_")
+            if head and tail.isdigit():
+                stem = head
+            paths.append(os.path.join(data_dir, f))
+            texts.append(stem)
+    if not paths:
+        raise ValueError(f"{data_dir}: no training samples (gt.txt or images)")
+    return paths, texts
+
+
+def encode_texts(texts: List[str], seq_len: int) -> np.ndarray:
+    """Texts -> (N, seq_len) int32 targets for vitstr_cross_entropy_loss.
+
+    Position 0 ([GO]) and the tail beyond the [s] stop token are -1
+    (masked); positions 1..n are char ids, n+1 the stop token — the
+    exact read pattern of greedy_decode (models/vitstr.py)."""
+    from vit_cpp_tpu.models.vitstr import EOS_ID, VITSTR_VOCAB
+
+    char2id = {c: i for i, c in enumerate(VITSTR_VOCAB) if len(c) == 1}
+    out = np.full((len(texts), seq_len), -1, np.int32)
+    for i, text in enumerate(texts):
+        if len(text) > seq_len - 2:
+            raise ValueError(
+                f"label {text!r} is {len(text)} chars > seq_len-2 = {seq_len - 2}"
+            )
+        for j, c in enumerate(text):
+            if c not in char2id:
+                raise ValueError(f"label {text!r}: char {c!r} not in the vocab")
+            out[i, 1 + j] = char2id[c]
+        out[i, 1 + len(text)] = EOS_ID
+    return out
+
+
+def evaluate_vitstr(params, hp, pixels: np.ndarray, texts: List[str], batch: int) -> float:
+    """Word-level exact-match accuracy via the device greedy decoder."""
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.models.vitstr import (
+        decode_tokens,
+        greedy_decode_device,
+        vitstr_id2label,
+    )
+
+    fwd = _eval_fwd_probs()
+    id2label = vitstr_id2label()
+    correct = 0
+    for i in range(0, len(pixels), batch):
+        chunk = pixels[i : i + batch]
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
+        probs = fwd(params, jnp.asarray(chunk), hp=hp)
+        toks, valid, _ = greedy_decode_device(probs)
+        toks, valid = np.asarray(toks)[:n], np.asarray(valid)[:n]
+        for j in range(n):
+            if decode_tokens(toks[j], valid[j], id2label) == texts[i + j]:
+                correct += 1
+    return correct / len(pixels)
+
+
 def _dense_f32(params):
     """Dequantize every QuantLinear leaf -> trainable dense f32 pytree."""
     import jax
@@ -89,11 +175,9 @@ def _trainable_labels(params, freeze_backbone: bool):
 
 
 def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
-    """Decode + canvas-preprocess every file -> (N, C, S, S) f32 host array.
-
-    Failed decodes raise (training data must be clean, unlike the serving
-    skip-markers)."""
-    from vit_cpp_tpu.ops.preprocess import preprocess_batch
+    """Decode + canvas-preprocess every file -> (N, C, S, S) f32 host array
+    (grayscale pipeline for sequence-head models). Failed decodes raise
+    (training data must be clean, unlike the serving skip-markers)."""
     from vit_cpp_tpu.serve import _decode_many
 
     out = []
@@ -104,11 +188,23 @@ def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
         for p, im in zip(batch_paths, imgs):
             if im is None:
                 raise ValueError(f"undecodable training image: {p}")
-        out.append(np.asarray(preprocess_batch(imgs, hp.img_size, mode=hp.interpolation)))
+        if hp.seq_len is not None:
+            from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
+
+            out.append(np.asarray(preprocess_grayscale_batch(imgs, hp.img_size)))
+        else:
+            from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+            out.append(
+                np.asarray(
+                    preprocess_batch(imgs, hp.img_size, mode=hp.interpolation)
+                )
+            )
     return np.concatenate(out, axis=0)
 
 
-_EVAL_FWD = None  # one persistent jitted fn: per-epoch eval must not retrace
+_EVAL_FWD = None  # persistent jitted fns: per-epoch eval must not retrace
+_EVAL_FWD_PROBS = None
 
 
 def _eval_fwd():
@@ -124,6 +220,23 @@ def _eval_fwd():
             static_argnames=("hp",),
         )
     return _EVAL_FWD
+
+
+def _eval_fwd_probs():
+    global _EVAL_FWD_PROBS
+    if _EVAL_FWD_PROBS is None:
+        import jax
+        import jax.numpy as jnp
+
+        from vit_cpp_tpu.models.vit import forward
+
+        _EVAL_FWD_PROBS = jax.jit(
+            lambda p, x, hp: jax.nn.softmax(
+                forward(p, x, hp).astype(jnp.float32), axis=-1
+            ),
+            static_argnames=("hp",),
+        )
+    return _EVAL_FWD_PROBS
 
 
 def evaluate(params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int) -> float:
@@ -186,11 +299,19 @@ def finetune(
 
     mf = read_model(model)
     hp = detect_hparams(mf)
-    if hp.seq_len is not None:
-        raise ValueError("fine-tuning supports classifier checkpoints only")
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
-    paths, labels, classes = load_dataset(data_dir)
+    is_vitstr = hp.seq_len is not None
+    texts = vtexts = None
+    if is_vitstr:
+        # scene text: gt.txt / filename-stem labels, (B, seq_len) targets
+        paths, texts = load_vitstr_dataset(data_dir)
+        labels = encode_texts(texts, hp.seq_len)
+        from vit_cpp_tpu.models.vitstr import VITSTR_VOCAB
+
+        classes = list(VITSTR_VOCAB)
+    else:
+        paths, labels, classes = load_dataset(data_dir)
     samples_per_update = batch * grad_accum
     if len(paths) < samples_per_update:
         raise ValueError(
@@ -199,7 +320,7 @@ def finetune(
         )
 
     params = _dense_f32(load_params(mf, jnp.float32, hparams=hp))
-    if len(classes) != hp.num_classes:
+    if not is_vitstr and len(classes) != hp.num_classes:
         log(
             f"finetune: re-initializing head {hp.num_classes} -> "
             f"{len(classes)} classes"
@@ -237,11 +358,15 @@ def finetune(
     # validate cheap things BEFORE the expensive dataset preprocessing
     vpaths = vlabels = None
     if val_dir:
-        vpaths, vlabels, vclasses = load_dataset(val_dir)
-        if vclasses != classes:
-            raise ValueError(
-                f"val classes {vclasses} != train classes {classes}"
-            )
+        if is_vitstr:
+            vpaths, vtexts = load_vitstr_dataset(val_dir)
+            encode_texts(vtexts, hp.seq_len)  # validate vocab/length early
+        else:
+            vpaths, vlabels, vclasses = load_dataset(val_dir)
+            if vclasses != classes:
+                raise ValueError(
+                    f"val classes {vclasses} != train classes {classes}"
+                )
 
     # sibling file, NOT inside ckpt_dir: orbax owns that directory and
     # wipes it on every save
@@ -277,7 +402,10 @@ def finetune(
     pixels = _preprocess_all(paths, hp, decode_threads)
     val = None
     if val_dir:
-        val = (_preprocess_all(vpaths, hp, decode_threads), vlabels)
+        val = (
+            _preprocess_all(vpaths, hp, decode_threads),
+            vtexts if is_vitstr else vlabels,
+        )
 
     start_epoch = int(state.step) // updates_per_epoch
     losses: List[float] = []
@@ -292,9 +420,16 @@ def finetune(
             if mesh is not None:
                 bx, by = shard_batch(bx, by, mesh)
             if grad_accum > 1:
+                from vit_cpp_tpu.parallel.train import vitstr_cross_entropy_loss
+
                 state, loss = train_step_accum(
-                    state, bx, by, hp, optimizer, grad_accum
+                    state, bx, by, hp, optimizer, grad_accum,
+                    loss_fn=vitstr_cross_entropy_loss if is_vitstr else None,
                 )
+            elif is_vitstr:
+                from vit_cpp_tpu.parallel.train import train_step_vitstr
+
+                state, loss = train_step_vitstr(state, bx, by, hp, optimizer)
             else:
                 state, loss = train_step(state, bx, by, hp, optimizer)
             epoch_losses.append(float(loss))
@@ -302,8 +437,12 @@ def finetune(
         losses.append(mean_loss)
         msg = f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}"
         if val is not None:
-            acc = evaluate(state.params, hp, val[0], val[1], batch)
-            msg += f", val top-1 {acc:.3f}"
+            if is_vitstr:
+                acc = evaluate_vitstr(state.params, hp, val[0], val[1], batch)
+                msg += f", val word-acc {acc:.3f}"
+            else:
+                acc = evaluate(state.params, hp, val[0], val[1], batch)
+                msg += f", val top-1 {acc:.3f}"
         log(msg)
         if ckpt_dir:
             import json

@@ -91,6 +91,45 @@ def cross_entropy_loss(
     return jnp.mean(nll)
 
 
+def vitstr_cross_entropy_loss(
+    params, images, targets, hp: VitHParams
+) -> jax.Array:
+    """Scene-text sequence loss: targets (B, seq_len) int32, -1 = masked.
+
+    Position 0 ([GO]) and everything after the EOS target are masked;
+    positions 1..n carry the char ids and n+1 the [s] stop token —
+    mirroring greedy_decode's read pattern (models/vitstr.py)."""
+    logits = forward(
+        params,
+        images,
+        hp,
+        attn_impl="pallas-train",
+        remat="dots",
+        unroll=hp.num_hidden_layers,
+    )  # (B, S, V)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    mask = targets >= 0
+    safe = jnp.where(mask, targets, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+@partial(jax.jit, static_argnames=("hp", "optimizer"))
+def train_step_vitstr(
+    state: TrainState,
+    images: jax.Array,
+    targets: jax.Array,
+    hp: VitHParams,
+    optimizer,
+) -> Tuple[TrainState, jax.Array]:
+    loss, grads = jax.value_and_grad(vitstr_cross_entropy_loss)(
+        state.params, images, targets, hp
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 @partial(jax.jit, static_argnames=("hp", "optimizer"))
 def train_step(
     state: TrainState,
@@ -107,7 +146,7 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-@partial(jax.jit, static_argnames=("hp", "optimizer", "accum"))
+@partial(jax.jit, static_argnames=("hp", "optimizer", "accum", "loss_fn"))
 def train_step_accum(
     state: TrainState,
     images: jax.Array,
@@ -115,21 +154,26 @@ def train_step_accum(
     hp: VitHParams,
     optimizer,
     accum: int,
+    loss_fn=None,
 ) -> Tuple[TrainState, jax.Array]:
     """One optimizer update from `accum` sequential micro-batches.
 
     images is (accum * B, C, S, S): each (B, ...) slice runs its own
     forward/backward (a lax.scan, so peak memory is one micro-batch's
     activations) and the mean gradient feeds a single update — effective
-    batch accum*B with the footprint of B."""
+    batch accum*B with the footprint of B. `loss_fn` defaults to the
+    classifier loss; pass vitstr_cross_entropy_loss with (B, seq_len)
+    targets for scene-text training."""
+    if loss_fn is None:
+        loss_fn = cross_entropy_loss
     micro = images.shape[0] // accum
     imgs = images.reshape(accum, micro, *images.shape[1:])
-    lbls = labels.reshape(accum, micro)
+    lbls = labels.reshape(accum, micro, *labels.shape[1:])
 
     def step(carry, xy):
         gsum, lsum = carry
         x, y = xy
-        loss, grads = jax.value_and_grad(cross_entropy_loss)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             state.params, x, y, hp
         )
         return (
