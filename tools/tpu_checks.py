@@ -58,6 +58,38 @@ def check_attention():
     print("attn pair-vs-carve max err:", float(jnp.max(jnp.abs(paired - carve))))
 
 
+def check_attention_vjp():
+    """Training kernel pair (attention_qkv_train): value + gradient parity
+    vs the composed-XLA path, ON DEVICE (the pytest grad checks run in
+    interpret mode on CPU)."""
+    from vit_cpp_tpu.ops.core import attention
+    from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
+
+    b, t, nh, d = 2, 197, 12, 64
+    h = nh * d
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+
+    def ref_fn(x):
+        xs = x.reshape(b, t, 3, nh, d)
+        q, k, v = (xs[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        o = attention(q, k, v, impl="xla")
+        return jnp.sum(o.transpose(0, 2, 1, 3).reshape(b, t, h) * w)
+
+    def pal_fn(x):
+        return jnp.sum(attention_qkv_train(x, nh) * w)
+
+    v_ref, v_pal = float(ref_fn(qkv)), float(pal_fn(qkv))
+    g_ref = jax.grad(ref_fn)(qkv)
+    g_pal = jax.grad(pal_fn)(qkv)
+    gerr = float(jnp.max(jnp.abs(g_pal - g_ref)))
+    print(
+        f"attention VJP     val rel err: {abs(v_pal - v_ref) / abs(v_ref):.2e}"
+        f"  grad max err: {gerr:.2e}"
+    )
+
+
 def check_quant_matmuls():
     from vit_cpp_tpu.gguf.dtypes import GGMLDType
     from vit_cpp_tpu.gguf.reader import TensorRecord
@@ -150,6 +182,7 @@ def check_geometries():
 if __name__ == "__main__":
     print("devices:", jax.devices())
     check_attention()
+    check_attention_vjp()
     check_quant_matmuls()
     check_geometries()
     print("ALL CHECKS DONE")
