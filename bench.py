@@ -79,7 +79,13 @@ def main() -> int:
         "static calibrated scales (quant/calibrate.py — removes the absmax "
         "pass before every int8 GEMM)",
     )
-    ap.add_argument("--unroll", type=int, default=1, help="scan unroll over layers")
+    ap.add_argument(
+        "--unroll", type=int, default=None,
+        help="scan unroll over layers (default: 1 for inference, full "
+        "unroll for --train — both measured optima; pass an explicit "
+        "value to A/B, including --unroll 1 for the training scan "
+        "baseline)",
+    )
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler device trace of the timed runs",
@@ -93,8 +99,9 @@ def main() -> int:
     ap.add_argument(
         "--train", action="store_true",
         help="measure fine-tune train-step throughput (forward + backward "
-        "+ adamw, parallel/train.py) instead of inference; forces the "
-        "differentiable parity graph (--quant none --mm xla --attn xla)",
+        "+ adamw, parallel/train.py) instead of inference; forces --quant "
+        "none --mm xla, attention per --train-attn (default: the fused "
+        "custom-VJP Pallas kernel pair)",
     )
     ap.add_argument(
         "--train-remat", choices=["none", "dots", "full"], default="dots",
@@ -110,10 +117,12 @@ def main() -> int:
     )
     args = ap.parse_args()
     if args.train:
-        # grads flow through the XLA graph only (the Pallas serving
-        # kernels have no VJP); int8/quant paths are inference-only
+        # int8/quant paths are inference-only; attention defaults to the
+        # fused custom-VJP kernel pair (--train-attn xla for the A/B)
         args.quant, args.mm, args.attn = "none", "xla", "xla"
         args.fold_ln = False
+    elif args.unroll is None:
+        args.unroll = 1  # measured inference optimum (unroll loses)
 
     import jax
     import jax.numpy as jnp
@@ -202,8 +211,8 @@ def main() -> int:
         remat = {"none": False, "dots": "dots", "full": True}[args.train_remat]
 
         # training default = full layer unroll (+11% vs scan, measured);
-        # --unroll N overrides for A/B probes
-        train_unroll = args.unroll if args.unroll != 1 else geo[1]
+        # --unroll N overrides for A/B probes (incl. the unroll-1 scan)
+        train_unroll = args.unroll if args.unroll is not None else geo[1]
 
         def cross_entropy_loss(p, x, y, hp):
             logits = forward(

@@ -89,15 +89,19 @@ class TestFlashAttention:
         g_pal = np.asarray(jax.grad(pal_fn)(qkv))
         np.testing.assert_allclose(g_pal, g_ref, atol=3e-5, rtol=1e-4)
 
-    def test_attention_qkv_train_long_t_fallback_grads(self):
-        """T > 600 takes the composed-XLA fallback and stays differentiable."""
+    def test_attention_qkv_train_vmem_fallback_grads(self):
+        """Geometries whose backward working set exceeds the scoped VMEM
+        budget (wide ViT-L-like blocks) take the composed-XLA fallback
+        and stay differentiable."""
         from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
 
-        b, t, nh, d = 1, 608, 1, 32
+        b, t, nh, d = 1, 260, 4, 448  # 4*(2*260*5376+260*1792)+20*260^2 > 13MB
         rng = np.random.default_rng(3)
         qkv = jnp.asarray(rng.standard_normal((b, t, 3 * nh * d)), jnp.float32)
         g = jax.grad(lambda x: jnp.sum(attention_qkv_train(x, nh) ** 2))(qkv)
         assert np.isfinite(np.asarray(g)).all()
+        with pytest.raises(ValueError, match="not divisible"):
+            attention_qkv_train(qkv[:, :, : 3 * 100], 3)
 
     def test_train_forward_grad_through_model(self):
         """cross_entropy_loss (pallas-train attention + remat + unroll)

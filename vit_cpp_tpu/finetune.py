@@ -305,10 +305,17 @@ def finetune(
     texts = vtexts = None
     if is_vitstr:
         # scene text: gt.txt / filename-stem labels, (B, seq_len) targets
-        paths, texts = load_vitstr_dataset(data_dir)
-        labels = encode_texts(texts, hp.seq_len)
         from vit_cpp_tpu.models.vitstr import VITSTR_VOCAB
 
+        if hp.num_classes != len(VITSTR_VOCAB):
+            # out-of-range targets would be silently clamped by the jitted
+            # gather — reject rather than optimize a wrong loss
+            raise ValueError(
+                f"sequence checkpoint has {hp.num_classes} classes; "
+                f"ViTSTR training needs the {len(VITSTR_VOCAB)}-token vocab"
+            )
+        paths, texts = load_vitstr_dataset(data_dir)
+        labels = encode_texts(texts, hp.seq_len)
         classes = list(VITSTR_VOCAB)
     else:
         paths, labels, classes = load_dataset(data_dir)

@@ -570,12 +570,17 @@ def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
     Forward = the serving kernel (safe softmax); backward = a Pallas
     kernel that recomputes scores per (batch, head) in VMEM — neither
     direction materializes a (B, nh, T, T) tensor in HBM. Falls back to
-    plain composed XLA ops when the (T, T) f32 workspaces exceed the
-    scoped VMEM budget (T > ~600: ViT-B/8's 785 tokens)."""
+    plain composed XLA ops when the backward's VMEM working set would
+    blow the scoped budget: f32 x/dx/do blocks + the per-head (T, T)
+    score/grad temporaries (ViT-B/8's 785 tokens AND ViT-L/16@384's
+    577 x 3072 blocks both exceed it; B/16-family geometries fit)."""
     b, t, three_h = qkv.shape
     h = three_h // 3
+    if h % num_heads:
+        raise ValueError(f"hidden {h} not divisible by num_heads {num_heads}")
     d = h // num_heads
-    if t > 600 or h % num_heads:
+    grad_vmem = 4 * (2 * t * three_h + t * h) + 5 * 4 * t * t
+    if grad_vmem > 13_000_000:
         # differentiable by construction; XLA owns the backward
         from vit_cpp_tpu.ops.core import attention
 
