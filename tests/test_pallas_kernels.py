@@ -89,6 +89,20 @@ class TestFlashAttention:
         g_pal = np.asarray(jax.grad(pal_fn)(qkv))
         np.testing.assert_allclose(g_pal, g_ref, atol=3e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("nh", [2, 3, 4])
+    def test_grad_pair_kernel_bit_exact_vs_carve(self, nh):
+        """The masked-pair backward (d=64 default) matches the carve
+        backward bit-for-bit — masked lanes contribute exact zeros."""
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_grad
+
+        b, t, d = 2, 29, 64
+        rng = np.random.default_rng(17)
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * nh * d)), jnp.float32)
+        do = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+        carve = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=False))
+        paired = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=True))
+        np.testing.assert_array_equal(paired, carve)
+
     def test_attention_qkv_train_vmem_fallback_grads(self):
         """Geometries whose backward working set exceeds the scoped VMEM
         budget (wide ViT-L-like blocks) take the composed-XLA fallback

@@ -231,6 +231,29 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
     width = max(1, min(width, hb))
     while hb % width:  # panel count must tile the section evenly
         width -= 1
+    # Scoped-VMEM cap: safe-softmax needs ~2x the (qc, T) f32 workspaces
+    # of fast mode (max/subtract temporaries), and Mosaic double-buffers
+    # the in/out blocks. w=3 safe at T=785 measured 20.5 MB vs the 16 MB
+    # limit (tpu_checks caught it after the fast-mode sweep moved the
+    # default off w=1) — shrink to the largest divisor that fits.
+    qc = _query_chunk(t)
+    nsub = 128 // (h // num_heads)
+
+    def est(w):
+        blocks = 2 * 4 * t * 128 * w * qkv.dtype.itemsize  # double-buffered
+        tmps = (4 if not fast else 2) * qc * t * 4
+        # masked K/V copies are built per 128-lane panel in the unrolled
+        # loop — stack cost scales with w
+        masked = w * 2 * nsub * t * 128 * qkv.dtype.itemsize
+        return blocks + tmps + masked
+
+    # 13 MB threshold calibrated on measured points: safe/T=785 fits at
+    # w=1 (est 12.3) and OOMs at w=3 (est 17.1, real 20.5 vs the 16 MB
+    # limit); fast/785 w=3 (est 12.1) and safe/577 w=4 (est 12.4) fit.
+    while width > 1 and est(width) > 13_000_000:
+        width -= 1
+        while hb % width:
+            width -= 1
     wb = hb // width  # blocks per section
 
     def sec_spec(section):
@@ -512,13 +535,131 @@ def _qkv_grad_kernel(x_ref, do_ref, dx_ref, *, nh: int):
         )
 
 
-def _attention_qkv_grad(qkv, do, num_heads: int, interpret: bool | None = None):
+def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int):
+    """Masked head-pair variant of _qkv_grad_kernel for head_dim == 64.
+
+    Per-head d=64 carves at odd 64-lane offsets are cross-lane relayouts
+    (the exact overhead the forward pair kernel removes); here Q/K/V/dO
+    load as aligned 128-lane PAIRS and every per-head contraction runs
+    full-width against a lane-MASKED copy — the zeroed half contributes
+    exact-zero products, the idle systolic columns make the 2x nominal
+    FLOPs wall-clock free, and dq/dk/dv pair stores are aligned.
+    Bit-exact vs the carve kernel (tested)."""
+    t = x_ref.shape[1]
+    h = x_ref.shape[2] // 3
+    d = h // nh
+    x = x_ref[0]
+    do = do_ref[0]
+    scale = 1.4426950408889634 / (d**0.5)
+    nat = 1.0 / (d**0.5)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_lo = (lanes < d).astype(x.dtype)
+    m_hi = (lanes >= d).astype(x.dtype)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for i in range(0, nh - 1, 2):
+        qp = x[:, i * d : (i + 2) * d]
+        kp = x[:, h + i * d : h + (i + 2) * d]
+        vp = x[:, 2 * h + i * d : 2 * h + (i + 2) * d]
+        dop = do[:, i * d : (i + 2) * d]
+        qs = (qp.astype(jnp.float32) * scale).astype(x.dtype)
+        dq_pair = dk_pair = dv_pair = None
+        for m in (m_lo, m_hi):
+            km, qm = kp * m, qp * m
+            dom = dop * m
+            s = dot(qs, km, ((1,), (1,)))  # masked K kills the other head
+            p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            pn = p / jnp.sum(p, axis=-1, keepdims=True)
+            pnc = pn.astype(x.dtype)
+            dv = dot(pnc, dom, ((0,), (0,)))  # lanes of the masked half
+            dp = dot(dom, vp, ((1,), (1,)))  # masked dO kills hi-lane terms
+            r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+            ds = (pn * (dp - r)).astype(x.dtype)
+            dq = dot(ds, km, ((1,), (0,))) * nat
+            dk = dot(ds, qm, ((0,), (0,))) * nat
+            if dq_pair is None:
+                dq_pair, dk_pair, dv_pair = dq, dk, dv
+            else:
+                dq_pair, dk_pair, dv_pair = (
+                    dq_pair + dq,
+                    dk_pair + dk,
+                    dv_pair + dv,
+                )
+        dx_ref[0, :, i * d : (i + 2) * d] = dq_pair.astype(dx_ref.dtype)
+        dx_ref[0, :, h + i * d : h + (i + 2) * d] = dk_pair.astype(dx_ref.dtype)
+        dx_ref[0, :, 2 * h + i * d : 2 * h + (i + 2) * d] = dv_pair.astype(
+            dx_ref.dtype
+        )
+    if nh % 2:  # odd head count: last head the plain carve way
+        i = nh - 1
+        _qkv_grad_head(x, do, dx_ref, i, h, d)
+
+
+def _qkv_grad_head(x, do, dx_ref, i, h, d):
+    """One head's backward by direct carves (shared by the carve kernel
+    and the pair kernel's odd-head tail)."""
+    scale = 1.4426950408889634 / (d**0.5)
+    nat = 1.0 / (d**0.5)
+    q = x[:, i * d : (i + 1) * d]
+    k = x[:, h + i * d : h + (i + 1) * d]
+    v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
+    do_h = do[:, i * d : (i + 1) * d]
+    s = jax.lax.dot_general(
+        (q.astype(jnp.float32) * scale).astype(q.dtype),
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+    pn = p / jnp.sum(p, axis=-1, keepdims=True)
+    dv = jax.lax.dot_general(
+        pn.astype(x.dtype), do_h,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_h, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+    ds = (pn * (dp - r)).astype(x.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * nat
+    dk = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * nat
+    dx_ref[0, :, i * d : (i + 1) * d] = dq.astype(dx_ref.dtype)
+    dx_ref[0, :, h + i * d : h + (i + 1) * d] = dk.astype(dx_ref.dtype)
+    dx_ref[0, :, 2 * h + i * d : 2 * h + (i + 1) * d] = dv.astype(dx_ref.dtype)
+
+
+def _attention_qkv_grad(
+    qkv, do, num_heads: int, interpret: bool | None = None, pair: bool | None = None
+):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_h = qkv.shape
     h = three_h // 3
+    if pair is None:
+        import os as _os
+
+        pair = (
+            _os.environ.get("VIT_ATTN_GRAD_PAIR", "1") != "0"
+            and h // num_heads == 64
+            and num_heads >= 2
+        )
+    kern = _qkv_grad_pair_kernel if pair else _qkv_grad_kernel
     return pl.pallas_call(
-        functools.partial(_qkv_grad_kernel, nh=num_heads),
+        functools.partial(kern, nh=num_heads),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
