@@ -210,50 +210,52 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
     b, t, three_h = qkv.shape
     h = three_h // 3
     hb = h // 128  # lane panels per q/k/v section
+    qc = _query_chunk(t)
+    nsub = 128 // (h // num_heads)
+
+    def est(w):
+        """Scoped-VMEM estimate: double-buffered in/out blocks, the f32
+        (qc, T) score workspaces (safe softmax needs ~2x of fast for the
+        max/subtract temporaries), and the per-panel masked K/V copies
+        (built per unrolled loop iteration — scales with w). The 13 MB
+        threshold is calibrated on measured points: safe/T=785 fits at
+        w=1 (est 12.3 MB) and OOMs at w=3 (est 17.1, real 20.5 vs the
+        16 MB limit); fast/785 w=3 (12.1) and safe/577 w=4 (12.4) fit."""
+        blocks = 2 * 4 * t * 128 * w * qkv.dtype.itemsize
+        tmps = (4 if not fast else 2) * qc * t * 4
+        masked = (
+            w * 2 * nsub * t * 128 * qkv.dtype.itemsize if nsub > 1 else 0
+        )
+        return blocks + tmps + masked
+
     if width is None:
         import os as _os
 
         env = _os.environ.get("VIT_ATTN_LANE_W")
         if env:
+            # explicit override: honored verbatim (sweeps must measure the
+            # width they claim; Mosaic errors loudly if it doesn't fit)
             width = int(env)  # raises with the env text on a non-integer
             if width < 1:
                 raise ValueError(f"VIT_ATTN_LANE_W must be >= 1, got {env!r}")
         else:
             # Device sweeps: B/8 q8_0 (hb=6) w=3 best — 937.7 img/s vs
             # 914.9/919.3/923.0 for w=1/2/6; L@384 safe (hb=8) w=4 —
-            # 456.6 vs 445.7 w=1. Wide enough to amortize per-step
-            # overhead, small enough to keep the VMEM working set tight.
-            # Pick the divisor of hb nearest 3 (ties -> larger).
+            # 456.6 vs 445.7 w=1. Pick the divisor of hb nearest 3
+            # (ties -> larger), then shrink while the VMEM estimate says
+            # it can't fit (tpu_checks caught w=3 safe/T=785 OOMing after
+            # the fast-mode sweep moved the default off w=1).
             width = min(
                 (w for w in range(1, hb + 1) if hb % w == 0),
                 key=lambda w: (abs(w - 3), -w),
             )
+            while width > 1 and est(width) > 13_000_000:
+                width -= 1
+                while hb % width:
+                    width -= 1
     width = max(1, min(width, hb))
     while hb % width:  # panel count must tile the section evenly
         width -= 1
-    # Scoped-VMEM cap: safe-softmax needs ~2x the (qc, T) f32 workspaces
-    # of fast mode (max/subtract temporaries), and Mosaic double-buffers
-    # the in/out blocks. w=3 safe at T=785 measured 20.5 MB vs the 16 MB
-    # limit (tpu_checks caught it after the fast-mode sweep moved the
-    # default off w=1) — shrink to the largest divisor that fits.
-    qc = _query_chunk(t)
-    nsub = 128 // (h // num_heads)
-
-    def est(w):
-        blocks = 2 * 4 * t * 128 * w * qkv.dtype.itemsize  # double-buffered
-        tmps = (4 if not fast else 2) * qc * t * 4
-        # masked K/V copies are built per 128-lane panel in the unrolled
-        # loop — stack cost scales with w
-        masked = w * 2 * nsub * t * 128 * qkv.dtype.itemsize
-        return blocks + tmps + masked
-
-    # 13 MB threshold calibrated on measured points: safe/T=785 fits at
-    # w=1 (est 12.3) and OOMs at w=3 (est 17.1, real 20.5 vs the 16 MB
-    # limit); fast/785 w=3 (est 12.1) and safe/577 w=4 (est 12.4) fit.
-    while width > 1 and est(width) > 13_000_000:
-        width -= 1
-        while hb % width:
-            width -= 1
     wb = hb // width  # blocks per section
 
     def sec_spec(section):
@@ -472,68 +474,14 @@ def _qkv_grad_kernel(x_ref, do_ref, dx_ref, *, nh: int):
     attention backward materializes S, P and dS per layer per direction —
     at ViT-B/16 batch 32 that is ~180 MB of HBM round trips per layer
     that this kernel deletes. Safe softmax only (training is the parity
-    graph)."""
-    t = x_ref.shape[1]
+    graph). Per-head math lives in _qkv_grad_head (shared with the pair
+    kernel's odd-head tail)."""
     h = x_ref.shape[2] // 3
     d = h // nh
     x = x_ref[0]
     do = do_ref[0]
-    scale = 1.4426950408889634 / (d**0.5)  # log2(e)/sqrt(d), as forward
-    nat = 1.0 / (d**0.5)
     for i in range(nh):
-        q = x[:, i * d : (i + 1) * d]
-        k = x[:, h + i * d : h + (i + 1) * d]
-        v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
-        do_h = do[:, i * d : (i + 1) * d]
-        s = jax.lax.dot_general(
-            (q.astype(jnp.float32) * scale).astype(q.dtype),
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
-        pn = p / jnp.sum(p, axis=-1, keepdims=True)  # softmax(QK^T/sqrt d)
-        # dV = Pn^T dO
-        dv = jax.lax.dot_general(
-            pn.astype(x.dtype),
-            do_h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dP = dO V^T
-        dp = jax.lax.dot_general(
-            do_h,
-            v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # softmax backward (natural-log domain): dS = Pn ∘ (dP - rowsum(dP∘Pn))
-        r = jnp.sum(dp * pn, axis=-1, keepdims=True)
-        ds = (pn * (dp - r)).astype(x.dtype)
-        dq = (
-            jax.lax.dot_general(
-                ds,
-                k,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * nat
-        )
-        dk = (
-            jax.lax.dot_general(
-                ds,
-                q,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * nat
-        )
-        dx_ref[0, :, i * d : (i + 1) * d] = dq.astype(dx_ref.dtype)
-        dx_ref[0, :, h + i * d : h + (i + 1) * d] = dk.astype(dx_ref.dtype)
-        dx_ref[0, :, 2 * h + i * d : 2 * h + (i + 1) * d] = dv.astype(
-            dx_ref.dtype
-        )
-
+        _qkv_grad_head(x, do, dx_ref, i, h, d)
 
 def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int):
     """Masked head-pair variant of _qkv_grad_kernel for head_dim == 64.
@@ -721,6 +669,10 @@ def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
         raise ValueError(f"hidden {h} not divisible by num_heads {num_heads}")
     d = h // num_heads
     grad_vmem = 4 * (2 * t * three_h + t * h) + 5 * 4 * t * t
+    if d == 64:
+        # the masked-pair backward (the d=64 default) keeps ~8 extra
+        # (T, 128) masked/pair buffers live per head pair
+        grad_vmem += 8 * t * 128 * 4
     if grad_vmem > 13_000_000:
         # differentiable by construction; XLA owns the backward
         from vit_cpp_tpu.ops.core import attention
