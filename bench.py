@@ -222,6 +222,12 @@ def main() -> int:
                 unroll=train_unroll,
             )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            if logits.ndim == 3:
+                # vitstr sequence targets (B, S), -1 = masked (position 0)
+                mask = y >= 0
+                safe = jnp.where(mask, y, 0)
+                nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+                return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
             return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
 
         optimizer = make_optimizer()
@@ -230,9 +236,14 @@ def main() -> int:
             opt_state=optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
         )
-        labels = jnp.asarray(
-            rng.integers(0, hp.num_classes, (batch,)), jnp.int32
-        )
+        if args.vitstr:
+            y = rng.integers(2, hp.num_classes, (batch, hp.seq_len))
+            y[:, 0] = -1  # [GO] position is never predicted
+            labels = jnp.asarray(y, jnp.int32)
+        else:
+            labels = jnp.asarray(
+                rng.integers(0, hp.num_classes, (batch,)), jnp.int32
+            )
         suffix += "_train"
 
         @jax.jit

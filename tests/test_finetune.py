@@ -200,6 +200,12 @@ def test_resume_with_different_batch_rejected(model_path, tmp_path):
         finetune(
             model_path, data, epochs=2, batch=8, ckpt_dir=ck, log=lambda m: None
         )
+    # a checkpoint whose sibling meta is gone cannot be validated at all
+    os.remove(ck + ".meta.json")
+    with pytest.raises(ValueError, match="cannot be validated"):
+        finetune(
+            model_path, data, epochs=2, batch=4, ckpt_dir=ck, log=lambda m: None
+        )
 
 
 def test_mesh_finetune_runs(model_path, tmp_path):

@@ -267,6 +267,13 @@ def test_multi_model_cli_parses_specs(tmp_path, capsys):
     assert main(["-m", f"a={model}", "-m", f"a={model}"]) == 1
     assert "duplicate" in capsys.readouterr().err
 
+    # an '=' inside a plain path must NOT hijack single-model mode
+    from vit_cpp_tpu.cli.common import model_spec
+
+    assert model_spec("/data/run=3/model.gguf") is None
+    assert model_spec("./cls=weird.gguf") is None  # escape hatch
+    assert model_spec(f"cls={model}") == ("cls", model)
+
 
 def test_device_failure_returns_500():
     """A raising predict resolves waiters with the exception and the

@@ -42,34 +42,37 @@ def main(argv=None) -> int:
     if args.info:
         from vit_cpp_tpu.aot import read_meta
 
-        print(json.dumps(read_meta(args.info), indent=2))
+        try:
+            meta = read_meta(args.info)
+        except (OSError, ValueError) as e:
+            print(f"vit-export: {args.info}: {e}", file=sys.stderr)
+            return 1
+        print(json.dumps(meta, indent=2))
         return 0
     if not args.model or not args.out:
         print("need MODEL and OUT (or --info VITX)", file=sys.stderr)
         return 1
 
-    import jax.numpy as jnp
+    from vit_cpp_tpu.aot import is_vitx, save_engine
+    from vit_cpp_tpu.cli.common import build_engine
 
-    from vit_cpp_tpu.aot import save_engine
-    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
-    from vit_cpp_tpu.gguf.reader import read_model
-
-    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
-    cls = (
-        VitstrEngine
-        if detect_hparams(read_model(args.model)).seq_len is not None
-        else VitEngine
-    )
-    engine = cls(
-        args.model,
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        attn_impl=args.attn,
-        mm_impl=args.mm,
-        fold_ln=fold_ln,
-        verbose=False,
-    )
+    if is_vitx(args.model):
+        print(
+            f"vit-export: {args.model} is already a .vitx artifact "
+            "(export takes a gguf checkpoint)",
+            file=sys.stderr,
+        )
+        return 1
     platforms = args.platforms.split(",") if args.platforms else None
-    meta = save_engine(engine, args.out, batch=args.batch, platforms=platforms)
+    try:
+        engine, _ = build_engine(
+            args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
+            fold_ln=args.fold_ln,
+        )
+        meta = save_engine(engine, args.out, batch=args.batch, platforms=platforms)
+    except (OSError, ValueError) as e:
+        print(f"vit-export: {e}", file=sys.stderr)
+        return 1
     import os
 
     print(

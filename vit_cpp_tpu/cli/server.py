@@ -15,35 +15,6 @@ import argparse
 import sys
 
 
-def _build_engine(path, args):
-    """gguf or .vitx -> engine with the CLI's knobs (artifact: baked)."""
-    from vit_cpp_tpu.aot import is_vitx
-
-    if is_vitx(path):
-        from vit_cpp_tpu.aot import AotEngine
-
-        return AotEngine(path)
-    import jax.numpy as jnp
-
-    from vit_cpp_tpu.engine import VitEngine, VitstrEngine, detect_hparams
-    from vit_cpp_tpu.gguf.reader import read_model
-
-    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
-    cls = (
-        VitstrEngine
-        if detect_hparams(read_model(path)).seq_len is not None
-        else VitEngine
-    )
-    return cls(
-        path,
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        attn_impl=args.attn,
-        mm_impl=args.mm,
-        fold_ln=fold_ln,
-        verbose=False,
-    )
-
-
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument(
@@ -92,9 +63,12 @@ def main(argv=None) -> int:
         enable_from_env()
 
     from vit_cpp_tpu.aot import AotEngine, is_vitx
+    from vit_cpp_tpu.cli.common import build_engine, model_spec
     from vit_cpp_tpu.server import create_multi_server, create_server
 
-    multi = len(args.model) > 1 or "=" in args.model[0]
+    # multi-model when -m is repeated or a name=path spec ('=' inside a
+    # plain path does NOT hijack: spec names must be '/'-free)
+    multi = len(args.model) > 1 or model_spec(args.model[0]) is not None
     if multi:
         # several models in one daemon: -m name=path repeated
         if args.mesh:
@@ -102,17 +76,22 @@ def main(argv=None) -> int:
             return 1
         engines, batches = {}, {}
         for spec in args.model:
-            name, sep, path = spec.partition("=")
-            if not sep or not name or not path:
+            parsed = model_spec(spec)
+            if parsed is None:
                 print(
-                    f"bad -m {spec!r}: multi-model mode needs name=path",
+                    f"bad -m {spec!r}: multi-model mode needs name=path "
+                    "(names must not contain '/')",
                     file=sys.stderr,
                 )
                 return 1
+            name, path = parsed
             if name in engines:
                 print(f"duplicate model name {name!r}", file=sys.stderr)
                 return 1
-            engines[name] = _build_engine(path, args)
+            engines[name], _ = build_engine(
+                path, dtype=args.dtype, mm=args.mm, attn=args.attn,
+                fold_ln=args.fold_ln,
+            )
             batches[name] = (
                 engines[name].batch
                 if is_vitx(path)
@@ -164,8 +143,10 @@ def main(argv=None) -> int:
             args.batch = engine.batch
         is_vitstr = engine.hp.seq_len is not None
     else:
-        engine = _build_engine(model_path, args)
-        is_vitstr = engine.hp.seq_len is not None
+        engine, is_vitstr = build_engine(
+            model_path, dtype=args.dtype, mm=args.mm, attn=args.attn,
+            fold_ln=args.fold_ln,
+        )
     if args.mesh:
         from vit_cpp_tpu.parallel.mesh import make_mesh
 

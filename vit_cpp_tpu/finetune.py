@@ -384,22 +384,29 @@ def finetune(
         import json
 
         # epoch accounting derives from step // steps_per_epoch, so a
-        # resumed run must replay the exact batching of the original
-        if meta_path and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                saved = json.load(f)
-            mine = {
-                "batch": batch,
-                "n_images": len(paths),
-                "grad_accum": grad_accum,
-            }
-            theirs = {k: saved.get(k, 1 if k == "grad_accum" else None) for k in mine}
-            if theirs != mine:
-                raise ValueError(
-                    f"checkpoint at {ckpt_dir} was written with {theirs}; "
-                    f"resuming with {mine} would mis-count epochs — rerun "
-                    "with the original settings or use a fresh --ckpt-dir"
-                )
+        # resumed run must replay the exact batching of the original —
+        # and a checkpoint WITHOUT its sibling meta (e.g. the process
+        # died between the orbax save and the meta write) cannot be
+        # validated, so refuse rather than silently mis-count
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} has no {meta_path}; its "
+                "batching cannot be validated — use a fresh --ckpt-dir"
+            )
+        with open(meta_path) as f:
+            saved = json.load(f)
+        mine = {
+            "batch": batch,
+            "n_images": len(paths),
+            "grad_accum": grad_accum,
+        }
+        theirs = {k: saved.get(k) for k in mine}
+        if theirs != mine:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} was written with {theirs}; "
+                f"resuming with {mine} would mis-count epochs — rerun "
+                "with the original settings or use a fresh --ckpt-dir"
+            )
         from vit_cpp_tpu.parallel.checkpoint import restore_train_state
 
         state = restore_train_state(ckpt_dir, state)
