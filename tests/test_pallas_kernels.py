@@ -103,19 +103,45 @@ class TestFlashAttention:
         paired = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=True))
         np.testing.assert_array_equal(paired, carve)
 
-    def test_attention_qkv_train_vmem_fallback_grads(self):
-        """Geometries whose backward working set exceeds the scoped VMEM
-        budget (wide ViT-L-like blocks) take the composed-XLA fallback
-        and stay differentiable."""
-        from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
+    @pytest.mark.parametrize("nh,d", [(2, 64), (1, 128)])
+    def test_grad_lane_kernel_matches_carve(self, nh, d):
+        """The lane-block backward (large T x wide h plan) matches the
+        carve backward within f32 chunk-reassociation tolerance."""
+        from vit_cpp_tpu.ops.flash_attention import (
+            _attention_qkv_grad,
+            _attention_qkv_grad_lane,
+        )
 
-        b, t, nh, d = 1, 260, 4, 448  # 4*(2*260*5376+260*1792)+20*260^2 > 13MB
+        b, t = 2, 29
+        rng = np.random.default_rng(23)
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * nh * d)), jnp.float32)
+        do = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+        want = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=False))
+        got = np.asarray(_attention_qkv_grad_lane(qkv, do, nh, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_attention_qkv_train_plan_dispatch(self):
+        """_grad_plan: B/16 -> full block; B/8 and L@384 -> lane; long-T
+        lane-ineligible hidden sizes -> None (XLA fallback, still
+        differentiable)."""
+        from vit_cpp_tpu.ops.flash_attention import (
+            _grad_plan,
+            attention_qkv_train,
+        )
+
+        assert _grad_plan(197, 768, 64, 4) == "full"  # ViT-B/16 training
+        assert _grad_plan(785, 768, 64, 2) == "lane"  # ViT-B/8, bf16
+        assert _grad_plan(577, 1024, 64, 4) == "lane"  # ViT-L/16@384, f32
+        assert _grad_plan(785, 768, 64, 4) is None  # B/8 f32: panels too fat
+        assert _grad_plan(1408, 96, 32, 4) is None  # h % 128 != 0, long T
+
+        b, t, nh, d = 1, 1408, 3, 32
         rng = np.random.default_rng(3)
         qkv = jnp.asarray(rng.standard_normal((b, t, 3 * nh * d)), jnp.float32)
         g = jax.grad(lambda x: jnp.sum(attention_qkv_train(x, nh) ** 2))(qkv)
         assert np.isfinite(np.asarray(g)).all()
         with pytest.raises(ValueError, match="not divisible"):
-            attention_qkv_train(qkv[:, :, : 3 * 100], 3)
+            attention_qkv_train(qkv[:, :, : 3 * 100], 7)
 
     def test_train_forward_grad_through_model(self):
         """cross_entropy_loss (pallas-train attention + remat + unroll)

@@ -590,6 +590,141 @@ def _qkv_grad_head(x, do, dx_ref, i, h, d):
     dx_ref[0, :, 2 * h + i * d : 2 * h + (i + 1) * d] = dv.astype(dx_ref.dtype)
 
 
+def _qkv_grad_lane_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, d: int
+):
+    """Lane-block backward: refs are (1, T, w*128) panels of the q/k/v
+    sections plus the matching dO / dQ / dK / dV panels. The same
+    head-locality that makes the forward lane kernel possible holds for
+    every backward contraction (dQ, dK, dV of a head touch only that
+    head's lanes), so large T x wide h geometries (ViT-B/8, ViT-L@384)
+    train on the fused VJP instead of the composed-XLA fallback. Query
+    chunking bounds the (qc, T) score/grad workspaces; per-head carves
+    use the masked full-width trick of the pair/lane kernels
+    (exact-zero products, aligned stores)."""
+    t = q_ref.shape[1]
+    qc = _grad_query_chunk(t)
+    nsub = 128 // d
+    scale = 1.4426950408889634 / (d**0.5)
+    nat = 1.0 / (d**0.5)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    masks = [((lanes >= s * d) & (lanes < (s + 1) * d)) for s in range(nsub)]
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for p0 in range(0, q_ref.shape[2], 128):
+        pp = slice(p0, p0 + 128)
+        q, k, v = q_ref[0, :, pp], k_ref[0, :, pp], v_ref[0, :, pp]
+        do = do_ref[0, :, pp]
+        dk_acc = jnp.zeros((t, 128), jnp.float32)
+        dv_acc = jnp.zeros((t, 128), jnp.float32)
+        sub = (
+            [(None, k, v)]
+            if nsub == 1
+            else [(m.astype(q.dtype), None, None) for m in masks]
+        )
+        for q0 in range(0, t, qc):
+            q1 = min(q0 + qc, t)
+            qch = (q[q0:q1].astype(jnp.float32) * scale).astype(q.dtype)
+            doch = do[q0:q1]
+            dq_acc = None
+            for m, _, _ in sub:
+                km = k if m is None else k * m
+                vm = v if m is None else v * m
+                dom = doch if m is None else doch * m
+                qm = q[q0:q1] if m is None else q[q0:q1] * m
+                s = dot(qch if m is None else qch * m, km, ((1,), (1,)))
+                p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+                pn = p / jnp.sum(p, axis=-1, keepdims=True)
+                pnc = pn.astype(q.dtype)
+                dv_acc = dv_acc + dot(pnc, dom, ((0,), (0,)))
+                dp = dot(dom, vm, ((1,), (1,)))
+                r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+                ds = (pn * (dp - r)).astype(q.dtype)
+                dq = dot(ds, km, ((1,), (0,))) * nat
+                dk_acc = dk_acc + dot(ds, qm, ((0,), (0,))) * nat
+                dq_acc = dq if dq_acc is None else dq_acc + dq
+            dq_ref[0, q0:q1, pp] = dq_acc.astype(dq_ref.dtype)
+        dk_ref[0, :, pp] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, pp] = dv_acc.astype(dv_ref.dtype)
+
+
+def _attention_qkv_grad_lane(qkv, do, num_heads: int, interpret: bool):
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    hb = h // 128
+    d = h // num_heads
+    # one panel per step: the backward's (qc, T) f32 workspaces already
+    # dominate VMEM at the geometries this kernel exists for
+    wb = hb
+
+    def sec_spec(section):
+        return pl.BlockSpec(
+            (1, t, 128),
+            lambda i, j, s=section: (i, 0, s * wb + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec(
+        (1, t, 128), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_qkv_grad_lane_kernel, d=d),
+        grid=(b, hb),
+        in_specs=[sec_spec(0), sec_spec(1), sec_spec(2), out_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, t, h), qkv.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * t * t * h,
+            bytes_accessed=8 * b * t * h * qkv.dtype.itemsize,
+            transcendentals=b * t * t * num_heads,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, do)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+def _grad_query_chunk(t: int) -> int:
+    """Query chunk for the lane BACKWARD: five (qc, T) f32 workspaces
+    (s, p, dp, ds + softmax temporaries) live at once vs the forward's
+    two, so cap their sum at ~8 MB with balanced ceil-split chunks."""
+    qc = _query_chunk(t)
+    limit = max(1, 8_000_000 // (5 * 4 * t))
+    if qc > limit:
+        n = -(-t // limit)
+        qc = -(-t // n)
+    return qc
+
+
+def _grad_plan(t: int, h: int, d: int, itemsize: int):
+    """Which backward kernel fits scoped VMEM: 'full' (one (T, 3h)
+    block), 'lane' (128-lane panels + query chunking), or None (composed
+    XLA ops own the backward)."""
+    full = 4 * (2 * t * 3 * h + t * h) + 5 * 4 * t * t
+    if d == 64:
+        full += 8 * t * 128 * 4  # pair variant's extra masked buffers
+    if full <= 13_000_000:
+        return "full"
+    if h % 128 == 0 and 128 % d == 0:
+        qc = _grad_query_chunk(t)
+        lane = (
+            5 * qc * t * 4  # score/grad workspaces
+            + 2 * 7 * t * 128 * itemsize  # double-buffered in/out panels
+            + 2 * t * 128 * 4  # dk/dv f32 accumulators
+            + 4 * t * 128 * itemsize  # masked copies
+        )
+        if lane <= 13_000_000:
+            return "lane"
+    return None
+
+
 def _attention_qkv_grad(
     qkv, do, num_heads: int, interpret: bool | None = None, pair: bool | None = None
 ):
@@ -597,6 +732,8 @@ def _attention_qkv_grad(
         interpret = jax.default_backend() != "tpu"
     b, t, three_h = qkv.shape
     h = three_h // 3
+    if _grad_plan(t, h, h // num_heads, qkv.dtype.itemsize) == "lane":
+        return _attention_qkv_grad_lane(qkv, do, num_heads, interpret)
     if pair is None:
         import os as _os
 
@@ -657,23 +794,19 @@ def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
     """Differentiable fused attention for the training path.
 
     Forward = the serving kernel (safe softmax); backward = a Pallas
-    kernel that recomputes scores per (batch, head) in VMEM — neither
-    direction materializes a (B, nh, T, T) tensor in HBM. Falls back to
-    plain composed XLA ops when the backward's VMEM working set would
-    blow the scoped budget: f32 x/dx/do blocks + the per-head (T, T)
-    score/grad temporaries (ViT-B/8's 785 tokens AND ViT-L/16@384's
-    577 x 3072 blocks both exceed it; B/16-family geometries fit)."""
+    kernel that recomputes scores in VMEM — neither direction
+    materializes a (B, nh, T, T) tensor in HBM. Kernel shape by VMEM
+    plan (_grad_plan): one (T, 3h) block for B/16-family geometries,
+    128-lane panels with query chunking for large T x wide h (ViT-B/8's
+    785 tokens, ViT-L/16@384's 577 x 3072 blocks); composed XLA ops own
+    the backward only when neither fits (e.g. lane-ineligible hidden
+    sizes like ViT-tiny's 192 at long T)."""
     b, t, three_h = qkv.shape
     h = three_h // 3
     if h % num_heads:
         raise ValueError(f"hidden {h} not divisible by num_heads {num_heads}")
     d = h // num_heads
-    grad_vmem = 4 * (2 * t * three_h + t * h) + 5 * 4 * t * t
-    if d == 64:
-        # the masked-pair backward (the d=64 default) keeps ~8 extra
-        # (T, 128) masked/pair buffers live per head pair
-        grad_vmem += 8 * t * 128 * 4
-    if grad_vmem > 13_000_000:
+    if _grad_plan(t, h, d, qkv.dtype.itemsize) is None:
         # differentiable by construction; XLA owns the backward
         from vit_cpp_tpu.ops.core import attention
 
