@@ -89,6 +89,35 @@ def check_attention_vjp():
         f"  grad max err: {gerr:.2e}"
     )
 
+    # lane-block backward (the B/8 / L@384 training plan, T=785) vs the
+    # XLA-differentiated composed path, on device. bf16 inputs: expect
+    # ~1e-2 abs (bf16 dot accumulation differences, grads O(10)).
+    b2, t2 = 1, 785
+    qkv2 = jnp.asarray(rng.standard_normal((b2, t2, 3 * h)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((b2, t2, h)), jnp.bfloat16)
+
+    def ref2(x):
+        xs = x.reshape(b2, t2, 3, nh, d)
+        q, k, v = (xs[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        o = attention(q, k, v, impl="xla")
+        return jnp.sum(
+            o.transpose(0, 2, 1, 3).reshape(b2, t2, h)
+            * w2.astype(jnp.float32)
+        )
+
+    def pal2(x):
+        return jnp.sum(
+            attention_qkv_train(x, nh).astype(jnp.float32)
+            * w2.astype(jnp.float32)
+        )
+
+    g2_ref = jax.grad(ref2)(qkv2).astype(jnp.float32)
+    g2_lane = jax.grad(pal2)(qkv2).astype(jnp.float32)
+    print(
+        "grad lane-vs-xla (T=785) max err:",
+        float(jnp.max(jnp.abs(g2_lane - g2_ref))),
+    )
+
 
 def check_quant_matmuls():
     from vit_cpp_tpu.gguf.dtypes import GGMLDType
