@@ -190,22 +190,46 @@ def test_cosine_schedule_and_warmup_learn(model_path, tmp_path):
     assert losses[-1] < losses[0]
 
 
-def test_resume_with_different_batch_rejected(model_path, tmp_path):
+def test_resume_with_different_settings_rejected(model_path, tmp_path):
+    """The resume guard pins everything that changes what a resumed run
+    replays: batching, the shuffle seed, and the optimizer/schedule args
+    (ADVICE r2: seed/lr/schedule changes used to slip through silently)."""
     from vit_cpp_tpu.finetune import finetune
 
     data = _make_dataset(tmp_path / "train")
     ck = str(tmp_path / "ckpt")
     finetune(model_path, data, epochs=1, batch=4, ckpt_dir=ck, log=lambda m: None)
-    with pytest.raises(ValueError, match="mis-count epochs"):
-        finetune(
-            model_path, data, epochs=2, batch=8, ckpt_dir=ck, log=lambda m: None
-        )
+    for kw in (
+        dict(batch=8),  # epoch accounting
+        dict(batch=4, seed=7),  # shuffle order
+        dict(batch=4, lr=5e-3),  # update rule
+        dict(batch=4, schedule="cosine"),  # LR curve shape
+    ):
+        with pytest.raises(ValueError, match="would not replay"):
+            finetune(
+                model_path, data, epochs=2, ckpt_dir=ck,
+                log=lambda m: None, **kw
+            )
     # a checkpoint whose sibling meta is gone cannot be validated at all
     os.remove(ck + ".meta.json")
     with pytest.raises(ValueError, match="cannot be validated"):
         finetune(
             model_path, data, epochs=2, batch=4, ckpt_dir=ck, log=lambda m: None
         )
+
+
+def test_resume_cosine_epoch_extension_rejected(model_path, tmp_path):
+    """Under a cosine schedule the decay length derives from total epochs,
+    so extending epochs on resume rewrites the LR curve — reject; the
+    const schedule allows it (test_resume_is_bit_identical)."""
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    ck = str(tmp_path / "ckpt")
+    kw = dict(batch=4, schedule="cosine", log=lambda m: None)
+    finetune(model_path, data, epochs=2, ckpt_dir=ck, **kw)
+    with pytest.raises(ValueError, match="would not replay"):
+        finetune(model_path, data, epochs=4, ckpt_dir=ck, **kw)
 
 
 def test_mesh_finetune_runs(model_path, tmp_path):

@@ -402,3 +402,67 @@ class TestMaskedPairKernel:
         ref = attention_qkv(qkv, 8, pair=False, group=1)
         got = attention_qkv(qkv, 8, pair=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+class TestPipelinedKernels:
+    """VIT_ATTN_PIPE / pipe=True: software-pipelined instruction order
+    (chain i+1's score dot before chain i's softmax+PV) must be bit-exact
+    vs the sequential order — only scheduling changes."""
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_pair_pipe_bit_exact(self, fast):
+        rng = np.random.default_rng(13)
+        qkv = jnp.asarray(
+            rng.standard_normal((2, 197, 3 * 768)), dtype=jnp.float32
+        )
+        seq = attention_qkv(qkv, 12, fast=fast, pair=True, pipe=False)
+        pip = attention_qkv(qkv, 12, fast=fast, pair=True, pipe=True)
+        np.testing.assert_array_equal(np.asarray(seq), np.asarray(pip))
+
+    @pytest.mark.parametrize(
+        "t,h,nh", [(785, 768, 12), (64, 256, 2)]  # masked subs / single-head
+    )
+    def test_lane_pipe_bit_exact(self, t, h, nh):
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(17)
+        qkv = jnp.asarray(
+            rng.standard_normal((1, t, 3 * h)), dtype=jnp.float32
+        )
+        for fast in (False, True):
+            seq = _attention_qkv_lane(qkv, nh, fast, True, pipe=False)
+            pip = _attention_qkv_lane(qkv, nh, fast, True, pipe=True)
+            np.testing.assert_array_equal(np.asarray(seq), np.asarray(pip))
+
+
+class TestLaneVmemPlan:
+    """ADVICE r2 medium: the f32 safe-softmax lane forward at T=785 sized
+    the whole (785, 785) score workspace (est 14.7 MB > the 13 MB
+    calibrated budget) and would OOM Mosaic's scoped VMEM. The planner
+    must shrink qc mode/dtype-aware, and fall back to composed XLA when
+    no chunk fits."""
+
+    def test_f32_785_safe_shrinks_qc_and_matches(self):
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(19)
+        qkv = jnp.asarray(
+            rng.standard_normal((1, 785, 3 * 768)), dtype=jnp.float32
+        )
+        out = _attention_qkv_lane(qkv, 12, False, True)
+        assert out is not None  # qc shrink keeps it on the fused kernel
+        ref = attention_qkv(qkv, 12, fast=False, pair=False, group=1)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_unfittable_geometry_falls_back_to_xla(self):
+        # T=4096 f32: the in/out lane blocks alone (2*4*T*128*4 = 16.8 MB
+        # at w=1) exceed the budget regardless of qc, so the planner must
+        # return None and the public entry point must take the XLA path
+        from vit_cpp_tpu.ops import flash_attention as fa
+
+        big = jnp.zeros((1, 4096, 3 * 768), jnp.float32)
+        assert fa._attention_qkv_lane(big, 12, False, True) is None
+        out = attention_qkv(big, 12, fast=False, group=0)
+        assert out.shape == (1, 4096, 768)

@@ -230,3 +230,52 @@ def test_checkpoint_save_restore(tmp_path):
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
     for la, lb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_accum_masked_loss_matches_global_mean():
+    """Token-weighted accumulation (ADVICE r2): with masked sequence
+    targets whose valid-token counts DIFFER across micro-batches, the
+    accumulated gradient must equal the unaccumulated global masked mean.
+    SGD(1.0) makes the parameter delta exactly minus the gradient, so the
+    comparison sees the gradients themselves."""
+    import optax
+
+    from vit_cpp_tpu.parallel.train import (
+        TrainState,
+        train_step_accum,
+        train_step_vitstr,
+        vitstr_cross_entropy_loss,
+    )
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_classes=16,
+        patch_size=8,
+        img_size=32,
+        seq_len=5,
+    )
+    params = params_from_state_dict(random_state_dict(hp, seed=2), hp)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 3, 32, 32)), dtype=jnp.float32)
+    y = rng.integers(2, 16, (4, 5))
+    y[:, 0] = -1  # [GO] never predicted
+    y[0, 2:] = -1  # first micro-batch: far fewer valid tokens
+    y[1, 3:] = -1
+    y = jnp.asarray(y, jnp.int32)
+
+    opt = optax.sgd(1.0)
+    st0 = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    acc_st, acc_loss = train_step_accum(
+        st0, x, y, hp, opt, 2, loss_fn=vitstr_cross_entropy_loss
+    )
+    ref_st, ref_loss = train_step_vitstr(st0, x, y, hp, opt)
+    np.testing.assert_allclose(float(acc_loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        acc_st.params,
+        ref_st.params,
+    )

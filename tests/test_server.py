@@ -337,3 +337,15 @@ class TestServerHardening:
                 f"{base}/v1/classify?topk=1", _png_bytes(seed, size=size)
             )
             assert code == 200 and len(body["topk"]) == 1
+
+
+def test_submit_after_close_fails_fast():
+    """ADVICE r2: a submit() racing close() must resolve immediately with
+    an error, not hang until the handler's request timeout."""
+    from vit_cpp_tpu.server import MicroBatcher
+
+    mb = MicroBatcher(lambda x: np.zeros((8, 4)), batch=8, max_wait_ms=1.0)
+    mb.close()
+    fut = mb.submit(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=1.0)

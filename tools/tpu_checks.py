@@ -58,6 +58,38 @@ def check_attention():
     print("attn pair-vs-carve max err:", float(jnp.max(jnp.abs(paired - carve))))
 
 
+def check_pipe_and_f32_lane():
+    """r3: (a) software-pipelined kernel order (pipe=True) must match the
+    sequential order bit-for-bit on device; (b) the f32 safe-softmax lane
+    forward at T=785 must compile and match XLA (ADVICE r2 medium: the
+    planner now shrinks qc mode/dtype-aware instead of emitting a kernel
+    whose (785, 785) f32 workspaces overflow scoped VMEM)."""
+    from vit_cpp_tpu.ops.flash_attention import _attention_qkv_xla, attention_qkv
+
+    rng = np.random.default_rng(9)
+    flat = jnp.asarray(rng.standard_normal((2, 197, 3 * 768)), jnp.bfloat16)
+    a = attention_qkv(flat, 12, fast=True, pair=True, pipe=False)
+    b = attention_qkv(flat, 12, fast=True, pair=True, pipe=True)
+    print(
+        "pair pipe-vs-seq  max err:",
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+    )
+    lane = jnp.asarray(rng.standard_normal((1, 785, 3 * 768)), jnp.bfloat16)
+    a = attention_qkv(lane, 12, fast=True, group=0, pipe=False)
+    b = attention_qkv(lane, 12, fast=True, group=0, pipe=True)
+    print(
+        "lane pipe-vs-seq  max err:",
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+    )
+    lane32 = jnp.asarray(rng.standard_normal((1, 785, 3 * 768)), jnp.float32)
+    got = attention_qkv(lane32, 12, fast=False, group=0)
+    ref = _attention_qkv_xla(lane32, 12)
+    print(
+        "f32 safe lane T=785 max err:",
+        float(jnp.max(jnp.abs(got - ref))),
+    )
+
+
 def check_attention_vjp():
     """Training kernel pair (attention_qkv_train): value + gradient parity
     vs the composed-XLA path, ON DEVICE (the pytest grad checks run in
@@ -211,6 +243,7 @@ def check_geometries():
 if __name__ == "__main__":
     print("devices:", jax.devices())
     check_attention()
+    check_pipe_and_f32_lane()
     check_attention_vjp()
     check_quant_matmuls()
     check_geometries()

@@ -380,14 +380,31 @@ def finetune(
     meta_path = (
         os.path.abspath(ckpt_dir).rstrip("/") + ".meta.json" if ckpt_dir else None
     )
+    # everything that changes what a resumed run replays: batching (epoch
+    # accounting derives from step // steps_per_epoch), the shuffle
+    # (seed), and the optimizer/schedule (epochs/lr/schedule/warmup/clip/
+    # decay/freeze set the cosine length and update rule) — ADVICE r2:
+    # resuming with a different seed or schedule silently diverged from
+    # the "replays the exact batching" claim
+    run_meta = {
+        "batch": batch,
+        "n_images": len(paths),
+        "grad_accum": grad_accum,
+        "seed": seed,
+        "epochs": epochs,
+        "lr": lr,
+        "weight_decay": weight_decay,
+        "schedule": schedule,
+        "warmup_steps": warmup_steps,
+        "clip_norm": clip_norm,
+        "freeze_backbone": freeze_backbone,
+    }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
 
-        # epoch accounting derives from step // steps_per_epoch, so a
-        # resumed run must replay the exact batching of the original —
-        # and a checkpoint WITHOUT its sibling meta (e.g. the process
-        # died between the orbax save and the meta write) cannot be
-        # validated, so refuse rather than silently mis-count
+        # a checkpoint WITHOUT its sibling meta (e.g. the process died
+        # between the orbax save and the meta write) cannot be validated,
+        # so refuse rather than silently mis-count
         if not os.path.exists(meta_path):
             raise ValueError(
                 f"checkpoint at {ckpt_dir} has no {meta_path}; its "
@@ -395,17 +412,25 @@ def finetune(
             )
         with open(meta_path) as f:
             saved = json.load(f)
-        mine = {
-            "batch": batch,
-            "n_images": len(paths),
-            "grad_accum": grad_accum,
-        }
-        theirs = {k: saved.get(k) for k in mine}
-        if theirs != mine:
+        # `epochs` may grow on resume (the extend-training pattern) UNLESS
+        # the schedule has a horizon: the cosine decay length derives from
+        # total epochs, so changing epochs there rewrites the LR curve
+        # (const+warmup never reads total_steps — make_optimizer)
+        strict = dict(run_meta)
+        if schedule == "const":
+            strict.pop("epochs")
+        theirs = {k: saved.get(k) for k in strict}
+        if theirs != strict:
+            diff = {
+                k: (theirs[k], strict[k])
+                for k in strict
+                if theirs[k] != strict[k]
+            }
             raise ValueError(
-                f"checkpoint at {ckpt_dir} was written with {theirs}; "
-                f"resuming with {mine} would mis-count epochs — rerun "
-                "with the original settings or use a fresh --ckpt-dir"
+                f"checkpoint at {ckpt_dir} was written with different "
+                f"settings (saved, requested): {diff}; resuming would not "
+                "replay the original run — rerun with the original "
+                "settings or use a fresh --ckpt-dir"
             )
         from vit_cpp_tpu.parallel.checkpoint import restore_train_state
 
@@ -465,12 +490,5 @@ def finetune(
 
             save_train_state(ckpt_dir, state)
             with open(meta_path, "w") as f:
-                json.dump(
-                    {
-                        "batch": batch,
-                        "n_images": len(paths),
-                        "grad_accum": grad_accum,
-                    },
-                    f,
-                )
+                json.dump(run_meta, f)
     return state.params, hp, classes, losses

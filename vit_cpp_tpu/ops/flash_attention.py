@@ -63,6 +63,30 @@ def _query_chunk(t: int) -> int:
     return -(-t // n)
 
 
+def _pipe_enabled() -> bool:
+    """VIT_ATTN_PIPE=1 software-pipelines the fused kernels: chain i+1's
+    MXU score dot issues before chain i's VPU softmax + PV dot (A/B knob
+    for the serialization experiments; read at trace time)."""
+    import os as _os
+
+    return _os.environ.get("VIT_ATTN_PIPE", "0") != "0"
+
+
+def _attention_qkv_xla(qkv, num_heads: int):
+    """Composed-XLA fallback for geometries no fused kernel shape fits
+    (e.g. f32 safe-softmax at T=785, where even qc=64 lane chunks exceed
+    scoped VMEM — ADVICE r2 medium)."""
+    from vit_cpp_tpu.ops.core import attention
+
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    d = h // num_heads
+    qkv_s = qkv.reshape(b, t, 3, num_heads, d)
+    q, k, v = (qkv_s[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    o = attention(q, k, v, impl="xla")
+    return o.transpose(0, 2, 1, 3).reshape(b, t, h)
+
+
 def _sdpa(q, k, v, out_dtype, fast: bool = False):
     """(T, D) f-dim attention math shared by both kernels; f32 softmax.
 
@@ -139,7 +163,10 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
                 )
 
 
-def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool):
+def _qkv_lane_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool,
+    qc: int | None = None, pipe: bool = False,
+):
     """Lane-block variant: refs are (1, T, w*128) lane blocks of the fused
     projection — w 128-lane panels, 128//d heads per panel. Smaller blocks
     than the full (T, 3h) variant at identical total HBM traffic, and the
@@ -159,70 +186,108 @@ def _qkv_lane_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool):
     dot is wall-clock free), and the masked-V PV terms occupy disjoint
     lanes, so their sum assembles the aligned (qc, 128) output in ONE
     aligned store. Bit-exact vs carved slices (the masked lanes contribute
-    exact-zero products to the f32 accumulation)."""
+    exact-zero products to the f32 accumulation).
+
+    pipe=True software-pipelines the independent per-(panel, chunk, head)
+    chains: chain i+1's MXU score dot is issued BEFORE chain i's VPU
+    softmax + PV dot, giving the scheduler explicit independent MXU work
+    to overlap each softmax with (the serialization named in the B/8
+    profile). Bit-exact — only instruction order changes; costs one extra
+    pending (qc, T) f32 score workspace."""
     t = q_ref.shape[1]
-    qc = _query_chunk(t)
+    if qc is None:
+        qc = _query_chunk(t)
     nsub = 128 // d
     scale = 1.4426950408889634 / (d**0.5)  # log2(e)/sqrt(d)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     masks = [
         ((lanes >= s * d) & (lanes < (s + 1) * d)) for s in range(nsub)
     ]
+
+    # One work item per (panel, query chunk, sub-head): a score dot (MXU)
+    # plus a finish stage (VPU softmax, MXU PV dot, accumulate/store).
+    items = []  # (key, store_slices, is_last_sub, qs, km, vm)
     for p0 in range(0, q_ref.shape[2], 128):
         pp = slice(p0, p0 + 128)
         q, k, v = q_ref[0, :, pp], k_ref[0, :, pp], v_ref[0, :, pp]
         if nsub == 1:
-            # single head fills the panel: direct, nothing to mask
-            for q0 in range(0, t, qc):
-                q1 = min(q0 + qc, t)
-                o_ref[0, q0:q1, pp] = _sdpa(
-                    q[q0:q1], k, v, o_ref.dtype, fast=fast
-                )
-            continue
-        kms = [k * m.astype(k.dtype) for m in masks]
-        vms = [v * m.astype(v.dtype) for m in masks]
+            kms, vms = [k], [v]
+        else:
+            kms = [k * m.astype(k.dtype) for m in masks]
+            vms = [v * m.astype(v.dtype) for m in masks]
         for q0 in range(0, t, qc):
             q1 = min(q0 + qc, t)
             qs = (q[q0:q1].astype(jnp.float32) * scale).astype(q.dtype)
-            acc = None
             for s in range(nsub):
-                sm = jax.lax.dot_general(
-                    qs,
-                    kms[s],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                items.append(
+                    ((p0, q0), (q0, q1, pp), s == nsub - 1, qs, kms[s], vms[s])
                 )
-                if fast:
-                    p = jnp.exp2(jnp.minimum(sm, 120.0))
-                else:
-                    p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
-                term = jax.lax.dot_general(
-                    p.astype(v.dtype),
-                    vms[s],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) / jnp.sum(p, axis=-1, keepdims=True)
-                acc = term if acc is None else acc + term
-            o_ref[0, q0:q1, pp] = acc.astype(o_ref.dtype)
+
+    acc: dict = {}
+
+    def start(it):
+        _, _, _, qs, km, _ = it
+        return jax.lax.dot_general(
+            qs, km,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def finish(it, sm):
+        key, (q0, q1, pp), last, _, _, vm = it
+        if fast:
+            p = jnp.exp2(jnp.minimum(sm, 120.0))
+        else:
+            p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
+        term = jax.lax.dot_general(
+            p.astype(vm.dtype), vm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sum(p, axis=-1, keepdims=True)
+        prev = acc.pop(key, None)
+        term = term if prev is None else prev + term
+        if last:
+            o_ref[0, q0:q1, pp] = term.astype(o_ref.dtype)
+        else:
+            acc[key] = term
+
+    if pipe:
+        pending = None
+        for it in items:
+            sm = start(it)
+            if pending is not None:
+                finish(*pending)
+            pending = (it, sm)
+        finish(*pending)
+    else:
+        for it in items:
+            finish(it, start(it))
 
 
-def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = None):
+def _attention_qkv_lane(
+    qkv, num_heads, fast, interpret,
+    width: int | None = None, pipe: bool | None = None,
+):
     b, t, three_h = qkv.shape
     h = three_h // 3
     hb = h // 128  # lane panels per q/k/v section
     qc = _query_chunk(t)
     nsub = 128 // (h // num_heads)
+    if pipe is None:
+        pipe = _pipe_enabled()
 
-    def est(w):
+    def est(w, qc_=None):
         """Scoped-VMEM estimate: double-buffered in/out blocks, the f32
         (qc, T) score workspaces (safe softmax needs ~2x of fast for the
-        max/subtract temporaries), and the per-panel masked K/V copies
-        (built per unrolled loop iteration — scales with w). The 13 MB
-        threshold is calibrated on measured points: safe/T=785 fits at
-        w=1 (est 12.3 MB) and OOMs at w=3 (est 17.1, real 20.5 vs the
-        16 MB limit); fast/785 w=3 (12.1) and safe/577 w=4 (12.4) fit."""
+        max/subtract temporaries; pipelining holds one extra pending score
+        block), and the per-panel masked K/V copies (built per unrolled
+        loop iteration — scales with w). The 13 MB threshold is calibrated
+        on measured points: safe/T=785 fits at w=1 (est 12.3 MB) and OOMs
+        at w=3 (est 17.1, real 20.5 vs the 16 MB limit); fast/785 w=3
+        (12.1) and safe/577 w=4 (12.4) fit."""
+        q = qc if qc_ is None else qc_
         blocks = 2 * 4 * t * 128 * w * qkv.dtype.itemsize
-        tmps = (4 if not fast else 2) * qc * t * 4
+        tmps = ((4 if not fast else 2) + (1 if pipe else 0)) * q * t * 4
         masked = (
             w * 2 * nsub * t * 128 * qkv.dtype.itemsize if nsub > 1 else 0
         )
@@ -233,11 +298,16 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
 
         env = _os.environ.get("VIT_ATTN_LANE_W")
         if env:
-            # explicit override: honored verbatim (sweeps must measure the
-            # width they claim; Mosaic errors loudly if it doesn't fit)
+            # explicit override for sweeps: must be a divisor of hb so the
+            # measured width IS the requested width (silent snapping once
+            # mislabeled a sweep point — ADVICE r2)
             width = int(env)  # raises with the env text on a non-integer
-            if width < 1:
-                raise ValueError(f"VIT_ATTN_LANE_W must be >= 1, got {env!r}")
+            if width < 1 or width > hb or hb % width:
+                raise ValueError(
+                    f"VIT_ATTN_LANE_W={env!r} must be a divisor of the "
+                    f"panel count {hb} (sweeps must measure the width they "
+                    f"claim)"
+                )
         else:
             # Device sweeps: B/8 q8_0 (hb=6) w=3 best — 937.7 img/s vs
             # 914.9/919.3/923.0 for w=1/2/6; L@384 safe (hb=8) w=4 —
@@ -256,6 +326,17 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
     width = max(1, min(width, hb))
     while hb % width:  # panel count must tile the section evenly
         width -= 1
+    # Mode/dtype-aware chunk shrink (ADVICE r2 medium): at w=1 the width
+    # loop is out of levers, but the (qc, T) score workspaces still scale
+    # with qc — e.g. f32 safe-softmax at T=785 sizes the score block whole
+    # (est 14.7 MB) and would OOM Mosaic's scoped VMEM. Split qc into
+    # balanced ceil-chunks until the estimate fits; if even qc=64 cannot
+    # fit (block+masked terms dominate), signal the caller to fall back.
+    while est(width) > 13_000_000 and qc > 64:
+        n = -(-t // qc) + 1  # one more balanced chunk
+        qc = -(-t // n)
+    if est(width) > 13_000_000:
+        return None
     wb = hb // width  # blocks per section
 
     def sec_spec(section):
@@ -266,7 +347,9 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
         )
 
     return pl.pallas_call(
-        functools.partial(_qkv_lane_kernel, d=h // num_heads, fast=fast),
+        functools.partial(
+            _qkv_lane_kernel, d=h // num_heads, fast=fast, qc=qc, pipe=pipe
+        ),
         grid=(b, wb),
         in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
         out_specs=pl.BlockSpec(
@@ -283,7 +366,8 @@ def _attention_qkv_lane(qkv, num_heads, fast, interpret, width: int | None = Non
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "group", "fast", "pair", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "group", "fast", "pair", "interpret", "pipe"),
 )
 def attention_qkv(
     qkv: jax.Array,
@@ -293,10 +377,13 @@ def attention_qkv(
     fast: bool = False,
     pair: bool | None = None,
     interpret: bool | None = None,
+    pipe: bool | None = None,
 ) -> jax.Array:
     """(B, T, 3h) fused-projection output -> (B, T, h) attention output."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pipe is None:
+        pipe = _pipe_enabled()
     if pair is None:
         import os as _os
 
@@ -337,9 +424,14 @@ def attention_qkv(
     limit = (4.5 if pair else 2) * 1024 * 1024
     big = t * three_h * qkv.dtype.itemsize > limit
     if lane_ok and (group == 0 or big):
-        return _attention_qkv_lane(qkv, num_heads, fast, interpret)
+        out = _attention_qkv_lane(qkv, num_heads, fast, interpret, pipe=pipe)
+        if out is not None:
+            return out
+        return _attention_qkv_xla(qkv, num_heads)
     if pair:
-        kern = functools.partial(_qkv_pair_kernel, nh=num_heads, fast=fast)
+        kern = functools.partial(
+            _qkv_pair_kernel, nh=num_heads, fast=fast, pipe=pipe
+        )
         group = 1
     else:
         group = max(1, group)
@@ -375,7 +467,7 @@ def attention_qkv(
     return out
 
 
-def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
+def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False):
     """Masked head-pair variant of _qkv_kernel for head_dim == 64.
 
     Every 64-lane head carve in _qkv_kernel at an odd multiple of 64 costs
@@ -389,7 +481,12 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
     runs the MXU at full 128-lane width (a d=64 dot wastes half the
     systolic array, so the nominal 2x FLOPs are wall-clock free), and the
     (T, 128) output pair stores are aligned. Two VPU mask-multiplies per
-    pair replace two relayouts."""
+    pair replace two relayouts.
+
+    pipe=True issues the NEXT pair's two MXU score dots before this pair's
+    VPU softmax + PV dots (software pipelining over the independent
+    per-pair chains — the VERDICT-r2 serialization experiment). Bit-exact:
+    only instruction order changes."""
     t = x_ref.shape[1]
     h = x_ref.shape[2] // 3
     d = h // nh
@@ -400,17 +497,22 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
     mask_hi = (lanes >= d).astype(x.dtype)
     scale = 1.4426950408889634 / (d**0.5)
 
-    def scores(qp, kp):
-        s = jax.lax.dot_general(
+    def raw_scores(qp, kp):
+        return jax.lax.dot_general(
             qp,
             kp,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def softmax(s):
         if fast:
             return jnp.exp2(jnp.minimum(s, 120.0))
         return jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
 
+    # one item per (head pair, query chunk): start = the two MXU score
+    # dots; finish = softmax (VPU) + the two PV dots + aligned pair store
+    items = []
     for i in range(0, nh - 1, 2):
         kp = x[:, h + i * d : h + (i + 2) * d]
         vp = x[:, 2 * h + i * d : 2 * h + (i + 2) * d]
@@ -421,25 +523,44 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool):
             qp = (x[q0:q1, i * d : (i + 2) * d].astype(jnp.float32) * scale).astype(
                 x.dtype
             )
-            p_lo = scores(qp, k_lo)
-            p_hi = scores(qp, k_hi)
-            l_lo = jnp.sum(p_lo, axis=-1, keepdims=True)
-            l_hi = jnp.sum(p_hi, axis=-1, keepdims=True)
-            # normalize AFTER PV, on (qc, 128) instead of (qc, T); the
-            # masked V halves make the two normalized terms disjoint on
-            # the lane axis, so the sum assembles the aligned output pair
-            o_pair = jax.lax.dot_general(
-                p_lo.astype(x.dtype),
-                v_lo,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / l_lo + jax.lax.dot_general(
-                p_hi.astype(x.dtype),
-                v_hi,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / l_hi
-            o_ref[0, q0:q1, i * d : (i + 2) * d] = o_pair.astype(o_ref.dtype)
+            items.append((i, q0, q1, qp, k_lo, k_hi, v_lo, v_hi))
+
+    def start(it):
+        _, _, _, qp, k_lo, k_hi, _, _ = it
+        return raw_scores(qp, k_lo), raw_scores(qp, k_hi)
+
+    def finish(it, s_pair):
+        i, q0, q1, _, _, _, v_lo, v_hi = it
+        p_lo, p_hi = softmax(s_pair[0]), softmax(s_pair[1])
+        l_lo = jnp.sum(p_lo, axis=-1, keepdims=True)
+        l_hi = jnp.sum(p_hi, axis=-1, keepdims=True)
+        # normalize AFTER PV, on (qc, 128) instead of (qc, T); the
+        # masked V halves make the two normalized terms disjoint on
+        # the lane axis, so the sum assembles the aligned output pair
+        o_pair = jax.lax.dot_general(
+            p_lo.astype(x.dtype),
+            v_lo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l_lo + jax.lax.dot_general(
+            p_hi.astype(x.dtype),
+            v_hi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l_hi
+        o_ref[0, q0:q1, i * d : (i + 2) * d] = o_pair.astype(o_ref.dtype)
+
+    if pipe:
+        pending = None
+        for it in items:
+            s_pair = start(it)
+            if pending is not None:
+                finish(*pending)
+            pending = (it, s_pair)
+        finish(*pending)
+    else:
+        for it in items:
+            finish(it, start(it))
     if nh % 2:  # odd head count (ViT-tiny nh=3): last head the plain way
         i = nh - 1
         k = x[:, h + i * d : h + (i + 1) * d]

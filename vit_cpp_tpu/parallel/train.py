@@ -160,10 +160,18 @@ def train_step_accum(
 
     images is (accum * B, C, S, S): each (B, ...) slice runs its own
     forward/backward (a lax.scan, so peak memory is one micro-batch's
-    activations) and the mean gradient feeds a single update — effective
-    batch accum*B with the footprint of B. `loss_fn` defaults to the
-    classifier loss; pass vitstr_cross_entropy_loss with (B, seq_len)
-    targets for scene-text training."""
+    activations) and the accumulated gradient feeds a single update —
+    effective batch accum*B with the footprint of B. `loss_fn` defaults
+    to the classifier loss; pass vitstr_cross_entropy_loss with
+    (B, seq_len) targets for scene-text training.
+
+    Micro-batches are TOKEN-WEIGHTED, not uniformly averaged: a masked
+    sequence loss is a mean over that micro-batch's valid tokens, so each
+    micro grad/loss is scaled by its valid-token count and the sum divides
+    by the total — exactly the unaccumulated global masked mean (ADVICE
+    r2: uniform averaging over-weighted micro-batches with few valid
+    tokens). For (B,) classifier labels every weight is B, reducing to
+    the plain mean."""
     if loss_fn is None:
         loss_fn = cross_entropy_loss
     micro = images.shape[0] // accum
@@ -171,22 +179,31 @@ def train_step_accum(
     lbls = labels.reshape(accum, micro, *labels.shape[1:])
 
     def step(carry, xy):
-        gsum, lsum = carry
+        gsum, lsum, wsum = carry
         x, y = xy
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, x, y, hp
         )
+        # valid-target count of this micro-batch: mask-aware for (B, S)
+        # sequence targets, the constant micro size for (B,) labels
+        if y.ndim >= 2:
+            w = jnp.maximum(jnp.sum(y >= 0), 1).astype(jnp.float32)
+        else:
+            w = jnp.asarray(float(micro), jnp.float32)
         return (
-            jax.tree.map(jnp.add, gsum, grads),
-            lsum + loss,
+            jax.tree.map(lambda s, g: s + (g * w).astype(s.dtype), gsum, grads),
+            lsum + loss * w,
+            wsum + w,
         ), ()
 
     zeros = jax.tree.map(jnp.zeros_like, state.params)
-    (gsum, lsum), _ = jax.lax.scan(step, (zeros, jnp.zeros(())), (imgs, lbls))
-    grads = jax.tree.map(lambda g: g / accum, gsum)
+    (gsum, lsum, wsum), _ = jax.lax.scan(
+        step, (zeros, jnp.zeros(()), jnp.zeros(())), (imgs, lbls)
+    )
+    grads = jax.tree.map(lambda g: g / wsum, gsum)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), lsum / accum
+    return TrainState(params, opt_state, state.step + 1), lsum / wsum
 
 
 def create_train_state(

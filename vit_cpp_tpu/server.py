@@ -74,15 +74,26 @@ class MicroBatcher:
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self.n_requests = 0
         self.n_batches = 0
+        self._closed = False
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, pixels) -> Future:
         fut: Future = Future()
+        if self._closed:  # fail fast instead of waiting out the timeout
+            fut.set_exception(RuntimeError("server shutting down"))
+            return fut
         self._q.put((pixels, fut))
+        if self._closed:
+            # close() may have finished its final drain between the check
+            # above and the put; drain again so THIS future resolves now
+            # rather than at the handler's full request timeout
+            self._drain_failed()
         return fut
 
     def close(self) -> None:
+        self._closed = True  # before the sentinel: submit() races close()
         self._q.put(self._SENTINEL)
         self._worker.join(timeout=5.0)
         self._drain_failed()  # anything enqueued after the sentinel
@@ -134,8 +145,9 @@ class MicroBatcher:
             for _, fut in items:
                 fut.set_exception(e)
             return
-        self.n_requests += len(items)
-        self.n_batches += 1
+        with self._stats_lock:  # handler threads read /stats concurrently
+            self.n_requests += len(items)
+            self.n_batches += 1
         for i, (_, fut) in enumerate(items):
             fut.set_result(out[i])
 
