@@ -116,3 +116,59 @@ class TestHarness:
         assert sorted(vitx_csv.read_text().splitlines()) == sorted(
             gguf_csv.read_text().splitlines()
         )
+
+
+def test_csv_schema_is_pinned(tmp_path):
+    """VERDICT r2 #8: the per-image CSV schema is the reference's
+    (tests/benchmark.cpp:137-138): `<filename>,<class_name>,<prediction>`
+    — exactly three comma-separated fields, no header, one line per
+    successfully classified image. Downstream accuracy tooling parses
+    this; pin it so a refactor can't silently change the contract."""
+    import numpy as np
+    from PIL import Image
+
+    from vit_cpp_tpu.cli.benchmark import run_eval
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=4,
+        patch_size=8,
+        img_size=32,
+    )
+    classnames = ["alpha", "beta", "gamma", "delta"]
+    model = tmp_path / "m.gguf"
+    write_synthetic_model(
+        str(model), hp, ftype=1, seed=0,
+        id2label={i: n for i, n in enumerate(classnames)},
+    )
+    import json
+
+    (tmp_path / "classnames.json").write_text(json.dumps(classnames))
+    rng = np.random.default_rng(0)
+    for cls in classnames[:2]:
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            ).save(d / f"img_{i}.JPEG")
+    out = tmp_path / "preds.csv"
+    # classnames.json resolves from the dataset dir's parent (reference
+    # layout: tests/classnames.json beside tests/dataset)
+    run_eval(
+        str(model), str(tmp_path / "data"),
+        per_class=0, output_file=str(out), batch=2, verbose=False,
+    )
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 4
+    for line in lines:
+        fields = line.split(",")
+        assert len(fields) == 3, line  # filename,class,prediction — no more
+        fname, cls, pred = fields
+        assert fname.startswith("img_") and fname.endswith(".JPEG"), line
+        assert cls in classnames[:2], line
+        assert pred in classnames, line

@@ -1,0 +1,87 @@
+"""Regenerate docs/QUICK_EXAMPLE.md — the committed `vit` CLI transcript.
+
+The reference's README quick-example block (README.md:53-94: magpie.jpeg ->
+top-5 labels) is its de-facto regression test. This is ours, generated from
+the synthetic quick-example checkpoint (testing/synthetic.py:
+write_quick_example_model — ViT-tiny/16 @224 f16, seed 42, ImageNet label
+strings) so it runs without network weights. stdout is DETERMINISTIC
+(hparams echo + top-5 lines); timing lines live on stderr and are recorded
+as machine-specific context only. tests/test_cli.py asserts the stdout
+block line-for-line.
+
+Run on CPU from the repo root:  JAX_PLATFORMS=cpu python tools/gen_quick_example.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+REPO = os.path.dirname(os.path.abspath(os.path.dirname(__file__)))
+
+
+def main() -> int:
+    from vit_cpp_tpu.testing.synthetic import write_quick_example_model
+
+    with tempfile.TemporaryDirectory() as d:
+        model = os.path.join(d, "vit-tiny-quick.gguf")
+        write_quick_example_model(model)
+        cmd = [
+            sys.executable, "-m", "vit_cpp_tpu.cli.vit",
+            "-m", model, "-i", "assets/magpie.jpeg", "-k", "5",
+        ]
+        r = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=REPO,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr)
+        return 1
+    # the model lives in a temp dir: normalize its path so the committed
+    # stdout block is deterministic (tests do the same substitution)
+    stdout = r.stdout.replace(d, "<tmp>")
+    stderr = r.stderr.replace(d, "<tmp>")
+    display_cmd = (
+        "python -m vit_cpp_tpu.cli.vit -m vit-tiny-quick.gguf "
+        "-i assets/magpie.jpeg -k 5"
+    )
+    out = os.path.join(REPO, "docs", "QUICK_EXAMPLE.md")
+    with open(out, "w") as f:
+        f.write(
+            "# Quick example — committed console transcript\n\n"
+            "The analogue of the reference's README quick-example block "
+            "(README.md:53-94): one image through the `vit` CLI, with the "
+            "full console surface committed so output parity is diffable "
+            "end-to-end. The checkpoint is the deterministic synthetic "
+            "quick-example model (`vit_cpp_tpu.testing.synthetic."
+            "write_quick_example_model` — ViT-tiny/16 @224 f16, seed 42, "
+            "ImageNet label strings); predictions are therefore arbitrary, "
+            "but every line of the surface is the reference's. "
+            "`tests/test_cli.py::test_quick_example_transcript` regenerates "
+            "this run and asserts the stdout block below line-for-line; "
+            "regenerate with `python tools/gen_quick_example.py`.\n\n"
+            f"```console\n$ {display_cmd}\n"
+            "```\n\nstdout (deterministic, asserted by test):\n\n"
+            "```text\n"
+            + stdout
+            + "```\n\nstderr (timing is machine-specific — this transcript "
+            "is a 1-core CPU run whose processing time is dominated by the "
+            "first-run XLA compile; TPU serving numbers live in "
+            "BENCH_DETAILS.json / docs/TUNING.md):\n\n```text\n"
+            + stderr
+            + "```\n"
+        )
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

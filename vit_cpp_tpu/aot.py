@@ -42,7 +42,15 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
     than the exporting process's backend — export on a CPU dev box,
     serve on TPU. Pallas-kernel configs can only lower for their own
     backend; use attn_impl="xla"/mm_impl="xla" engines for portable
-    artifacts, or export on the serving platform."""
+    artifacts, or export on the serving platform.
+
+    SHARDED engines (VitEngine.shard(mesh)) export a multi-chip program:
+    the serving batch is sharded over the mesh's 'data' axis and the
+    parameters keep their megatron TP shardings — jax.export records the
+    full GSPMD partitioning, so the artifact replays the same collectives
+    at load. The mesh shape is recorded in the metadata and AotEngine
+    rebuilds an identical mesh from the serving process's devices (the
+    device COUNT must match; serving 8-way artifacts needs 8 chips)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jex
@@ -52,6 +60,7 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
     params, hp = engine.params, engine.hp
     attn_impl, mm_impl = engine._attn_impl, engine._mm_impl
     precision = engine.matmul_precision
+    mesh = getattr(engine, "mesh", None)
 
     def serve_fn(images):
         with jax.default_matmul_precision(precision):
@@ -59,15 +68,24 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
                 params, images, hp, attn_impl=attn_impl, mm_impl=mm_impl
             )
 
+    jit_kw: Dict[str, Any] = {}
+    x_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_sharding = NamedSharding(mesh, P("data"))
+        jit_kw = dict(in_shardings=x_sharding, out_shardings=x_sharding)
     x = jax.ShapeDtypeStruct(
-        (batch, hp.in_chans, hp.img_size, hp.img_size), jnp.float32
+        (batch, hp.in_chans, hp.img_size, hp.img_size),
+        jnp.float32,
+        sharding=x_sharding,
     )
     disabled = [
         jex.DisabledSafetyCheck.custom_call("tpu_custom_call"),
         jex.DisabledSafetyCheck.custom_call("Mosaic"),
     ]
     exp = jex.export(
-        jax.jit(serve_fn),
+        jax.jit(serve_fn, **jit_kw),
         platforms=platforms,
         disabled_checks=disabled,
     )(x)
@@ -79,6 +97,11 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
         "attn_impl": attn_impl,
         "mm_impl": mm_impl,
     }
+    if mesh is not None:
+        meta["mesh"] = {
+            "axis_names": list(mesh.axis_names),
+            "axis_sizes": [int(mesh.shape[a]) for a in mesh.axis_names],
+        }
     mj = json.dumps(meta).encode()
     return MAGIC + struct.pack("<I", len(mj)) + mj + exp.serialize()
 
@@ -174,6 +197,28 @@ class AotEngine:
                 "serving platform)"
             )
         self._exported = jex.deserialize(blob)
+        self._batch_sharding = None
+        if "mesh" in meta:
+            # sharded artifact: rebuild the export-time mesh over this
+            # process's devices so the recorded GSPMD program replays
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            sizes = meta["mesh"]["axis_sizes"]
+            names = tuple(meta["mesh"]["axis_names"])
+            n = 1
+            for s in sizes:
+                n *= s
+            devs = jax.devices()
+            if len(devs) < n:
+                raise ValueError(
+                    f"{path} is a sharded artifact for {n} devices "
+                    f"(mesh {dict(zip(names, sizes))}); this process has "
+                    f"{len(devs)} — re-export single-chip or serve on a "
+                    f"{n}-device host"
+                )
+            mesh = Mesh(np.array(devs[:n]).reshape(sizes), names)
+            self.mesh = mesh
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self.load_ms = (time.perf_counter() - t0) * 1000.0
 
     def preprocess_image(self, img_u8: np.ndarray):
@@ -195,7 +240,12 @@ class AotEngine:
                 f"artifact is compiled for batch {self.batch}, "
                 f"got {images.shape[0]} (pad at the serving layer)"
             )
-        return self._exported.call(images.astype(jnp.float32))
+        images = jnp.asarray(images, jnp.float32)
+        if self._batch_sharding is not None:
+            import jax
+
+            images = jax.device_put(images, self._batch_sharding)
+        return self._exported.call(images)
 
     # -- single-image front ends (the vit / vitstr CLIs accept .vitx) ------
 

@@ -114,7 +114,9 @@ def vitstr_cross_entropy_loss(
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 
-@partial(jax.jit, static_argnames=("hp", "optimizer"))
+@partial(
+    jax.jit, static_argnames=("hp", "optimizer"), donate_argnums=(0,)
+)
 def train_step_vitstr(
     state: TrainState,
     images: jax.Array,
@@ -130,7 +132,9 @@ def train_step_vitstr(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-@partial(jax.jit, static_argnames=("hp", "optimizer"))
+@partial(
+    jax.jit, static_argnames=("hp", "optimizer"), donate_argnums=(0,)
+)
 def train_step(
     state: TrainState,
     images: jax.Array,
@@ -146,7 +150,11 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-@partial(jax.jit, static_argnames=("hp", "optimizer", "accum", "loss_fn"))
+@partial(
+    jax.jit,
+    static_argnames=("hp", "optimizer", "accum", "loss_fn"),
+    donate_argnums=(0,),
+)
 def train_step_accum(
     state: TrainState,
     images: jax.Array,

@@ -111,3 +111,46 @@ def calibrate_act_scales(
         head["kernel"] = attach(head["kernel"], maxima["head"])
     out["head"] = head
     return out
+
+
+def validate_act_scales(
+    static_params: Dict[str, Any],
+    dynamic_params: Dict[str, Any],
+    images: jax.Array,
+    hp: VitHParams,
+    *,
+    min_agreement: float = 0.90,
+    attn_impl: str = "xla",
+) -> float:
+    """Guardrail before serving with static scales (VERDICT r2 weak #5).
+
+    Static per-tensor scales clip out-of-range activations at ±127 codes —
+    the known failure mode when the calibration set under-represents the
+    serving distribution (too few images, wrong domain, outlier inputs).
+    This measures top-1 agreement between the static and dynamic paths on
+    `images` and raises below `min_agreement`; callers that prefer a
+    warning catch the ValueError (VitEngine falls back to dynamic).
+
+    Use a held-out probe batch where possible: validating on the
+    calibration batch itself only catches catastrophic saturation, not
+    distribution shift.
+    """
+    from vit_cpp_tpu.models.vit import forward
+
+    dyn = forward(dynamic_params, images, hp, mm_impl="int8", attn_impl=attn_impl)
+    st = forward(static_params, images, hp, mm_impl="int8", attn_impl=attn_impl)
+    import numpy as np
+
+    agreement = float(
+        (np.asarray(dyn).argmax(-1) == np.asarray(st).argmax(-1)).mean()
+    )
+    if agreement < min_agreement:
+        raise ValueError(
+            f"static activation scales disagree with the dynamic path on "
+            f"{(1 - agreement) * 100:.1f}% of probe predictions "
+            f"(agreement {agreement:.3f} < required {min_agreement}); the "
+            "calibration set likely under-represents the serving "
+            "distribution — recalibrate on representative data or serve "
+            "with act_quant='dynamic'"
+        )
+    return agreement

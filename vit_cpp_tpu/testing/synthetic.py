@@ -110,3 +110,33 @@ def write_synthetic_model(
         id2label = {i: f"LABEL_{i}" for i in range(hp.num_classes)}
     write_model(path, hp, id2label, state_dict_records(state, ftype), ftype)
     return state
+
+
+def write_quick_example_model(path: str) -> VitHParams:
+    """The committed quick-example checkpoint: ViT-tiny/16 @224 f16,
+    seed 42, ImageNet label strings (data/classnames.json). The README /
+    docs/QUICK_EXAMPLE.md transcript and tests/test_cli.py both
+    regenerate this exact file, so the console surface is diffable
+    end-to-end against the committed transcript (the reference's
+    quick-example block, README.md:53-94, is its de-facto regression
+    test — this is ours, runnable without network weights)."""
+    import json
+    from importlib import resources
+
+    hp = VitHParams(
+        hidden_size=192,
+        num_hidden_layers=12,
+        num_attention_heads=3,
+        num_classes=1000,
+        patch_size=16,
+        img_size=224,
+    )
+    names = json.loads(
+        resources.files("vit_cpp_tpu.data").joinpath("classnames.json").read_text()
+    )
+    id2label = {
+        i: (names[i] if i < len(names) else f"LABEL_{i}")
+        for i in range(hp.num_classes)
+    }
+    write_synthetic_model(path, hp, ftype=1, seed=42, id2label=id2label)
+    return hp
