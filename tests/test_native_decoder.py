@@ -170,3 +170,146 @@ def test_pil_fallback_when_native_unavailable(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", broken_import)
     img = load_image_rgb(MAGPIE)
     assert img.shape == (470, 500, 3)
+
+
+class TestExoticFormats:
+    """r3: native TGA/GIF/PSD/HDR — the remaining stb_image format
+    breadth (vit.h:5 -> stb_image.h supports them; r2 covered them only
+    via the per-file PIL fallback, and PIL cannot read HDR at all)."""
+
+    @pytest.mark.parametrize("kwargs", [{}, {"rle": True}])
+    def test_tga_matches_pil(self, tmp_path, kwargs):
+        rng = np.random.default_rng(11)
+        arr = _rand_img(rng, 37, 53)
+        p = tmp_path / "t.tga"
+        Image.fromarray(arr).save(p, **kwargs)
+        got = decoder.decode_rgb(str(p))
+        assert got is not None
+        np.testing.assert_array_equal(got, arr)
+
+    def test_tga_grayscale(self, tmp_path):
+        rng = np.random.default_rng(12)
+        g = _rand_img(rng, 21, 19)[:, :, 0]
+        p = tmp_path / "g.tga"
+        Image.fromarray(g, "L").save(p)
+        got = decoder.decode_rgb(str(p))
+        assert got is not None
+        np.testing.assert_array_equal(got, np.stack([g] * 3, axis=-1))
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_gif_matches_pil(self, tmp_path, interlace):
+        rng = np.random.default_rng(13)
+        arr = _rand_img(rng, 37, 53)
+        p = tmp_path / "t.gif"
+        Image.fromarray(arr).quantize(64).save(p, interlace=interlace)
+        want = np.asarray(Image.open(p).convert("RGB"), dtype=np.uint8)
+        got = decoder.decode_rgb(str(p))
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
+
+    @staticmethod
+    def _psd_bytes(img, compression):
+        import struct
+
+        h, w = img.shape[:2]
+        head = (
+            b"8BPS" + struct.pack(">H", 1) + b"\0" * 6
+            + struct.pack(">HIIHH", 3, h, w, 8, 3)
+            + struct.pack(">I", 0) * 3  # color data / resources / layers
+        )
+        if compression == 0:
+            data = struct.pack(">H", 0) + b"".join(
+                img[:, :, c].tobytes() for c in range(3)
+            )
+            return head + data
+
+        def packbits(row):
+            out = b""
+            i = 0
+            while i < len(row):
+                n = min(128, len(row) - i)
+                out += bytes([n - 1]) + row[i : i + n].tobytes()
+                i += n
+            return out
+
+        rows = [
+            packbits(img[y, :, c]) for c in range(3) for y in range(h)
+        ]
+        return (
+            head + struct.pack(">H", 1)
+            + b"".join(struct.pack(">H", len(r)) for r in rows)
+            + b"".join(rows)
+        )
+
+    @pytest.mark.parametrize("compression", [0, 1])
+    def test_psd(self, tmp_path, compression):
+        rng = np.random.default_rng(14)
+        arr = _rand_img(rng, 17, 29)
+        data = self._psd_bytes(arr, compression)
+        got = decoder.decode_rgb_bytes(data)
+        assert got is not None
+        np.testing.assert_array_equal(got, arr)
+        # cross-check the raw layout against PIL's PSD reader
+        p = tmp_path / "t.psd"
+        p.write_bytes(self._psd_bytes(arr, 0))
+        want = np.asarray(Image.open(p).convert("RGB"), dtype=np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+    @staticmethod
+    def _hdr_bytes(rgbe, rle):
+        h, w = rgbe.shape[:2]
+        head = (
+            b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y {h} +X {w}\n".encode()
+        )
+        if not rle:
+            return head + rgbe.tobytes()
+        out = [head]
+        for y in range(h):
+            out.append(bytes([2, 2, w >> 8, w & 0xFF]))
+            for c in range(4):
+                row = rgbe[y, :, c].tobytes()
+                i = 0
+                while i < len(row):  # literal chunks <= 128
+                    n = min(128, len(row) - i)
+                    out.append(bytes([n]) + row[i : i + n])
+                    i += n
+        return b"".join(out)
+
+    @pytest.mark.parametrize("rle", [False, True])
+    def test_hdr_tonemap(self, rle):
+        """Radiance RGBE -> LDR with stb's default tone map (linear
+        scale 1, gamma 2.2); PIL has no HDR reader, so the oracle is the
+        scalar formula itself."""
+        rng = np.random.default_rng(15)
+        h, w = 17, 29
+        vals = rng.uniform(0, 2, (h, w, 3)).astype(np.float32)
+        m = vals.max(-1)
+        nz = m >= 1e-32
+        e = np.zeros_like(m, np.int32)
+        e[nz] = np.ceil(np.log2(m[nz])).astype(np.int32) + 1
+        scale = np.where(nz, 2.0 ** (-e + 8), 0)
+        rgbe = np.zeros((h, w, 4), np.uint8)
+        rgbe[..., :3] = np.clip(vals * scale[..., None], 0, 255).astype(np.uint8)
+        rgbe[..., 3] = np.where(nz, e + 128, 0)
+        got = decoder.decode_rgb_bytes(self._hdr_bytes(rgbe, rle))
+        assert got is not None
+        f = np.ldexp(1.0, rgbe[..., 3].astype(np.int32) - 136)
+        lin = rgbe[..., :3] * f[..., None]
+        want = np.clip(np.round(np.power(lin, 1 / 2.2) * 255), 0, 255).astype(
+            np.uint8
+        )
+        want[rgbe[..., 3] == 0] = 0
+        np.testing.assert_array_equal(got, want)
+
+    def test_truncated_exotics_rejected(self):
+        rng = np.random.default_rng(16)
+        arr = _rand_img(rng, 16, 16)
+        psd = self._psd_bytes(arr, 1)
+        assert decoder.decode_rgb_bytes(psd[: len(psd) // 2]) is None
+        import io as _io
+
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="GIF")
+        gif = buf.getvalue()
+        assert decoder.decode_rgb_bytes(gif[: len(gif) // 2]) is None

@@ -41,7 +41,10 @@ def make_inputs(d: str) -> list:
             f.write(data)
         paths.append(p)
 
-    for fmt, ext in [("JPEG", "jpg"), ("PNG", "png"), ("BMP", "bmp"), ("PPM", "ppm")]:
+    for fmt, ext in [
+        ("JPEG", "jpg"), ("PNG", "png"), ("BMP", "bmp"), ("PPM", "ppm"),
+        ("TGA", "tga"), ("GIF", "gif"),
+    ]:
         buf = io.BytesIO()
         img.save(buf, format=fmt)
         data = buf.getvalue()
@@ -63,6 +66,43 @@ def make_inputs(d: str) -> list:
     put("garbage.jpg", b"\xff\xd8" + bytes(rng.integers(0, 256, 300, dtype=np.uint8)))
     put("garbage.png", b"\x89PNG\r\n\x1a\n" + bytes(rng.integers(0, 256, 300, dtype=np.uint8)))
     put("garbage.pnm", b"P6 10 10 255 short")
+    # r3 formats: PSD (raw + RLE), HDR (flat + new-RLE), their truncations
+    # and lying headers — these decoders are hand-rolled byte walkers, the
+    # exact code sanitizers exist for
+    import struct
+
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    psd_head = (
+        b"8BPS" + struct.pack(">H", 1) + b"\0" * 6
+        + struct.pack(">HIIHH", 3, h, w, 8, 3) + struct.pack(">I", 0) * 3
+    )
+    psd_raw = psd_head + struct.pack(">H", 0) + b"".join(
+        arr[:, :, c].tobytes() for c in range(3)
+    )
+    put("ok.psd", psd_raw)
+    put("trunc.psd", psd_raw[: len(psd_raw) // 2])
+    lying_psd = bytearray(psd_raw)
+    lying_psd[14:18] = (2**24).to_bytes(4, "big")  # huge height
+    put("lying.psd", bytes(lying_psd))
+    put("garbage.psd", b"8BPS" + bytes(rng.integers(0, 256, 200, dtype=np.uint8)))
+    rgbe = np.concatenate(
+        [arr, np.full((h, w, 1), 134, np.uint8)], axis=-1
+    )
+    hdr = (
+        b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+        + f"-Y {h} +X {w}\n".encode() + rgbe.tobytes()
+    )
+    put("ok.hdr", hdr)
+    put("trunc.hdr", hdr[: len(hdr) // 2])
+    put("lying.hdr", b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 99999 +X 99999\nxx")
+    put("garbage.hdr", b"#?" + bytes(rng.integers(0, 256, 200, dtype=np.uint8)))
+    # TGA RLE truncated inside a run packet + absurd header
+    buf = io.BytesIO()
+    img.save(buf, format="TGA", rle=True)
+    tga = buf.getvalue()
+    put("trunc_rle.tga", tga[: len(tga) // 2])
+    put("lying.tga", bytes([0, 0, 10]) + b"\0" * 9 + struct.pack("<HH", 60000, 60000) + bytes([24, 0]) + b"\x85\x01\x02")
     put("empty", b"")
     return paths
 

@@ -20,6 +20,7 @@
 // 3 channels forced regardless of source colorspace (stbi_load(...,3)).
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -303,6 +304,440 @@ uint8_t *decode_pnm(const uint8_t *buf, size_t len, int *w, int *h) {
     return out;
 }
 
+// Dimension sanity cap for the hand-rolled decoders: RLE/LZW formats can
+// claim arbitrary dimensions in a tiny file, and the output allocation
+// happens before the data runs out — cap total pixels (2^26 ~= 8k x 8k)
+// so a lying header cannot demand gigabytes or make a vector reserve
+// throw through the C ABI.
+constexpr size_t VN_MAX_PIXELS = size_t(1) << 26;
+
+// ----------------------------------------------------------------- TGA ----
+// Truecolor (2) / grayscale (3) and their RLE variants (10/11), 8/24/32
+// bpp, optional colormap skipped for the unmapped types. TGA has no magic;
+// the dispatcher calls this last, and the header fields are validated
+// strictly so arbitrary bytes fail cleanly (stb accepts TGA via the same
+// try-last heuristic, vit.h:5 -> stb_image.h).
+
+uint8_t *decode_tga(const uint8_t *buf, size_t len, int *w, int *h) {
+    if (len < 18) return nullptr;
+    const uint8_t id_len = buf[0];
+    const uint8_t cmap_type = buf[1];
+    const uint8_t img_type = buf[2];
+    if (cmap_type > 1) return nullptr;
+    const bool rle = img_type == 10 || img_type == 11;
+    const bool gray = img_type == 3 || img_type == 11;
+    if (img_type != 2 && img_type != 3 && img_type != 10 && img_type != 11)
+        return nullptr;  // colormapped (1/9) not supported
+    const int width = buf[12] | (buf[13] << 8);
+    const int height = buf[14] | (buf[15] << 8);
+    const uint8_t bpp = buf[16];
+    const bool top_down = (buf[17] & 0x20) != 0;
+    if (width <= 0 || height <= 0 ||
+        static_cast<size_t>(width) * height > VN_MAX_PIXELS)
+        return nullptr;
+    if (gray ? bpp != 8 : (bpp != 24 && bpp != 32)) return nullptr;
+    const int bytes = bpp / 8;
+    // skip id field + (unused) colormap spec's table
+    const uint16_t cmap_len = static_cast<uint16_t>(buf[5] | (buf[6] << 8));
+    const uint8_t cmap_bpp = buf[7];
+    size_t pos = 18 + id_len +
+                 (cmap_type ? static_cast<size_t>(cmap_len) * ((cmap_bpp + 7) / 8)
+                            : 0);
+    const size_t npix = static_cast<size_t>(width) * height;
+    uint8_t *out = static_cast<uint8_t *>(std::malloc(npix * 3));
+    if (!out) return nullptr;
+    auto put = [&](size_t i, const uint8_t *px) {
+        uint8_t *dst = out + 3 * i;
+        if (gray) {
+            dst[0] = dst[1] = dst[2] = px[0];
+        } else {  // BGR(A) -> RGB
+            dst[0] = px[2];
+            dst[1] = px[1];
+            dst[2] = px[0];
+        }
+    };
+    if (!rle) {
+        if (pos + npix * bytes > len) { std::free(out); return nullptr; }
+        for (size_t i = 0; i < npix; ++i) put(i, buf + pos + i * bytes);
+    } else {
+        size_t i = 0;
+        while (i < npix) {
+            if (pos >= len) { std::free(out); return nullptr; }
+            const uint8_t packet = buf[pos++];
+            const size_t count = (packet & 0x7F) + 1;
+            if (i + count > npix) { std::free(out); return nullptr; }
+            if (packet & 0x80) {  // run: one pixel repeated
+                if (pos + bytes > len) { std::free(out); return nullptr; }
+                for (size_t k = 0; k < count; ++k) put(i + k, buf + pos);
+                pos += bytes;
+            } else {  // literal pixels
+                if (pos + count * bytes > len) { std::free(out); return nullptr; }
+                for (size_t k = 0; k < count; ++k)
+                    put(i + k, buf + pos + k * bytes);
+                pos += count * bytes;
+            }
+            i += count;
+        }
+    }
+    if (!top_down) {  // flip rows in place (TGA default is bottom-up)
+        const size_t stride = static_cast<size_t>(width) * 3;
+        std::vector<uint8_t> tmp(stride);
+        for (int y = 0; y < height / 2; ++y) {
+            uint8_t *a = out + stride * y;
+            uint8_t *b = out + stride * (height - 1 - y);
+            std::memcpy(tmp.data(), a, stride);
+            std::memcpy(a, b, stride);
+            std::memcpy(b, tmp.data(), stride);
+        }
+    }
+    *w = width;
+    *h = height;
+    return out;
+}
+
+// ----------------------------------------------------------------- GIF ----
+// First frame of GIF87a/89a: global/local color tables, LZW, interlace.
+// Transparency composites as opaque (classification input; matches what a
+// first-frame stbi_load of an opaque GIF yields).
+
+uint8_t *decode_gif(const uint8_t *buf, size_t len, int *w, int *h) {
+    if (len < 13 || std::memcmp(buf, "GIF8", 4) != 0) return nullptr;
+    const int sw = buf[6] | (buf[7] << 8);
+    const int sh = buf[8] | (buf[9] << 8);
+    if (sw <= 0 || sh <= 0 ||
+        static_cast<size_t>(sw) * sh > VN_MAX_PIXELS)
+        return nullptr;
+    size_t pos = 13;
+    const uint8_t gflags = buf[10];
+    const uint8_t *gct = nullptr;
+    int gct_n = 0;
+    if (gflags & 0x80) {
+        gct_n = 2 << (gflags & 7);
+        if (pos + 3 * static_cast<size_t>(gct_n) > len) return nullptr;
+        gct = buf + pos;
+        pos += 3 * static_cast<size_t>(gct_n);
+    }
+    // walk blocks to the first image descriptor
+    while (pos < len && buf[pos] == 0x21) {  // extension: skip sub-blocks
+        pos += 2;
+        while (pos < len && buf[pos] != 0) {
+            pos += 1 + buf[pos];
+            if (pos > len) return nullptr;
+        }
+        ++pos;
+    }
+    if (pos + 10 > len || buf[pos] != 0x2C) return nullptr;
+    const int ix = buf[pos + 1] | (buf[pos + 2] << 8);
+    const int iy = buf[pos + 3] | (buf[pos + 4] << 8);
+    const int iw = buf[pos + 5] | (buf[pos + 6] << 8);
+    const int ih = buf[pos + 7] | (buf[pos + 8] << 8);
+    const uint8_t iflags = buf[pos + 9];
+    pos += 10;
+    if (iw <= 0 || ih <= 0 || ix + iw > sw || iy + ih > sh) return nullptr;
+    const uint8_t *ct = gct;
+    int ct_n = gct_n;
+    if (iflags & 0x80) {  // local color table
+        ct_n = 2 << (iflags & 7);
+        if (pos + 3 * static_cast<size_t>(ct_n) > len) return nullptr;
+        ct = buf + pos;
+        pos += 3 * static_cast<size_t>(ct_n);
+    }
+    if (!ct) return nullptr;
+    const bool interlaced = (iflags & 0x40) != 0;
+    if (pos >= len) return nullptr;
+    const int min_code = buf[pos++];
+    if (min_code < 1 || min_code > 11) return nullptr;
+
+    // LZW over the concatenated sub-blocks
+    const size_t npix = static_cast<size_t>(iw) * ih;
+    std::vector<uint8_t> indices;
+    indices.reserve(npix);
+    // dictionary: prefix chain + last byte per code
+    std::vector<int16_t> prefix(4096, -1);
+    std::vector<uint8_t> last(4096), first(4096);
+    const int clear = 1 << min_code;
+    const int eoi = clear + 1;
+    int next_code = eoi + 1, code_size = min_code + 1, prev = -1;
+    for (int c = 0; c < clear; ++c) {
+        last[c] = first[c] = static_cast<uint8_t>(c);
+    }
+    uint32_t bits = 0;
+    int nbits = 0;
+    size_t block_rem = 0;
+    std::vector<uint8_t> stack;
+    stack.reserve(4096);
+    bool done = false;
+    while (!done && indices.size() < npix) {
+        while (nbits < code_size) {
+            if (block_rem == 0) {
+                if (pos >= len) return nullptr;
+                block_rem = buf[pos++];
+                if (block_rem == 0) { done = true; break; }
+            }
+            if (pos >= len) return nullptr;
+            bits |= static_cast<uint32_t>(buf[pos++]) << nbits;
+            nbits += 8;
+            --block_rem;
+        }
+        if (done) break;
+        const int code = static_cast<int>(bits & ((1u << code_size) - 1));
+        bits >>= code_size;
+        nbits -= code_size;
+        if (code == clear) {
+            next_code = eoi + 1;
+            code_size = min_code + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == eoi) break;
+        if (code > next_code || (code == next_code && prev < 0)) return nullptr;
+        // expand `code` (or prev+first(prev) for the not-yet-defined code)
+        int cur = code;
+        if (code == next_code) {
+            stack.push_back(first[prev]);
+            cur = prev;
+        }
+        while (cur >= clear + 2) {  // walk the prefix chain
+            stack.push_back(last[cur]);
+            cur = prefix[cur];
+        }
+        stack.push_back(last[cur]);
+        for (size_t k = stack.size(); k-- > 0 && indices.size() < npix;)
+            indices.push_back(stack[k]);
+        stack.clear();
+        if (prev >= 0 && next_code < 4096) {
+            prefix[next_code] = static_cast<int16_t>(prev);
+            last[next_code] = first[code == next_code ? prev : code];
+            first[next_code] = first[prev];
+            if (next_code + 1 == (1 << code_size) && code_size < 12)
+                ++code_size;
+            ++next_code;
+        }
+        prev = code;
+    }
+    if (indices.size() < npix) return nullptr;
+
+    uint8_t *out = static_cast<uint8_t *>(
+        std::malloc(static_cast<size_t>(sw) * sh * 3));
+    if (!out) return nullptr;
+    std::memset(out, 0, static_cast<size_t>(sw) * sh * 3);
+    // row order: sequential or the 4 interlace passes
+    int row_of[4] = {0, 4, 2, 1}, step_of[4] = {8, 8, 4, 2};
+    size_t src_row = 0;
+    auto emit_row = [&](int y) {
+        const uint8_t *src = indices.data() + src_row * iw;
+        uint8_t *dst = out + (static_cast<size_t>(iy + y) * sw + ix) * 3;
+        for (int x = 0; x < iw; ++x) {
+            const int ci = src[x] < ct_n ? src[x] : 0;
+            dst[3 * x + 0] = ct[3 * ci + 0];
+            dst[3 * x + 1] = ct[3 * ci + 1];
+            dst[3 * x + 2] = ct[3 * ci + 2];
+        }
+        ++src_row;
+    };
+    if (interlaced) {
+        for (int p = 0; p < 4; ++p)
+            for (int y = row_of[p]; y < ih; y += step_of[p]) emit_row(y);
+    } else {
+        for (int y = 0; y < ih; ++y) emit_row(y);
+    }
+    *w = sw;
+    *h = sh;
+    return out;
+}
+
+// ----------------------------------------------------------------- PSD ----
+// 8-bit RGB composite image data (raw or PackBits RLE) — the slice of PSD
+// stb_image reads. Layers/resources are skipped; channels are planar.
+
+uint8_t *decode_psd(const uint8_t *buf, size_t len, int *w, int *h) {
+    auto rd32 = [&](size_t off) -> uint32_t {
+        return (static_cast<uint32_t>(buf[off]) << 24) |
+               (static_cast<uint32_t>(buf[off + 1]) << 16) |
+               (static_cast<uint32_t>(buf[off + 2]) << 8) |
+               static_cast<uint32_t>(buf[off + 3]);
+    };
+    auto rd16 = [&](size_t off) -> uint16_t {
+        return static_cast<uint16_t>((buf[off] << 8) | buf[off + 1]);
+    };
+    if (len < 26 + 4 || std::memcmp(buf, "8BPS", 4) != 0 || rd16(4) != 1)
+        return nullptr;
+    const int channels = rd16(12);
+    const uint32_t height = rd32(14);
+    const uint32_t width = rd32(18);
+    const int depth = rd16(22);
+    const int mode = rd16(24);
+    if (channels < 3 || channels > 16 || depth != 8 || mode != 3)
+        return nullptr;  // 8-bit RGB only
+    if (width == 0 || height == 0 ||
+        static_cast<size_t>(width) * height > VN_MAX_PIXELS)
+        return nullptr;
+    size_t pos = 26;
+    for (int sec = 0; sec < 3; ++sec) {  // color data, resources, layers
+        if (pos + 4 > len) return nullptr;
+        const uint32_t n = rd32(pos);
+        pos += 4 + n;
+        if (pos > len) return nullptr;
+    }
+    if (pos + 2 > len) return nullptr;
+    const int compression = rd16(pos);
+    pos += 2;
+    const size_t npix = static_cast<size_t>(width) * height;
+    std::vector<uint8_t> planes(npix * 3);
+    if (compression == 0) {
+        if (pos + npix * 3 > len) return nullptr;  // need the RGB planes
+        for (int c = 0; c < 3; ++c)
+            std::memcpy(planes.data() + npix * c, buf + pos + npix * c, npix);
+    } else if (compression == 1) {  // PackBits, per-row byte counts first
+        const size_t counts = static_cast<size_t>(height) * channels;
+        if (pos + counts * 2 > len) return nullptr;
+        size_t data = pos + counts * 2;
+        // rows are stored channel-major; decode first 3 channels, skip rest
+        size_t row_idx = 0;
+        for (int c = 0; c < channels; ++c) {
+            for (uint32_t y = 0; y < height; ++y, ++row_idx) {
+                const uint16_t nbytes = rd16(pos + row_idx * 2);
+                if (c >= 3) { data += nbytes; continue; }
+                const uint8_t *src = buf + data;
+                const uint8_t *end = src + nbytes;
+                if (data + nbytes > len) return nullptr;
+                uint8_t *dst = planes.data() + npix * c +
+                               static_cast<size_t>(y) * width;
+                size_t xpos = 0;
+                while (src < end && xpos < width) {
+                    const int8_t n = static_cast<int8_t>(*src++);
+                    if (n >= 0) {
+                        const size_t cnt = static_cast<size_t>(n) + 1;
+                        if (src + cnt > end || xpos + cnt > width) return nullptr;
+                        std::memcpy(dst + xpos, src, cnt);
+                        src += cnt;
+                        xpos += cnt;
+                    } else if (n != -128) {
+                        const size_t cnt = static_cast<size_t>(-n) + 1;
+                        if (src >= end || xpos + cnt > width) return nullptr;
+                        std::memset(dst + xpos, *src++, cnt);
+                        xpos += cnt;
+                    }
+                }
+                if (xpos != width) return nullptr;
+                data += nbytes;
+            }
+        }
+    } else {
+        return nullptr;
+    }
+    uint8_t *out = static_cast<uint8_t *>(std::malloc(npix * 3));
+    if (!out) return nullptr;
+    for (size_t i = 0; i < npix; ++i) {
+        out[3 * i + 0] = planes[i];
+        out[3 * i + 1] = planes[npix + i];
+        out[3 * i + 2] = planes[2 * npix + i];
+    }
+    *w = static_cast<int>(width);
+    *h = static_cast<int>(height);
+    return out;
+}
+
+// ----------------------------------------------------------------- HDR ----
+// Radiance RGBE (.hdr/.pic): header lines, "-Y h +X w" resolution, new-RLE
+// or flat scanlines; tone-mapped to LDR exactly like stb's default
+// (linear scale 1, gamma 2.2) so the forced-RGB8 contract holds.
+
+uint8_t *decode_hdr(const uint8_t *buf, size_t len, int *w, int *h) {
+    if (len < 11 || buf[0] != '#' || buf[1] != '?') return nullptr;
+    size_t pos = 0;
+    auto read_line = [&](char *line, size_t cap) -> bool {
+        size_t i = 0;
+        while (pos < len && buf[pos] != '\n') {
+            if (i + 1 < cap) line[i++] = static_cast<char>(buf[pos]);
+            ++pos;
+        }
+        if (pos >= len) return false;
+        ++pos;  // consume newline
+        line[i] = 0;
+        return true;
+    };
+    char line[256];
+    if (!read_line(line, sizeof line)) return nullptr;  // #?RADIANCE / #?RGBE
+    bool fmt_ok = false;
+    for (;;) {  // header lines until the blank separator
+        if (!read_line(line, sizeof line)) return nullptr;
+        if (line[0] == 0) break;
+        if (std::strncmp(line, "FORMAT=32-bit_rle_rgbe", 22) == 0) fmt_ok = true;
+    }
+    if (!fmt_ok) return nullptr;
+    if (!read_line(line, sizeof line)) return nullptr;  // -Y h +X w
+    int height = 0, width = 0;
+    if (std::sscanf(line, "-Y %d +X %d", &height, &width) != 2) return nullptr;
+    if (width <= 0 || height <= 0 ||
+        static_cast<size_t>(width) * height > VN_MAX_PIXELS)
+        return nullptr;
+    const size_t npix = static_cast<size_t>(width) * height;
+    uint8_t *out = static_cast<uint8_t *>(std::malloc(npix * 3));
+    if (!out) return nullptr;
+    std::vector<uint8_t> scan(static_cast<size_t>(width) * 4);
+    auto tonemap = [&](size_t i, const uint8_t *rgbe) {
+        uint8_t *dst = out + 3 * i;
+        if (rgbe[3] == 0) {
+            dst[0] = dst[1] = dst[2] = 0;
+            return;
+        }
+        const float f = std::ldexp(1.0f, rgbe[3] - (128 + 8));
+        for (int c = 0; c < 3; ++c) {
+            float v = std::pow(rgbe[c] * f, 1.0f / 2.2f) * 255.0f;
+            dst[c] = v <= 0 ? 0 : v >= 255 ? 255 : static_cast<uint8_t>(v + 0.5f);
+        }
+    };
+    for (int y = 0; y < height; ++y) {
+        if (pos + 4 > len) { std::free(out); return nullptr; }
+        const uint8_t *hdr4 = buf + pos;
+        const bool new_rle = hdr4[0] == 2 && hdr4[1] == 2 &&
+                             ((hdr4[2] << 8) | hdr4[3]) == width &&
+                             width >= 8 && width < 32768;
+        if (new_rle) {
+            pos += 4;
+            for (int c = 0; c < 4; ++c) {  // per-component RLE
+                int x = 0;
+                while (x < width) {
+                    if (pos >= len) { std::free(out); return nullptr; }
+                    int cnt = buf[pos++];
+                    if (cnt > 128) {  // run
+                        cnt -= 128;
+                        if (pos >= len || x + cnt > width) {
+                            std::free(out); return nullptr;
+                        }
+                        for (int k = 0; k < cnt; ++k)
+                            scan[static_cast<size_t>(x + k) * 4 + c] = buf[pos];
+                        ++pos;
+                    } else {  // literal
+                        if (cnt == 0 || pos + cnt > len || x + cnt > width) {
+                            std::free(out); return nullptr;
+                        }
+                        for (int k = 0; k < cnt; ++k)
+                            scan[static_cast<size_t>(x + k) * 4 + c] = buf[pos + k];
+                        pos += cnt;
+                    }
+                    x += cnt;
+                }
+            }
+            for (int x = 0; x < width; ++x)
+                tonemap(static_cast<size_t>(y) * width + x,
+                        &scan[static_cast<size_t>(x) * 4]);
+        } else {  // flat RGBE pixels
+            if (pos + static_cast<size_t>(width) * 4 > len) {
+                std::free(out); return nullptr;
+            }
+            for (int x = 0; x < width; ++x)
+                tonemap(static_cast<size_t>(y) * width + x,
+                        buf + pos + static_cast<size_t>(x) * 4);
+            pos += static_cast<size_t>(width) * 4;
+        }
+    }
+    *w = width;
+    *h = height;
+    return out;
+}
+
 uint8_t *read_file(const char *path, size_t *len) {
     FILE *f = std::fopen(path, "rb");
     if (!f) return nullptr;
@@ -334,16 +769,23 @@ uint8_t *read_file(const char *path, size_t *len) {
 
 uint8_t *vn_decode_mem(const uint8_t *buf, size_t len, int *w, int *h) {
     if (!buf || len < 4) return nullptr;
-    // dispatch on magic: JPEG SOI / PNG signature / BMP / binary PNM
+    // dispatch on magic: JPEG SOI / PNG signature / BMP / binary PNM /
+    // GIF / PSD / Radiance HDR; TGA last (no magic — strict header probe)
     if (buf[0] == 0xFF && buf[1] == 0xD8) return decode_jpeg(buf, len, w, h);
     if (buf[0] == 0x89 && buf[1] == 'P') return decode_png(buf, len, w, h);
     if (buf[0] == 'B' && buf[1] == 'M') return decode_bmp(buf, len, w, h);
     if (buf[0] == 'P' && (buf[1] == '5' || buf[1] == '6'))
         return decode_pnm(buf, len, w, h);
-    // fall through: try both (some JPEGs lack the classic prefix check)
+    if (std::memcmp(buf, "GIF8", 4) == 0) return decode_gif(buf, len, w, h);
+    if (std::memcmp(buf, "8BPS", 4) == 0) return decode_psd(buf, len, w, h);
+    if (buf[0] == '#' && buf[1] == '?') return decode_hdr(buf, len, w, h);
+    // fall through: try both (some JPEGs lack the classic prefix check),
+    // then the magic-less TGA probe
     uint8_t *out = decode_jpeg(buf, len, w, h);
     if (out) return out;
-    return decode_png(buf, len, w, h);
+    out = decode_png(buf, len, w, h);
+    if (out) return out;
+    return decode_tga(buf, len, w, h);
 }
 
 uint8_t *vn_decode_file(const char *path, int *w, int *h) {
