@@ -104,7 +104,8 @@ def main() -> int:
         "custom-VJP Pallas kernel pair)",
     )
     ap.add_argument(
-        "--train-remat", choices=["none", "dots", "full"], default="dots",
+        "--train-remat", choices=["none", "dots", "dots+attn", "full"],
+        default="dots",
         help="rematerialization for --train: none (store all activations "
         "— OOMs batch 128), dots (keep GEMM outputs; the train default), "
         "full (recompute everything)",
@@ -208,7 +209,10 @@ def main() -> int:
 
         from vit_cpp_tpu.parallel.train import TrainState, make_optimizer
 
-        remat = {"none": False, "dots": "dots", "full": True}[args.train_remat]
+        remat = {
+            "none": False, "dots": "dots",
+            "dots+attn": "dots+attn", "full": True,
+        }[args.train_remat]
 
         # training default = full layer unroll (+11% vs scan, measured);
         # --unroll N overrides for A/B probes (incl. the unroll-1 scan)

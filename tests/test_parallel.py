@@ -266,11 +266,17 @@ def test_accum_masked_loss_matches_global_mean():
     y = jnp.asarray(y, jnp.int32)
 
     opt = optax.sgd(1.0)
-    st0 = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    def fresh_state():
+        # the train steps DONATE their state (and the sharded params can
+        # alias the source tree) — each call gets its own copy
+        p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+        return TrainState(p, opt.init(p), jnp.zeros((), jnp.int32))
+
     acc_st, acc_loss = train_step_accum(
-        st0, x, y, hp, opt, 2, loss_fn=vitstr_cross_entropy_loss
+        fresh_state(), x, y, hp, opt, 2, loss_fn=vitstr_cross_entropy_loss
     )
-    ref_st, ref_loss = train_step_vitstr(st0, x, y, hp, opt)
+    ref_st, ref_loss = train_step_vitstr(fresh_state(), x, y, hp, opt)
     np.testing.assert_allclose(float(acc_loss), float(ref_loss), rtol=1e-5)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

@@ -1,0 +1,159 @@
+"""Decompose the lane-kernel attention time by stage (VERDICT r2 #1).
+
+The B/8 profile says attention runs ~1.6x over its masked-dot floor and
+blames "VPU/MXU serialization between the score and PV dots"; the
+pipelining experiment (VIT_ATTN_PIPE) measured NEUTRAL, so this measures
+where the time actually goes: a standalone replica of the production
+lane kernel (_qkv_lane_kernel's structure: w 128-lane panels, masked
+full-width dots, whole-score-block chunks) with stages individually
+disabled. Variants (same grid, same blocks, same stores):
+
+    full      score dot + exp2 softmax + PV dot + /sum   (production)
+    noexp     exp2 replaced by the clamp only            (VPU transcendental cost)
+    nosoftmax P := S (both dots + masks, no VPU pass)    (pure dot+mask floor)
+    nomask    nosoftmax minus the mask multiplies        (pure dot floor)
+    onedot    score dot only, stored directly            (half the MXU work)
+
+Run on the TPU host:
+    python tools/attn_anatomy.py --t 785 --h 768 --b 8 --w 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.append("/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, variant: str):
+    t = q_ref.shape[1]
+    nsub = 128 // d
+    scale = 1.4426950408889634 / (d**0.5)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    masks = [((lanes >= s * d) & (lanes < (s + 1) * d)) for s in range(nsub)]
+    for p0 in range(0, q_ref.shape[2], 128):
+        pp = slice(p0, p0 + 128)
+        q, k, v = q_ref[0, :, pp], k_ref[0, :, pp], v_ref[0, :, pp]
+        if variant == "nomask" or nsub == 1:
+            kms = [k] * nsub
+            vms = [v] * nsub
+        else:
+            kms = [k * m.astype(k.dtype) for m in masks]
+            vms = [v * m.astype(v.dtype) for m in masks]
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        acc = None
+        for s in range(nsub):
+            sm = jax.lax.dot_general(
+                qs, kms[s],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if variant == "onedot":
+                term = sm[:, :128]
+            else:
+                if variant == "full":
+                    p = jnp.exp2(jnp.minimum(sm, 120.0))
+                elif variant == "noexp":
+                    p = jnp.minimum(sm, 120.0)
+                else:  # nosoftmax / nomask
+                    p = sm
+                term = jax.lax.dot_general(
+                    p.astype(v.dtype), vms[s],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if variant == "full":
+                    term = term / jnp.sum(p, axis=-1, keepdims=True)
+            acc = term if acc is None else acc + term
+        o_ref[0, :, pp] = acc.astype(o_ref.dtype)
+
+
+def run_variant(qkv, variant, d, width):
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    hb = h // 128
+    wb = hb // width
+
+    def sec_spec(section):
+        return pl.BlockSpec(
+            (1, t, 128 * width),
+            lambda i, j, s=section: (i, 0, s * wb + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    f = pl.pallas_call(
+        functools.partial(_kernel, d=d, variant=variant),
+        grid=(b, wb),
+        in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
+        out_specs=pl.BlockSpec(
+            (1, t, 128 * width), lambda i, j: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, h), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )
+
+    iters = 50
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            o = f(x + (c * 1e-30).astype(x.dtype), x, x)
+            return o[0, 0, 0].astype(x.dtype), ()
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=iters)
+        return c.astype(jnp.float32)
+
+    trivial = jax.jit(lambda x: x[0, 0, 0])
+    _ = np.asarray(trivial(qkv))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = np.asarray(trivial(qkv))
+    rtt = (time.perf_counter() - t0) / 5
+    _ = np.asarray(chain(qkv))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain(qkv))
+        ts.append(time.perf_counter() - t0)
+    return (max(1e-9, float(np.median(ts)) - rtt)) / iters * 1e3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=785)
+    ap.add_argument("--h", type=int, default=768)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--w", type=int, default=3)
+    args = ap.parse_args()
+    rng = np.random.default_rng(0)
+    # q/k/v passed as the same array thrice (the production lane kernel
+    # reads three section views of one (B,T,3h) buffer; timing-equivalent)
+    qkv = jnp.asarray(
+        rng.standard_normal((args.b, args.t, 3 * args.h)), jnp.bfloat16
+    )
+    issued = 2 * 2 * 2 * args.b * args.t * args.t * args.h  # masked 2x
+    for v in ("full", "noexp", "nosoftmax", "nomask", "onedot"):
+        ms = run_variant(qkv, v, args.d, args.w)
+        flops = issued / 2 if v == "onedot" else issued
+        print(
+            f"{v:10s} {ms:7.3f} ms/call   issued-dot rate "
+            f"{flops / (ms / 1e3) / 1e12:6.1f} TFLOP/s"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

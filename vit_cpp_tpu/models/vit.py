@@ -108,6 +108,13 @@ def transformer_block(
         from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
 
         o = attention_qkv_train(qkv, nh)
+        # named for the "dots+attn" remat policy: saving this output keeps
+        # the recompute pass from RE-RUNNING the fused attention kernel
+        # (the dots policy only saves dot_general results, and the pallas
+        # custom call is not one) — identity outside jax.checkpoint
+        from jax.ad_checkpoint import checkpoint_name
+
+        o = checkpoint_name(o, "attn_out")
     else:
         qkv = qkv.reshape(b, t, 3, nh, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -152,8 +159,11 @@ def forward(
     remat=True recomputes everything; remat="dots" keeps each block's
     GEMM outputs (the expensive part of the recompute) and recomputes
     only the cheap elementwise chain (~4 GB extra residency at
-    batch 128; measured numbers in docs/TUNING.md). Inference never
-    needs either (no backward)."""
+    batch 128; measured numbers in docs/TUNING.md); remat="dots+attn"
+    additionally saves the fused attention outputs (checkpoint_name
+    "attn_out") so the recompute pass never re-enters the Pallas
+    attention kernel — (B, T, h) per layer, ~19 MB/layer at batch 64.
+    Inference never needs any of them (no backward)."""
     x = embed(params, images, hp)
 
     def body(carry, bp):
@@ -165,6 +175,14 @@ def forward(
     if remat == "dots":
         body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    elif remat == "dots+attn":
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_out"),
+            ),
         )
     elif remat:
         body = jax.checkpoint(body)

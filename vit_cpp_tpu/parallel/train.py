@@ -224,9 +224,19 @@ def create_train_state(
     where their parameters live. (A jitted init loses the propagation and
     gathers the whole optimizer state onto one device.) Scalars (step,
     Adam count) are explicitly replicated over the mesh.
+
+    The returned state OWNS its buffers: the train steps donate their
+    state argument (buffer aliasing through the adamw update), and
+    device_put can alias the caller's arrays zero-copy — without the
+    explicit copy below, the first donated step would delete the
+    caller's `params` out from under them.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    params = jax.tree.map(
+        lambda leaf: jnp.array(leaf, copy=True) if hasattr(leaf, "ndim") else leaf,
+        params,
+    )
     params = shard_params(params, mesh)
     opt_state = optimizer.init(params)
     replicated = NamedSharding(mesh, P())
