@@ -111,6 +111,11 @@ def main() -> int:
         "full (recompute everything)",
     )
     ap.add_argument(
+        "--train-mu", choices=["f32", "bf16"], default="f32",
+        help="adamw first-moment dtype for --train (bf16 halves the mu "
+        "buffer's HBM traffic in the elementwise update)",
+    )
+    ap.add_argument(
         "--train-attn", choices=["pallas-train", "xla"], default="pallas-train",
         help="attention for --train: the fused custom-VJP kernel pair "
         "(neither direction touches HBM with (B,nh,T,T) scores; the "
@@ -234,7 +239,9 @@ def main() -> int:
                 return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
             return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
 
-        optimizer = make_optimizer()
+        optimizer = make_optimizer(
+            mu_dtype=jnp.bfloat16 if args.train_mu == "bf16" else None
+        )
         state0 = TrainState(
             params=params,
             opt_state=optimizer.init(params),
@@ -370,6 +377,26 @@ def main() -> int:
         and not args.train  # the 5000 img/s target is inference-only
     )
 
+    # model footprint (the reference tables pair every latency with peak
+    # memory, README.md:190-193/247-266): weight bytes on device, plus the
+    # live HBM high-water mark when the backend reports it
+    def _leaf_bytes(leaf):
+        return leaf.size * leaf.dtype.itemsize if hasattr(leaf, "size") else 0
+
+    model_mb = sum(
+        _leaf_bytes(l)
+        for l in jax.tree.leaves(
+            chained_args[0], is_leaf=lambda x: hasattr(x, "size")
+        )
+    ) / 1e6
+    peak_mb = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            peak_mb = round(stats["peak_bytes_in_use"] / 1e6, 1)
+    except Exception:
+        pass
+
     if args.latency:
         p50_ms = dev_s / K * 1000.0
         result = {
@@ -379,6 +406,8 @@ def main() -> int:
             # reference base f16 single image: 1441 ms (BASELINE.md)
             "vs_baseline": round(1441.0 / p50_ms, 2) if flagship else None,
             "mfu": round(mfu, 4),
+            "model_mb": round(model_mb, 1),
+            "peak_hbm_mb": peak_mb,
         }
     else:
         result = {
@@ -389,6 +418,8 @@ def main() -> int:
             "vs_baseline": round(imgs_per_s / 5000.0, 3) if flagship else None,
             "mfu": round(mfu, 4),
             "gflop_per_image": round(flops_per_img / 1e9, 2),
+            "model_mb": round(model_mb, 1),
+            "peak_hbm_mb": peak_mb,
         }
     print(json.dumps(result))
     return 0

@@ -24,31 +24,45 @@ sys.path.insert(0, ".")
 REPO = os.path.dirname(os.path.abspath(os.path.dirname(__file__)))
 
 
+def _run_cli(module, model, image, extra):
+    cmd = [sys.executable, "-m", module, "-m", model, "-i", image, *extra]
+    return subprocess.run(
+        cmd,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+
 def main() -> int:
-    from vit_cpp_tpu.testing.synthetic import write_quick_example_model
+    from vit_cpp_tpu.testing.synthetic import (
+        write_quick_example_model,
+        write_quick_example_vitstr_model,
+    )
 
     with tempfile.TemporaryDirectory() as d:
         model = os.path.join(d, "vit-tiny-quick.gguf")
         write_quick_example_model(model)
-        cmd = [
-            sys.executable, "-m", "vit_cpp_tpu.cli.vit",
-            "-m", model, "-i", "assets/magpie.jpeg", "-k", "5",
-        ]
-        r = subprocess.run(
-            cmd,
-            capture_output=True,
-            text=True,
-            timeout=900,
-            cwd=REPO,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        r = _run_cli(
+            "vit_cpp_tpu.cli.vit", model, "assets/magpie.jpeg", ["-k", "5"]
         )
-    if r.returncode != 0:
-        sys.stderr.write(r.stderr)
-        return 1
-    # the model lives in a temp dir: normalize its path so the committed
-    # stdout block is deterministic (tests do the same substitution)
+        smodel = os.path.join(d, "vitstr-tiny-quick.gguf")
+        write_quick_example_vitstr_model(smodel)
+        rs = _run_cli(
+            "vit_cpp_tpu.cli.vitstr", smodel, "assets/vitstr/demo_1.png", []
+        )
+    for rr in (r, rs):
+        if rr.returncode != 0:
+            sys.stderr.write(rr.stderr)
+            return 1
+    # the models live in a temp dir: normalize the path so the committed
+    # stdout blocks are deterministic (tests do the same substitution)
     stdout = r.stdout.replace(d, "<tmp>")
     stderr = r.stderr.replace(d, "<tmp>")
+    s_stdout = rs.stdout.replace(d, "<tmp>")
+    s_stderr = rs.stderr.replace(d, "<tmp>")
     display_cmd = (
         "python -m vit_cpp_tpu.cli.vit -m vit-tiny-quick.gguf "
         "-i assets/magpie.jpeg -k 5"
@@ -77,7 +91,18 @@ def main() -> int:
             "first-run XLA compile; TPU serving numbers live in "
             "BENCH_DETAILS.json / docs/TUNING.md):\n\n```text\n"
             + stderr
-            + "```\n"
+            + "```\n\n"
+            "## ViTSTR demo (committed transcript)\n\n"
+            "The reference extension's demo surface (extensions/"
+            "vitstr.cpp/README.md:35-45) on the synthetic ViTSTR "
+            "quick-example checkpoint (`write_quick_example_vitstr_model`"
+            " — recognized text is arbitrary, the console surface is the "
+            "reference's):\n\n"
+            "```console\n$ python -m vit_cpp_tpu.cli.vitstr -m "
+            "vitstr-tiny-quick.gguf -i assets/vitstr/demo_1.png\n"
+            "```\n\nstdout (deterministic, asserted by test):\n\n"
+            "```text\n" + s_stdout + "```\n\nstderr:\n\n```text\n"
+            + s_stderr + "```\n"
         )
     print(f"wrote {out}")
     return 0

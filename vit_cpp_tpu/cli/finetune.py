@@ -54,6 +54,12 @@ def main(argv=None) -> int:
         help="train the head only (linear probe)",
     )
     ap.add_argument(
+        "--mu-dtype", choices=["f32", "bf16"], default="f32",
+        help="adamw first-moment dtype (bf16 halves that buffer's memory "
+        "and HBM traffic in the update; momentum precision cost is "
+        "negligible for fine-tuning)",
+    )
+    ap.add_argument(
         "--mesh", metavar="DPxTP", default=None,
         help="train over a multi-chip mesh, e.g. 4x2 (dp must divide batch)",
     )
@@ -103,6 +109,7 @@ def main(argv=None) -> int:
             warmup_steps=args.warmup_steps,
             grad_accum=args.grad_accum,
             clip_norm=args.clip_norm,
+            mu_dtype=args.mu_dtype,
             freeze_backbone=args.freeze_backbone,
             mesh=mesh,
             ckpt_dir=args.ckpt_dir,

@@ -268,6 +268,7 @@ def finetune(
     warmup_steps: int = 0,
     grad_accum: int = 1,
     clip_norm: float = 0.0,
+    mu_dtype: str = "f32",
     freeze_backbone: bool = False,
     mesh=None,
     ckpt_dir: Optional[str] = None,
@@ -344,6 +345,7 @@ def finetune(
         total_steps=updates_per_epoch * epochs,
         warmup_steps=warmup_steps,
         clip_norm=clip_norm,
+        mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
     )
     if freeze_backbone:
         optimizer = optax.multi_transform(
@@ -397,6 +399,7 @@ def finetune(
         "schedule": schedule,
         "warmup_steps": warmup_steps,
         "clip_norm": clip_norm,
+        "mu_dtype": mu_dtype,
         "freeze_backbone": freeze_backbone,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):

@@ -37,12 +37,16 @@ def make_optimizer(
     total_steps: int = 0,
     warmup_steps: int = 0,
     clip_norm: float = 0.0,
+    mu_dtype=None,
 ):
     """adamw with an optional cosine decay + linear warmup.
 
     `schedule="cosine"` needs `total_steps` (optimizer updates over the
     whole run); warmup ramps 0 -> lr over `warmup_steps`; `clip_norm` > 0
-    clips the global gradient norm before the update."""
+    clips the global gradient norm before the update. `mu_dtype` (e.g.
+    jnp.bfloat16) halves the first-moment buffer — the adamw update is
+    HBM-bound elementwise traffic, so this trades a little momentum
+    precision for one fewer full-width moment read+write per step."""
     if schedule == "const":
         if warmup_steps:
             lr = optax.linear_schedule(0.0, lr, warmup_steps)
@@ -57,7 +61,7 @@ def make_optimizer(
         )
     else:
         raise ValueError(f"schedule must be const|cosine, got {schedule!r}")
-    opt = optax.adamw(lr, weight_decay=weight_decay)
+    opt = optax.adamw(lr, weight_decay=weight_decay, mu_dtype=mu_dtype)
     if clip_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     return opt
