@@ -30,7 +30,7 @@ def _run_cli(module, model, image, extra):
         cmd,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=2400,
         cwd=REPO,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )

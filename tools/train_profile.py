@@ -154,6 +154,29 @@ def main() -> int:
     _ = np.asarray(full_chain(state0, images))
     results["full_step_ms"] = _timed(full_chain, (state0, images), rtt) / K * 1e3
 
+    # production-shaped loop: K donated train_step calls (parallel/train.py
+    # — the finetune loop's actual dispatch pattern, buffers aliased via
+    # donate_argnums) with one fetch at the end; dispatches pipeline
+    # through the tunnel, so wall-time/K tracks device time. Separates the
+    # scan-carried chain's state-copy overhead from the real update cost.
+    from vit_cpp_tpu.parallel.train import train_step
+
+    def loop_steps(n):
+        s = TrainState(
+            params=jax.tree.map(lambda a: jnp.array(a, copy=True), params),
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        loss = None
+        for _ in range(n):
+            s, loss = train_step(s, images, labels, hp, optimizer)
+        return float(loss)
+
+    loop_steps(2)  # compile + warm
+    t0 = time.perf_counter()
+    loop_steps(K)
+    results["loop_step_ms"] = (time.perf_counter() - t0 - rtt) / K * 1e3
+
     results["adamw_ms"] = results["full_step_ms"] - results["grad_dots_ms"]
     results["backward_ms"] = results["grad_dots_ms"] - results["forward_ms"]
     if results.get("grad_noremat_ms"):

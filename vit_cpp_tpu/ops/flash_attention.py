@@ -332,11 +332,16 @@ def _attention_qkv_lane(
     # (est 14.7 MB) and would OOM Mosaic's scoped VMEM. Split qc into
     # balanced ceil-chunks until the estimate fits; if even qc=64 cannot
     # fit (block+masked terms dominate), signal the caller to fall back.
-    while est(width) > 13_000_000 and qc > 64:
-        n = -(-t // qc) + 1  # one more balanced chunk
-        qc = -(-t // n)
-    if est(width) > 13_000_000:
-        return None
+    # An explicit VIT_ATTN_QC override is honored verbatim (sweeps must
+    # measure the chunk they claim; Mosaic errors loudly if it can't fit).
+    import os as _os
+
+    if not _os.environ.get("VIT_ATTN_QC"):
+        while est(width) > 13_000_000 and qc > 64:
+            n = -(-t // qc) + 1  # one more balanced chunk
+            qc = -(-t // n)
+        if est(width) > 13_000_000:
+            return None
     wb = hb // width  # blocks per section
 
     def sec_spec(section):
