@@ -53,9 +53,8 @@ def rate(m, k, n, batch3d=None):
             )
             o = o.astype(jnp.float32) * scale
             # next iteration's int8 carry depends on this output
-            return (o[..., :1, :1] % 2).astype(jnp.int8).reshape(
-                (1,) * a.ndim
-            ), ()
+            dep = o.reshape(-1)[0] % 2
+            return dep.astype(jnp.int8).reshape((1,) * a.ndim), ()
 
         c, _ = jax.lax.scan(
             body, jnp.zeros((1,) * a.ndim, jnp.int8), None, length=ITERS
