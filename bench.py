@@ -105,9 +105,10 @@ def main() -> int:
     )
     ap.add_argument(
         "--train-remat", choices=["none", "dots", "dots+attn", "full"],
-        default="dots",
+        default="dots+attn",
         help="rematerialization for --train: none (store all activations "
-        "— OOMs batch 128), dots (keep GEMM outputs; the train default), "
+        "— OOMs batch 128), dots (keep GEMM outputs), dots+attn (also "
+        "keep the fused attention outputs; the measured train default), "
         "full (recompute everything)",
     )
     ap.add_argument(

@@ -98,14 +98,20 @@ def main() -> int:
                 l, g = jax.value_and_grad(
                     lambda q: loss_fn(q, x, labels, remat=remat)
                 )(carry)
-                # serial dependency via a runtime-zero cls_token
-                # perturbation derived from the gradient (bench.py method)
+                # serial dependency through EVERY grad leaf — depending on
+                # g["cls_token"] alone lets XLA dead-code-eliminate the
+                # weight-gradient dots (dW = act^T dY feeds nothing else),
+                # which understates the backward and overstates adamw in
+                # the full-minus-grad difference. The reduces add ~0.5 GB
+                # of reads (~0.7 ms) — billed to the backward, noted.
+                dep = sum(
+                    jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(g)
+                )
                 nxt = dict(
                     carry,
                     cls_token=carry["cls_token"]
-                    + (jnp.sum(g["cls_token"]) * 1e-30).astype(
-                        carry["cls_token"].dtype
-                    ),
+                    + (dep * 1e-30).astype(carry["cls_token"].dtype),
                 )
                 return nxt, l
 

@@ -70,10 +70,12 @@ def make_optimizer(
 def cross_entropy_loss(
     params, images, labels, hp: VitHParams
 ) -> jax.Array:
-    # remat="dots": recompute the blocks' elementwise chain in the
-    # backward pass but keep their GEMM outputs — ViT-B/16 batch-128
-    # training OOMs a 16 GB v5e with no remat (23.5 GB of stored
-    # activations), and full remat pays a 4th forward of FLOPs.
+    # remat="dots+attn": keep each block's GEMM outputs AND the fused
+    # attention outputs — ViT-B/16 batch-128 training OOMs a 16 GB v5e
+    # with no remat (23.5 GB of stored activations), full remat pays a
+    # 4th forward, and plain "dots" re-runs the Pallas attention kernel
+    # in the recompute pass (saving its (B, T, h) output instead measured
+    # +3.1%: 1,174.5 vs 1,139.5 img/s at batch 64, r3).
     # Full layer unroll: the backward of a scanned graph spends
     # ~12-15 ms/step on dynamic-slice reads of stacked params and
     # dynamic-update-slice writes of stacked grads; unrolling removes the
@@ -87,7 +89,7 @@ def cross_entropy_loss(
         images,
         hp,
         attn_impl="pallas-train",
-        remat="dots",
+        remat="dots+attn",
         unroll=hp.num_hidden_layers,
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -108,7 +110,7 @@ def vitstr_cross_entropy_loss(
         images,
         hp,
         attn_impl="pallas-train",
-        remat="dots",
+        remat="dots+attn",
         unroll=hp.num_hidden_layers,
     )  # (B, S, V)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
