@@ -466,3 +466,57 @@ class TestLaneVmemPlan:
         assert fa._attention_qkv_lane(big, 12, False, True) is None
         out = attention_qkv(big, 12, fast=False, group=0)
         assert out.shape == (1, 4096, 768)
+
+
+class TestPaddedTokens:
+    """forward(pad_tokens=True): activations at a sublane-aligned T with
+    key-masked attention must match the unpadded forward exactly — the
+    pad rows are garbage-but-unread and their keys carry zero softmax
+    weight (r3: +10% int8 GEMM rate from aligned row groups)."""
+
+    @pytest.mark.parametrize(
+        "h,nh,group",
+        [
+            (128, 2, 1),   # d=64: masked-pair kernel
+            (256, 8, 1),   # d=32: full-block carve kernel
+            (256, 8, 0),   # d=32 lane-block dispatch (group=0)
+        ],
+    )
+    def test_padded_matches_unpadded(self, h, nh, group, monkeypatch):
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models import params_from_state_dict
+        from vit_cpp_tpu.models.vit import forward
+        from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+        if group == 0:
+            monkeypatch.setenv("VIT_ATTN_GROUP", "0")
+        hp = VitHParams(
+            hidden_size=h, num_hidden_layers=2, num_attention_heads=nh,
+            num_classes=8, patch_size=8, img_size=40,  # T = 26 -> pads to 32
+        )
+        params = params_from_state_dict(random_state_dict(hp, seed=0), hp)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 3, 40, 40)),
+            jnp.float32,
+        )
+        for impl in ("pallas", "pallas-fast"):
+            a = forward(params, x, hp, attn_impl=impl)
+            b = forward(params, x, hp, attn_impl=impl, pad_tokens=True)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
+
+    def test_pad_tokens_rejects_non_pallas(self):
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models import params_from_state_dict
+        from vit_cpp_tpu.models.vit import forward
+        from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+        hp = VitHParams(
+            hidden_size=64, num_hidden_layers=1, num_attention_heads=2,
+            num_classes=4, patch_size=8, img_size=40,
+        )
+        params = params_from_state_dict(random_state_dict(hp, seed=1), hp)
+        x = jnp.zeros((1, 3, 40, 40), jnp.float32)
+        with pytest.raises(ValueError, match="pad_tokens requires"):
+            forward(params, x, hp, attn_impl="xla", pad_tokens=True)

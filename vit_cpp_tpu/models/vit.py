@@ -81,6 +81,7 @@ def transformer_block(
     attn_impl: str,
     mm_impl: str,
     tap=None,
+    kv: int | None = None,
 ) -> jax.Array:
     """One encoder block. `tap(name, array)`, when given, observes every
     matmul input ('qkv_in'/'proj_in'/'fc1_in'/'fc2_in') — used by the
@@ -101,7 +102,7 @@ def transformer_block(
         # "pallas-fast" additionally skips the softmax max-subtract
         from vit_cpp_tpu.ops.flash_attention import attention_qkv
 
-        o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast")
+        o = attention_qkv(qkv, nh, fast=attn_impl == "pallas-fast", kv=kv)
     elif attn_impl == "pallas-train":
         # differentiable fused kernel (custom_vjp): forward = the serving
         # kernel, backward recomputes scores in VMEM — the training path
@@ -144,6 +145,7 @@ def forward(
     mm_impl: str = "xla",
     unroll: int = 1,
     remat: bool = False,
+    pad_tokens: bool = False,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
 
@@ -163,12 +165,39 @@ def forward(
     additionally saves the fused attention outputs (checkpoint_name
     "attn_out") so the recompute pass never re-enters the Pallas
     attention kernel — (B, T, h) per layer, ~19 MB/layer at batch 64.
-    Inference never needs any of them (no backward)."""
+    Inference never needs any of them (no backward).
+
+    `pad_tokens=True` (serving-only; requires a fused pallas attention)
+    zero-pads the token axis to a multiple of 8 after the embed: every
+    GEMM then runs with sublane-aligned row groups (measured +10% int8
+    rate on the K=768 contractions at T=197 -> 200,
+    tools/probe_int8_shapes.py) and only attention — the network's one
+    cross-token op — needs to know, via a key mask that zeroes the pad
+    tokens' softmax weights. The pad rows carry deterministic garbage
+    (LN of zeros = bias) that nothing reads: the head pools row 0 /
+    the first seq_len rows."""
     x = embed(params, images, hp)
+    kv = None
+    if pad_tokens:
+        if attn_impl not in ("pallas", "pallas-fast"):
+            raise ValueError(
+                "pad_tokens requires a fused pallas attention (the XLA "
+                "and training paths run unpadded)"
+            )
+        t = x.shape[1]
+        tp = -(-t // 8) * 8
+        if tp != t:
+            kv = t
+            x = jnp.concatenate(
+                [x, jnp.zeros((x.shape[0], tp - t, x.shape[2]), x.dtype)],
+                axis=1,
+            )
 
     def body(carry, bp):
         return (
-            transformer_block(carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl),
+            transformer_block(
+                carry, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl, kv=kv
+            ),
             None,
         )
 

@@ -72,28 +72,48 @@ def _pipe_enabled() -> bool:
     return _os.environ.get("VIT_ATTN_PIPE", "0") != "0"
 
 
-def _attention_qkv_xla(qkv, num_heads: int):
+def _key_mask(t: int, kv: int | None):
+    """(1, t) f32 0/1 key-column mask for token-padded serving; None when
+    every key is real (the default — zero extra VPU work)."""
+    if kv is None or kv >= t:
+        return None
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    return (lanes < kv).astype(jnp.float32)
+
+
+def _attention_qkv_xla(qkv, num_heads: int, kv: int | None = None):
     """Composed-XLA fallback for geometries no fused kernel shape fits
     (e.g. f32 safe-softmax at T=785, where even qc=64 lane chunks exceed
-    scoped VMEM — ADVICE r2 medium)."""
+    scoped VMEM — ADVICE r2 medium). Token-padded inputs (kv < T) run the
+    real rows and zero-fill the pad rows' outputs."""
     from vit_cpp_tpu.ops.core import attention
 
     b, t, three_h = qkv.shape
     h = three_h // 3
     d = h // num_heads
+    if kv is not None and kv < t:
+        o = _attention_qkv_xla(qkv[:, :kv], num_heads)
+        return jnp.concatenate(
+            [o, jnp.zeros((b, t - kv, h), qkv.dtype)], axis=1
+        )
     qkv_s = qkv.reshape(b, t, 3, num_heads, d)
     q, k, v = (qkv_s[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
     o = attention(q, k, v, impl="xla")
     return o.transpose(0, 2, 1, 3).reshape(b, t, h)
 
 
-def _sdpa(q, k, v, out_dtype, fast: bool = False):
+def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None):
     """(T, D) f-dim attention math shared by both kernels; f32 softmax.
 
     The 1/sqrt(D) scale is folded into Q (T x D elements) rather than the
     (T x T) score matrix — same math, ~T/D fewer VPU multiplies — together
     with log2(e), so the softmax runs on the VPU's native exp2 without the
     per-element ln2 rescale inside exp.
+
+    `kmask` (1, T) f32 0/1 zeroes PAD key columns (token-padded serving:
+    activations run at a sublane-aligned T so the GEMMs hit their best
+    MXU rate, and attention ignores the pad tokens here — the only
+    cross-token op in the network).
     """
     scale = 1.4426950408889634 / (q.shape[-1] ** 0.5)  # log2(e)/sqrt(D)
     s = jax.lax.dot_general(
@@ -119,6 +139,8 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False):
     else:
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
+    if kmask is not None:
+        p = p * kmask  # pad keys contribute exactly zero weight
     l = jnp.sum(p, axis=-1, keepdims=True)
     # normalize AFTER the PV matmul: divides (T, D) instead of (T, T)
     o = jax.lax.dot_general(
@@ -130,7 +152,10 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False):
     return (o / l).astype(out_dtype)
 
 
-def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
+def _qkv_kernel(
+    x_ref, o_ref, *, nh: int, group: int, fast: bool = False,
+    kv: int | None = None,
+):
     """`group` batch elements per grid step: x is (G, T, 3h) — [q|k|v] x
     heads on the feature axis (timm fused-QKV order); writes all heads of
     the (G, T, h) output.
@@ -150,6 +175,7 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
     # the (qc, T) score workspace stays inside scoped VMEM; K/V always fit
     # whole, so no online-softmax rescaling is ever needed.
     qc = _query_chunk(t)
+    kmask = _key_mask(t, kv)
     for g in range(group):
         x = x_ref[g]
         for i in range(nh):
@@ -159,13 +185,13 @@ def _qkv_kernel(x_ref, o_ref, *, nh: int, group: int, fast: bool = False):
                 q1 = min(q0 + qc, t)
                 q = x[q0:q1, i * d : (i + 1) * d]
                 o_ref[g, q0:q1, i * d : (i + 1) * d] = _sdpa(
-                    q, k, v, o_ref.dtype, fast=fast
+                    q, k, v, o_ref.dtype, fast=fast, kmask=kmask
                 )
 
 
 def _qkv_lane_kernel(
     q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool,
-    qc: int | None = None, pipe: bool = False,
+    qc: int | None = None, pipe: bool = False, kv: int | None = None,
 ):
     """Lane-block variant: refs are (1, T, w*128) lane blocks of the fused
     projection — w 128-lane panels, 128//d heads per panel. Smaller blocks
@@ -233,12 +259,16 @@ def _qkv_lane_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    kmask = _key_mask(t, kv)
+
     def finish(it, sm):
         key, (q0, q1, pp), last, _, _, vm = it
         if fast:
             p = jnp.exp2(jnp.minimum(sm, 120.0))
         else:
             p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
+        if kmask is not None:
+            p = p * kmask
         term = jax.lax.dot_general(
             p.astype(vm.dtype), vm,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -267,6 +297,7 @@ def _qkv_lane_kernel(
 def _attention_qkv_lane(
     qkv, num_heads, fast, interpret,
     width: int | None = None, pipe: bool | None = None,
+    kv: int | None = None,
 ):
     b, t, three_h = qkv.shape
     h = three_h // 3
@@ -353,7 +384,8 @@ def _attention_qkv_lane(
 
     return pl.pallas_call(
         functools.partial(
-            _qkv_lane_kernel, d=h // num_heads, fast=fast, qc=qc, pipe=pipe
+            _qkv_lane_kernel, d=h // num_heads, fast=fast, qc=qc, pipe=pipe,
+            kv=kv,
         ),
         grid=(b, wb),
         in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
@@ -372,7 +404,9 @@ def _attention_qkv_lane(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "group", "fast", "pair", "interpret", "pipe"),
+    static_argnames=(
+        "num_heads", "group", "fast", "pair", "interpret", "pipe", "kv"
+    ),
 )
 def attention_qkv(
     qkv: jax.Array,
@@ -383,8 +417,14 @@ def attention_qkv(
     pair: bool | None = None,
     interpret: bool | None = None,
     pipe: bool | None = None,
+    kv: int | None = None,
 ) -> jax.Array:
-    """(B, T, 3h) fused-projection output -> (B, T, h) attention output."""
+    """(B, T, 3h) fused-projection output -> (B, T, h) attention output.
+
+    `kv` (static): number of REAL tokens when the caller runs activations
+    at a padded, sublane-aligned T (forward(pad_tokens=True)); the
+    kernels zero the pad keys' softmax weights, the pad rows' outputs
+    are garbage-but-unread."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pipe is None:
@@ -429,13 +469,15 @@ def attention_qkv(
     limit = (4.5 if pair else 2) * 1024 * 1024
     big = t * three_h * qkv.dtype.itemsize > limit
     if lane_ok and (group == 0 or big):
-        out = _attention_qkv_lane(qkv, num_heads, fast, interpret, pipe=pipe)
+        out = _attention_qkv_lane(
+            qkv, num_heads, fast, interpret, pipe=pipe, kv=kv
+        )
         if out is not None:
             return out
-        return _attention_qkv_xla(qkv, num_heads)
+        return _attention_qkv_xla(qkv, num_heads, kv=kv)
     if pair:
         kern = functools.partial(
-            _qkv_pair_kernel, nh=num_heads, fast=fast, pipe=pipe
+            _qkv_pair_kernel, nh=num_heads, fast=fast, pipe=pipe, kv=kv
         )
         group = 1
     else:
@@ -443,7 +485,7 @@ def attention_qkv(
         while b % group:
             group -= 1
         kern = functools.partial(
-            _qkv_kernel, nh=num_heads, group=group, fast=fast
+            _qkv_kernel, nh=num_heads, group=group, fast=fast, kv=kv
         )
     out = pl.pallas_call(
         kern,
@@ -472,7 +514,10 @@ def attention_qkv(
     return out
 
 
-def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False):
+def _qkv_pair_kernel(
+    x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False,
+    kv: int | None = None,
+):
     """Masked head-pair variant of _qkv_kernel for head_dim == 64.
 
     Every 64-lane head carve in _qkv_kernel at an odd multiple of 64 costs
@@ -534,9 +579,13 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False):
         _, _, _, qp, k_lo, k_hi, _, _ = it
         return raw_scores(qp, k_lo), raw_scores(qp, k_hi)
 
+    kmask = _key_mask(t, kv)
+
     def finish(it, s_pair):
         i, q0, q1, _, _, _, v_lo, v_hi = it
         p_lo, p_hi = softmax(s_pair[0]), softmax(s_pair[1])
+        if kmask is not None:
+            p_lo, p_hi = p_lo * kmask, p_hi * kmask
         l_lo = jnp.sum(p_lo, axis=-1, keepdims=True)
         l_hi = jnp.sum(p_hi, axis=-1, keepdims=True)
         # normalize AFTER PV, on (qc, 128) instead of (qc, T); the
@@ -574,7 +623,7 @@ def _qkv_pair_kernel(x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False):
             q1 = min(q0 + qc, t)
             q = x[q0:q1, i * d : (i + 1) * d]
             o_ref[0, q0:q1, i * d : (i + 1) * d] = _sdpa(
-                q, k, v, o_ref.dtype, fast=fast
+                q, k, v, o_ref.dtype, fast=fast, kmask=kmask
             )
 
 
