@@ -62,6 +62,14 @@ CONFIGS = [
         "latency_q8_0_w8a8",
         ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
+    # latency-critical deployment config: static act scales delete the
+    # per-GEMM absmax reduces that can't amortize at batch 1 (r3: 0.340
+    # vs 0.357-0.367 ms)
+    (
+        "latency_q8_0_w8a8_static",
+        ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn",
+         "pallas-fast", "--act", "static"],
+    ),
     # the .vitx AOT artifact path (deserialized jax.export program) on the
     # flagship config — must match q8_0_w8a8 within chip variance
     (
@@ -69,7 +77,7 @@ CONFIGS = [
         ["--aot", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
     # fine-tune train-step throughput (fwd+bwd+adamw; custom-VJP
-    # attention + dots remat + full layer unroll, batch 64 — the
+    # attention + dots+attn remat + full layer unroll, batch 64 — the
     # measured peak, docs/TUNING.md training section)
     ("train_bf16_bs64", ["--train", "--chain", "10", "--batch", "64"]),
 ]
