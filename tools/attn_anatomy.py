@@ -11,6 +11,7 @@ disabled. Variants (same grid, same blocks, same stores):
     full      score dot + exp2 softmax + PV dot + /sum   (production)
     noexp     exp2 replaced by the clamp only            (VPU transcendental cost)
     nosoftmax P := S (both dots + masks, no VPU pass)    (pure dot+mask floor)
+    noclamp   exp2 kept, clamp and /sum skipped          (exp2-itself cost)
     nomask    nosoftmax minus the mask multiplies        (pure dot floor)
     onedot    score dot only, stored directly            (half the MXU work)
 
@@ -62,6 +63,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, variant: str):
             else:
                 if variant == "full":
                     p = jnp.exp2(jnp.minimum(sm, 120.0))
+                elif variant == "noclamp":
+                    p = jnp.exp2(sm)  # exp2 kept, min pass skipped, no /sum
                 elif variant == "noexp":
                     p = jnp.minimum(sm, 120.0)
                 else:  # nosoftmax / nomask
@@ -145,7 +148,7 @@ def main() -> int:
         rng.standard_normal((args.b, args.t, 3 * args.h)), jnp.bfloat16
     )
     issued = 2 * 2 * 2 * args.b * args.t * args.t * args.h  # masked 2x
-    for v in ("full", "noexp", "nosoftmax", "nomask", "onedot"):
+    for v in ("full", "noclamp", "noexp", "nosoftmax", "nomask", "onedot"):
         ms = run_variant(qkv, v, args.d, args.w)
         flops = issued / 2 if v == "onedot" else issued
         print(
