@@ -435,6 +435,114 @@ class TestPipelinedKernels:
             np.testing.assert_array_equal(np.asarray(seq), np.asarray(pip))
 
 
+class TestMxuSumKernels:
+    """VIT_ATTN_MXUSUM / mxusum=True: the softmax row-sum rides the PV
+    dot — a ones column in a dead (masked-out) lane of each V copy makes
+    the MXU emit sum_j p_ij alongside PV, deleting the (qc, T) VPU sum
+    reduce (the costliest softmax stage in the B/8 anatomy). Numerically
+    a reassociated f32 sum vs the VPU reduce — not bit-exact, but the
+    same error scale; these tests bound it against the carve kernel."""
+
+    @pytest.mark.parametrize(
+        "t,h,nh", [(197, 768, 12), (50, 192, 3)]  # even pairs / odd tail
+    )
+    def test_pair_mxusum_matches_carve(self, t, h, nh):
+        rng = np.random.default_rng(23)
+        qkv = jnp.asarray(rng.standard_normal((2, t, 3 * h)), jnp.float32)
+        for fast in (False, True):
+            ref = attention_qkv(qkv, nh, fast=fast, pair=False, group=1)
+            got = attention_qkv(qkv, nh, fast=fast, pair=True, mxusum=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
+            )
+
+    @pytest.mark.parametrize(
+        "t,h,nh",
+        [
+            (785, 768, 12),  # B/8: the geometry the sum pass dominates
+            (197, 768, 12),
+            (64, 256, 8),  # d=32: four masked heads per block
+            (64, 256, 2),  # d=128: no dead lane -> mxusum self-disables
+        ],
+    )
+    def test_lane_mxusum_matches_carve(self, t, h, nh):
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(29)
+        qkv = jnp.asarray(rng.standard_normal((1, t, 3 * h)), jnp.float32)
+        for fast in (False, True):
+            ref = attention_qkv(qkv, nh, fast=fast, pair=False, group=1)
+            got = _attention_qkv_lane(qkv, nh, fast, True, mxusum=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
+            )
+
+    def test_lane_mxusum_with_key_mask(self):
+        # token-padded serving: pad keys must still carry zero weight and
+        # the MXU-carried sum must cover only the real keys
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(31)
+        t, kv, h, nh = 200, 197, 768, 12
+        qkv = np.zeros((1, t, 3 * h), np.float32)
+        qkv[:, :kv] = rng.standard_normal((1, kv, 3 * h))
+        qkv = jnp.asarray(qkv)
+        ref = attention_qkv(qkv[:, :kv], nh, fast=True, pair=False, group=1)
+        got = _attention_qkv_lane(qkv, nh, True, True, kv=kv, mxusum=True)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :kv], np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+
+class TestBf16ExpKernels:
+    """VIT_ATTN_BF16EXP / bf16exp=True: the clamped (fast) or
+    max-subtracted (safe) scores downcast to bf16 BEFORE exp2, so every
+    remaining VPU pass over the (qc, T) workspace runs 2x-packed; the
+    row-sum accumulates f32. NOT bit-exact — softmax weights round to
+    bf16 (~2^-9 relative), which bounds the attention output (a convex
+    combination of V rows) at ~|V|*2^-8. These tests pin that bound
+    against the f32-softmax carve kernel."""
+
+    ATOL = 3e-2  # |V| ~ N(0,1), T up to 785: measured max err ~1e-2
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_pair_bf16exp_error_bounded(self, fast):
+        rng = np.random.default_rng(37)
+        qkv = jnp.asarray(rng.standard_normal((2, 197, 3 * 768)), jnp.float32)
+        ref = attention_qkv(qkv, 12, fast=fast, pair=False, group=1)
+        got = attention_qkv(qkv, 12, fast=fast, pair=True, bf16exp=True)
+        err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+        assert err < self.ATOL, err
+        assert err > 1e-6  # sanity: the knob actually engaged
+
+    @pytest.mark.parametrize(
+        "t,h,nh", [(785, 768, 12), (64, 256, 8)]  # B/8 geometry / d=32
+    )
+    def test_lane_bf16exp_error_bounded(self, t, h, nh):
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(41)
+        qkv = jnp.asarray(rng.standard_normal((1, t, 3 * h)), jnp.float32)
+        for fast in (False, True):
+            ref = attention_qkv(qkv, nh, fast=fast, pair=False, group=1)
+            got = _attention_qkv_lane(qkv, nh, fast, True, bf16exp=True)
+            err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+            assert err < self.ATOL, (fast, err)
+
+    def test_lane_bf16exp_composes_with_mxusum(self):
+        # both knobs together: sum rides the PV dot on bf16 weights
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_lane
+
+        rng = np.random.default_rng(43)
+        qkv = jnp.asarray(rng.standard_normal((1, 197, 3 * 768)), jnp.float32)
+        ref = attention_qkv(qkv, 12, fast=True, pair=False, group=1)
+        got = _attention_qkv_lane(
+            qkv, 12, True, True, bf16exp=True, mxusum=True
+        )
+        err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+        assert err < self.ATOL, err
+
+
 class TestLaneVmemPlan:
     """ADVICE r2 medium: the f32 safe-softmax lane forward at T=785 sized
     the whole (785, 785) score workspace (est 14.7 MB > the 13 MB

@@ -14,6 +14,19 @@ disabled. Variants (same grid, same blocks, same stores):
     noclamp   exp2 kept, clamp and /sum skipped          (exp2-itself cost)
     nomask    nosoftmax minus the mask multiplies        (pure dot floor)
     onedot    score dot only, stored directly            (half the MXU work)
+    mxusum    full, but the softmax row-sum rides the PV dot: a ones
+              column planted in a DEAD (masked-out) lane of the V copy
+              makes the MXU produce sum_j p_ij alongside PV, deleting
+              the (T, T) VPU sum pass; the (T, 128) result is divided
+              by its dead-lane column and the residue masked off
+    bf16exp   full, but exp2 runs on bf16 scores (clamp + downcast
+              first); row-sum still accumulates f32 — the parked
+              "halve the VPU passes" lever from the r3 anatomy
+
+(A "bf16score" variant — the score dot EMITTING bf16 so the whole
+(T, T) workspace halves — is unimplementable: Mosaic requires 32-bit
+matmul accumulators ('tpu.matmul op Expected matmul acc to be 32-bit'),
+so bf16exp's downcast-after-f32-dot is the narrowest legal form.)
 
 Run on the TPU host:
     python tools/attn_anatomy.py --t 785 --h 768 --b 8 --w 3
@@ -50,6 +63,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, variant: str):
         else:
             kms = [k * m.astype(k.dtype) for m in masks]
             vms = [v * m.astype(v.dtype) for m in masks]
+        if variant == "mxusum" and nsub > 1:
+            deads = [((s + 1) * d) % 128 for s in range(nsub)]
+            vms = [
+                vm + (lanes == dd).astype(vm.dtype)
+                for vm, dd in zip(vms, deads)
+            ]
         qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
         acc = None
         for s in range(nsub):
@@ -61,8 +80,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, variant: str):
             if variant == "onedot":
                 term = sm[:, :128]
             else:
-                if variant == "full":
+                if variant in ("full", "mxusum"):
                     p = jnp.exp2(jnp.minimum(sm, 120.0))
+                elif variant == "bf16exp":
+                    p = jnp.exp2(
+                        jnp.minimum(sm, 120.0).astype(jnp.bfloat16)
+                    )
                 elif variant == "noclamp":
                     p = jnp.exp2(sm)  # exp2 kept, min pass skipped, no /sum
                 elif variant == "noexp":
@@ -76,6 +99,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, variant: str):
                 )
                 if variant == "full":
                     term = term / jnp.sum(p, axis=-1, keepdims=True)
+                elif variant == "bf16exp":
+                    term = term / jnp.sum(
+                        p, axis=-1, keepdims=True, dtype=jnp.float32
+                    )
+                elif variant == "mxusum" and nsub > 1:
+                    dd = deads[s]
+                    term = (term / term[:, dd : dd + 1]) * masks[s].astype(
+                        jnp.float32
+                    )
             acc = term if acc is None else acc + term
         o_ref[0, :, pp] = acc.astype(o_ref.dtype)
 
@@ -148,7 +180,10 @@ def main() -> int:
         rng.standard_normal((args.b, args.t, 3 * args.h)), jnp.bfloat16
     )
     issued = 2 * 2 * 2 * args.b * args.t * args.t * args.h  # masked 2x
-    for v in ("full", "noclamp", "noexp", "nosoftmax", "nomask", "onedot"):
+    for v in (
+        "full", "mxusum", "bf16exp",
+        "noclamp", "noexp", "nosoftmax", "nomask", "onedot",
+    ):
         ms = run_variant(qkv, v, args.d, args.w)
         flops = issued / 2 if v == "onedot" else issued
         print(

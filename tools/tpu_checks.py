@@ -88,6 +88,33 @@ def check_pipe_and_f32_lane():
         "f32 safe lane T=785 max err:",
         float(jnp.max(jnp.abs(got - ref))),
     )
+    # (c) MXU-carried row-sum (mxusum): reassociated f32 sum, not
+    # bit-exact — bound it at the kernels' own bf16 rounding scale
+    a = attention_qkv(flat, 12, fast=True, pair=True, mxusum=False)
+    b = attention_qkv(flat, 12, fast=True, pair=True, mxusum=True)
+    print(
+        "pair mxusum-vs-sum max err:",
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+    )
+    a = attention_qkv(lane, 12, fast=True, group=0, mxusum=False)
+    b = attention_qkv(lane, 12, fast=True, group=0, mxusum=True)
+    print(
+        "lane mxusum-vs-sum max err:",
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+    )
+    # (d) bf16 softmax weights (bf16exp): bounded ~|V|*2^-8, not bit-exact
+    a = attention_qkv(flat, 12, fast=True, pair=True, bf16exp=False)
+    b = attention_qkv(flat, 12, fast=True, pair=True, bf16exp=True)
+    print(
+        "pair bf16exp-vs-f32 max err:",
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+    )
+    a = attention_qkv(lane, 12, fast=True, group=0, bf16exp=False)
+    b = attention_qkv(lane, 12, fast=True, group=0, bf16exp=True)
+    print(
+        "lane bf16exp-vs-f32 max err:",
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+    )
 
 
 def check_attention_vjp():

@@ -63,6 +63,30 @@ def _query_chunk(t: int) -> int:
     return -(-t // n)
 
 
+def _mxusum_enabled() -> bool:
+    """MXU-carried softmax row-sum (VIT_ATTN_MXUSUM): a ones column in a
+    dead lane of each masked V copy makes the PV dot emit sum_j p_ij for
+    free, deleting the (qc, T) VPU sum pass — the costliest remaining
+    softmax stage in the B/8 anatomy (tools/attn_anatomy.py). Default
+    off until the device A/B lands; flip here once measured."""
+    import os
+
+    return os.environ.get("VIT_ATTN_MXUSUM", "0") != "0"
+
+
+def _bf16exp_enabled() -> bool:
+    """bf16 softmax weights (VIT_ATTN_BF16EXP): downcast the clamped /
+    max-subtracted scores to bf16 BEFORE exp2 so every remaining VPU pass
+    over the (qc, T) workspace runs 2x-packed; the row-sum still
+    accumulates f32 and the PV dot already consumed bf16 p. The largest
+    isolated lever in the B/8 stage anatomy (tools/attn_anatomy.py:
+    0.150 vs 0.228 ms full). NOT bit-exact: softmax weights round to
+    bf16 (~2^-9 relative), tests bound the output error. Opt-in."""
+    import os
+
+    return os.environ.get("VIT_ATTN_BF16EXP", "0") != "0"
+
+
 def _pipe_enabled() -> bool:
     """VIT_ATTN_PIPE=1 software-pipelines the fused kernels: chain i+1's
     MXU score dot issues before chain i's VPU softmax + PV dot (A/B knob
@@ -192,6 +216,7 @@ def _qkv_kernel(
 def _qkv_lane_kernel(
     q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool,
     qc: int | None = None, pipe: bool = False, kv: int | None = None,
+    mxusum: bool = False, bf16exp: bool = False,
 ):
     """Lane-block variant: refs are (1, T, w*128) lane blocks of the fused
     projection — w 128-lane panels, 128//d heads per panel. Smaller blocks
@@ -219,7 +244,18 @@ def _qkv_lane_kernel(
     softmax + PV dot, giving the scheduler explicit independent MXU work
     to overlap each softmax with (the serialization named in the B/8
     profile). Bit-exact — only instruction order changes; costs one extra
-    pending (qc, T) f32 score workspace."""
+    pending (qc, T) f32 score workspace.
+
+    mxusum=True moves the softmax row-sum from the VPU to the MXU: a
+    ones column planted in a DEAD (masked-out) lane of each V copy makes
+    the PV dot produce sum_j p_ij alongside PV (the zeroed lanes of the
+    masked copies are free carriers), deleting the (qc, T) VPU sum
+    reduce — the costliest remaining softmax pass (tools/attn_anatomy).
+    The (qc, 128) result is divided by its dead-lane column and the
+    residue masked off. Denominator and numerator then use the SAME
+    p (as cast for the dot) under one f32 MXU accumulation — numerically
+    a reassociated sum vs the VPU f32 reduce (not bit-exact; same error
+    scale, tests bound it)."""
     t = q_ref.shape[1]
     if qc is None:
         qc = _query_chunk(t)
@@ -229,10 +265,12 @@ def _qkv_lane_kernel(
     masks = [
         ((lanes >= s * d) & (lanes < (s + 1) * d)) for s in range(nsub)
     ]
+    mxusum = mxusum and nsub > 1  # needs a dead lane to carry the sum
+    deads = [((s + 1) * d) % 128 for s in range(nsub)]
 
     # One work item per (panel, query chunk, sub-head): a score dot (MXU)
     # plus a finish stage (VPU softmax, MXU PV dot, accumulate/store).
-    items = []  # (key, store_slices, is_last_sub, qs, km, vm)
+    items = []  # (key, store_slices, sub_index, qs, km, vm)
     for p0 in range(0, q_ref.shape[2], 128):
         pp = slice(p0, p0 + 128)
         q, k, v = q_ref[0, :, pp], k_ref[0, :, pp], v_ref[0, :, pp]
@@ -241,12 +279,17 @@ def _qkv_lane_kernel(
         else:
             kms = [k * m.astype(k.dtype) for m in masks]
             vms = [v * m.astype(v.dtype) for m in masks]
+            if mxusum:
+                vms = [
+                    vm + (lanes == dd).astype(vm.dtype)
+                    for vm, dd in zip(vms, deads)
+                ]
         for q0 in range(0, t, qc):
             q1 = min(q0 + qc, t)
             qs = (q[q0:q1].astype(jnp.float32) * scale).astype(q.dtype)
             for s in range(nsub):
                 items.append(
-                    ((p0, q0), (q0, q1, pp), s == nsub - 1, qs, kms[s], vms[s])
+                    ((p0, q0), (q0, q1, pp), s, qs, kms[s], vms[s])
                 )
 
     acc: dict = {}
@@ -262,21 +305,33 @@ def _qkv_lane_kernel(
     kmask = _key_mask(t, kv)
 
     def finish(it, sm):
-        key, (q0, q1, pp), last, _, _, vm = it
+        key, (q0, q1, pp), s, _, _, vm = it
         if fast:
-            p = jnp.exp2(jnp.minimum(sm, 120.0))
+            sc = jnp.minimum(sm, 120.0)
         else:
-            p = jnp.exp2(sm - jnp.max(sm, axis=-1, keepdims=True))
+            sc = sm - jnp.max(sm, axis=-1, keepdims=True)
+        if bf16exp:
+            sc = sc.astype(jnp.bfloat16)
+        p = jnp.exp2(sc)
         if kmask is not None:
-            p = p * kmask
+            p = p * kmask.astype(p.dtype)
         term = jax.lax.dot_general(
             p.astype(vm.dtype), vm,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / jnp.sum(p, axis=-1, keepdims=True)
+        )
+        if mxusum:
+            dd = deads[s]
+            term = (term / term[:, dd : dd + 1]) * masks[s].astype(
+                jnp.float32
+            )
+        else:
+            term = term / jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
         prev = acc.pop(key, None)
         term = term if prev is None else prev + term
-        if last:
+        if s == nsub - 1:
             o_ref[0, q0:q1, pp] = term.astype(o_ref.dtype)
         else:
             acc[key] = term
@@ -297,7 +352,8 @@ def _qkv_lane_kernel(
 def _attention_qkv_lane(
     qkv, num_heads, fast, interpret,
     width: int | None = None, pipe: bool | None = None,
-    kv: int | None = None,
+    kv: int | None = None, mxusum: bool | None = None,
+    bf16exp: bool | None = None,
 ):
     b, t, three_h = qkv.shape
     h = three_h // 3
@@ -306,6 +362,10 @@ def _attention_qkv_lane(
     nsub = 128 // (h // num_heads)
     if pipe is None:
         pipe = _pipe_enabled()
+    if mxusum is None:
+        mxusum = _mxusum_enabled()
+    if bf16exp is None:
+        bf16exp = _bf16exp_enabled()
 
     def est(w, qc_=None):
         """Scoped-VMEM estimate: double-buffered in/out blocks, the f32
@@ -385,7 +445,7 @@ def _attention_qkv_lane(
     return pl.pallas_call(
         functools.partial(
             _qkv_lane_kernel, d=h // num_heads, fast=fast, qc=qc, pipe=pipe,
-            kv=kv,
+            kv=kv, mxusum=mxusum, bf16exp=bf16exp,
         ),
         grid=(b, wb),
         in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
@@ -405,7 +465,8 @@ def _attention_qkv_lane(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_heads", "group", "fast", "pair", "interpret", "pipe", "kv"
+        "num_heads", "group", "fast", "pair", "interpret", "pipe", "kv",
+        "mxusum", "bf16exp",
     ),
 )
 def attention_qkv(
@@ -418,6 +479,8 @@ def attention_qkv(
     interpret: bool | None = None,
     pipe: bool | None = None,
     kv: int | None = None,
+    mxusum: bool | None = None,
+    bf16exp: bool | None = None,
 ) -> jax.Array:
     """(B, T, 3h) fused-projection output -> (B, T, h) attention output.
 
@@ -429,6 +492,10 @@ def attention_qkv(
         interpret = jax.default_backend() != "tpu"
     if pipe is None:
         pipe = _pipe_enabled()
+    if mxusum is None:
+        mxusum = _mxusum_enabled()
+    if bf16exp is None:
+        bf16exp = _bf16exp_enabled()
     if pair is None:
         import os as _os
 
@@ -470,14 +537,16 @@ def attention_qkv(
     big = t * three_h * qkv.dtype.itemsize > limit
     if lane_ok and (group == 0 or big):
         out = _attention_qkv_lane(
-            qkv, num_heads, fast, interpret, pipe=pipe, kv=kv
+            qkv, num_heads, fast, interpret, pipe=pipe, kv=kv,
+            mxusum=mxusum, bf16exp=bf16exp,
         )
         if out is not None:
             return out
         return _attention_qkv_xla(qkv, num_heads, kv=kv)
     if pair:
         kern = functools.partial(
-            _qkv_pair_kernel, nh=num_heads, fast=fast, pipe=pipe, kv=kv
+            _qkv_pair_kernel, nh=num_heads, fast=fast, pipe=pipe, kv=kv,
+            mxusum=mxusum, bf16exp=bf16exp,
         )
         group = 1
     else:
@@ -516,7 +585,7 @@ def attention_qkv(
 
 def _qkv_pair_kernel(
     x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False,
-    kv: int | None = None,
+    kv: int | None = None, mxusum: bool = False, bf16exp: bool = False,
 ):
     """Masked head-pair variant of _qkv_kernel for head_dim == 64.
 
@@ -536,7 +605,13 @@ def _qkv_pair_kernel(
     pipe=True issues the NEXT pair's two MXU score dots before this pair's
     VPU softmax + PV dots (software pipelining over the independent
     per-pair chains — the VERDICT-r2 serialization experiment). Bit-exact:
-    only instruction order changes."""
+    only instruction order changes.
+
+    mxusum=True plants a ones column in the DEAD half of each masked V
+    copy (lane d for the lo head, lane 0 for the hi head) so the PV dot
+    carries sum_j p_ij alongside PV, deleting both (qc, T) VPU sum
+    reduces; the (qc, 128) result is divided by its dead-lane column
+    and the residue masked off (see _qkv_lane_kernel)."""
     t = x_ref.shape[1]
     h = x_ref.shape[2] // 3
     d = h // nh
@@ -545,6 +620,8 @@ def _qkv_pair_kernel(
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
     mask_lo = (lanes < d).astype(x.dtype)
     mask_hi = (lanes >= d).astype(x.dtype)
+    ones_lo = (lanes == d).astype(x.dtype)  # dead lane for the lo head
+    ones_hi = (lanes == 0).astype(x.dtype)  # dead lane for the hi head
     scale = 1.4426950408889634 / (d**0.5)
 
     def raw_scores(qp, kp):
@@ -557,8 +634,12 @@ def _qkv_pair_kernel(
 
     def softmax(s):
         if fast:
-            return jnp.exp2(jnp.minimum(s, 120.0))
-        return jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            s = jnp.minimum(s, 120.0)
+        else:
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+        if bf16exp:
+            s = s.astype(jnp.bfloat16)  # 2x-packed VPU exp2 (opt-in)
+        return jnp.exp2(s)
 
     # one item per (head pair, query chunk): start = the two MXU score
     # dots; finish = softmax (VPU) + the two PV dots + aligned pair store
@@ -568,6 +649,8 @@ def _qkv_pair_kernel(
         vp = x[:, 2 * h + i * d : 2 * h + (i + 2) * d]
         k_lo, k_hi = kp * mask_lo, kp * mask_hi
         v_lo, v_hi = vp * mask_lo, vp * mask_hi
+        if mxusum:
+            v_lo, v_hi = v_lo + ones_lo, v_hi + ones_hi
         for q0 in range(0, t, qc):
             q1 = min(q0 + qc, t)
             qp = (x[q0:q1, i * d : (i + 2) * d].astype(jnp.float32) * scale).astype(
@@ -585,23 +668,33 @@ def _qkv_pair_kernel(
         i, q0, q1, _, _, _, v_lo, v_hi = it
         p_lo, p_hi = softmax(s_pair[0]), softmax(s_pair[1])
         if kmask is not None:
-            p_lo, p_hi = p_lo * kmask, p_hi * kmask
-        l_lo = jnp.sum(p_lo, axis=-1, keepdims=True)
-        l_hi = jnp.sum(p_hi, axis=-1, keepdims=True)
+            km = kmask.astype(p_lo.dtype)
+            p_lo, p_hi = p_lo * km, p_hi * km
         # normalize AFTER PV, on (qc, 128) instead of (qc, T); the
         # masked V halves make the two normalized terms disjoint on
         # the lane axis, so the sum assembles the aligned output pair
-        o_pair = jax.lax.dot_general(
+        t_lo = jax.lax.dot_general(
             p_lo.astype(x.dtype),
             v_lo,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / l_lo + jax.lax.dot_general(
+        )
+        t_hi = jax.lax.dot_general(
             p_hi.astype(x.dtype),
             v_hi,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / l_hi
+        )
+        if mxusum:
+            o_pair = (t_lo / t_lo[:, d : d + 1]) * mask_lo.astype(
+                jnp.float32
+            ) + (t_hi / t_hi[:, 0:1]) * mask_hi.astype(jnp.float32)
+        else:
+            o_pair = t_lo / jnp.sum(
+                p_lo, axis=-1, keepdims=True, dtype=jnp.float32
+            ) + t_hi / jnp.sum(
+                p_hi, axis=-1, keepdims=True, dtype=jnp.float32
+            )
         o_ref[0, q0:q1, i * d : (i + 2) * d] = o_pair.astype(o_ref.dtype)
 
     if pipe:
