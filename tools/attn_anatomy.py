@@ -30,6 +30,12 @@ so bf16exp's downcast-after-f32-dot is the narrowest legal form.)
 
 Run on the TPU host:
     python tools/attn_anatomy.py --t 785 --h 768 --b 8 --w 3
+
+--kernel pair replicates the masked head-PAIR kernel instead (the
+flagship shape: T=197, full (T, 3h) blocks, per-pair masked full-width
+dots) so the 5.2 ms-vs-3.7-floor flagship gap gets the same stage
+decomposition:
+    python tools/attn_anatomy.py --kernel pair --t 197 --h 768 --b 128
 """
 
 from __future__ import annotations
@@ -112,6 +118,98 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, variant: str):
         o_ref[0, :, pp] = acc.astype(o_ref.dtype)
 
 
+def _pair_kernel(x_ref, o_ref, *, nh: int, variant: str):
+    """Stage-toggled replica of _qkv_pair_kernel (flagship d=64 shape):
+    one (1, T, 3h) block, per-pair lane-masked full-width dots."""
+    t = x_ref.shape[1]
+    h = x_ref.shape[2] // 3
+    d = h // nh
+    x = x_ref[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    mask_lo = (lanes < d).astype(x.dtype)
+    mask_hi = (lanes >= d).astype(x.dtype)
+    scale = 1.4426950408889634 / (d**0.5)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for i in range(0, nh - 1, 2):
+        kp = x[:, h + i * d : h + (i + 2) * d]
+        vp = x[:, 2 * h + i * d : 2 * h + (i + 2) * d]
+        if variant == "nomask":
+            k_lo = k_hi = kp
+            v_lo = v_hi = vp
+        else:
+            k_lo, k_hi = kp * mask_lo, kp * mask_hi
+            v_lo, v_hi = vp * mask_lo, vp * mask_hi
+        if variant == "mxusum":
+            v_lo = v_lo + (lanes == d).astype(x.dtype)
+            v_hi = v_hi + (lanes == 0).astype(x.dtype)
+        qp = (x[:, i * d : (i + 2) * d].astype(jnp.float32) * scale).astype(
+            x.dtype
+        )
+        s_lo, s_hi = dot(qp, k_lo, ((1,), (1,))), dot(qp, k_hi, ((1,), (1,)))
+        if variant == "onedot":
+            o_ref[0, :, i * d : (i + 2) * d] = s_lo[:, : 2 * d].astype(
+                o_ref.dtype
+            )
+            continue
+
+        def soft(s):
+            if variant in ("full", "mxusum"):
+                return jnp.exp2(jnp.minimum(s, 120.0))
+            if variant == "bf16exp":
+                return jnp.exp2(jnp.minimum(s, 120.0).astype(jnp.bfloat16))
+            if variant == "noclamp":
+                return jnp.exp2(s)
+            if variant == "noexp":
+                return jnp.minimum(s, 120.0)
+            return s  # nosoftmax / nomask
+
+        p_lo, p_hi = soft(s_lo), soft(s_hi)
+        t_lo = dot(p_lo.astype(x.dtype), v_lo, ((1,), (0,)))
+        t_hi = dot(p_hi.astype(x.dtype), v_hi, ((1,), (0,)))
+        if variant == "mxusum":
+            o_pair = (t_lo / t_lo[:, d : d + 1]) * mask_lo.astype(
+                jnp.float32
+            ) + (t_hi / t_hi[:, 0:1]) * mask_hi.astype(jnp.float32)
+        elif variant in ("full", "bf16exp"):
+            o_pair = t_lo / jnp.sum(
+                p_lo, axis=-1, keepdims=True, dtype=jnp.float32
+            ) + t_hi / jnp.sum(
+                p_hi, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+        else:  # noclamp / noexp / nosoftmax / nomask: no /sum pass
+            o_pair = t_lo + t_hi
+        o_ref[0, :, i * d : (i + 2) * d] = o_pair.astype(o_ref.dtype)
+
+
+def run_pair_variant(qkv, variant, nh):
+    b, t, three_h = qkv.shape
+    h = three_h // 3
+    f = pl.pallas_call(
+        functools.partial(_pair_kernel, nh=nh, variant=variant),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t, three_h), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, h), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )
+    return _time_chain(lambda x: f(x), qkv)
+
+
 def run_variant(qkv, variant, d, width):
     b, t, three_h = qkv.shape
     h = three_h // 3
@@ -139,12 +237,16 @@ def run_variant(qkv, variant, d, width):
         ),
     )
 
-    iters = 50
+    return _time_chain(lambda x: f(x, x, x), qkv)
+
+
+def _time_chain(call, qkv):
+    iters = 400
 
     @jax.jit
     def chain(x):
         def body(c, _):
-            o = f(x + (c * 1e-30).astype(x.dtype), x, x)
+            o = call(x + (c * 1e-30).astype(x.dtype))
             return o[0, 0, 0].astype(x.dtype), ()
 
         c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=iters)
@@ -172,6 +274,7 @@ def main() -> int:
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--w", type=int, default=3)
+    ap.add_argument("--kernel", choices=["lane", "pair"], default="lane")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     # q/k/v passed as the same array thrice (the production lane kernel
@@ -184,7 +287,10 @@ def main() -> int:
         "full", "mxusum", "bf16exp",
         "noclamp", "noexp", "nosoftmax", "nomask", "onedot",
     ):
-        ms = run_variant(qkv, v, args.d, args.w)
+        if args.kernel == "pair":
+            ms = run_pair_variant(qkv, v, args.h // args.d)
+        else:
+            ms = run_variant(qkv, v, args.d, args.w)
         flops = issued / 2 if v == "onedot" else issued
         print(
             f"{v:10s} {ms:7.3f} ms/call   issued-dot rate "

@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument("--no-fast", dest="fast", action="store_false")
     ap.add_argument("--pipe", action="store_true")
     ap.add_argument("--group", type=int, default=0, help="0 = lane kernel")
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     args = ap.parse_args()
 
