@@ -131,9 +131,12 @@ def main() -> int:
     args = ap.parse_args()
     if args.train:
         # int8/quant paths are inference-only; attention defaults to the
-        # fused custom-VJP kernel pair (--train-attn xla for the A/B)
+        # fused custom-VJP kernel pair (--train-attn xla for the A/B);
+        # pad_tokens is a serving knob the training forward never sees —
+        # reset it so the metric name cannot mislabel an unpadded run
         args.quant, args.mm, args.attn = "none", "xla", "xla"
         args.fold_ln = False
+        args.pad_tokens = False
     elif args.unroll is None:
         args.unroll = 1  # measured inference optimum (unroll loses)
 

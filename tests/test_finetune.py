@@ -210,6 +210,23 @@ def test_resume_with_different_settings_rejected(model_path, tmp_path):
                 model_path, data, epochs=2, ckpt_dir=ck,
                 log=lambda m: None, **kw
             )
+    # a meta file written BEFORE newer keys were recorded (older layout)
+    # must still resume when the validatable keys match — missing keys
+    # warn instead of hard-mismatching against None (review r3)
+    import json
+
+    with open(ck + ".meta.json") as f:
+        meta = json.load(f)
+    legacy = {k: meta[k] for k in ("batch", "n_images", "grad_accum")}
+    with open(ck + ".meta.json", "w") as f:
+        json.dump(legacy, f)
+    msgs = []
+    finetune(
+        model_path, data, epochs=2, batch=4, ckpt_dir=ck, log=msgs.append
+    )
+    assert any("cannot be validated" in m for m in msgs)
+    assert any("resumed from" in m for m in msgs)
+
     # a checkpoint whose sibling meta is gone cannot be validated at all
     os.remove(ck + ".meta.json")
     with pytest.raises(ValueError, match="cannot be validated"):

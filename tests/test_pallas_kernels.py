@@ -614,6 +614,36 @@ class TestPaddedTokens:
                 np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
             )
 
+    @pytest.mark.parametrize(
+        "t,h,nh,group",
+        [
+            (200, 768, 12, 1),  # masked-pair kernel
+            (200, 768, 12, 0),  # lane kernel
+            (200, 256, 8, 1),   # d=32 carve kernel (_sdpa path)
+        ],
+    )
+    def test_pad_garbage_cannot_nan_safe_softmax(self, t, h, nh, group):
+        # review r3: safe softmax took the row max over ALL key columns
+        # including masked pads — garbage pad scores far above the real
+        # maximum pushed every real weight into exp2 underflow, yielding
+        # l = 0 and 0/0 = NaN in REAL rows. Pad scores are now masked
+        # out before the max, so the padded math IS the unpadded math.
+        kv = 197
+        rng = np.random.default_rng(47)
+        qkv = np.zeros((1, t, 3 * h), np.float32)
+        qkv[:, :kv] = rng.standard_normal((1, kv, 3 * h))
+        qkv[:, kv:] = 1e4  # adversarial pad rows: scores >> real max
+        qkv = jnp.asarray(qkv)
+        ref = attention_qkv(
+            qkv[:, :kv], nh, fast=False, pair=False, group=1
+        )
+        got = attention_qkv(qkv, nh, fast=False, kv=kv, group=group)
+        real = np.asarray(got)[:, :kv]
+        assert np.isfinite(real).all()
+        np.testing.assert_allclose(
+            real, np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
     def test_pad_tokens_rejects_non_pallas(self):
         from vit_cpp_tpu.hparams import VitHParams
         from vit_cpp_tpu.models import params_from_state_dict

@@ -349,3 +349,36 @@ def test_submit_after_close_fails_fast():
     fut = mb.submit(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(RuntimeError, match="shutting down"):
         fut.result(timeout=1.0)
+
+
+def test_handler_drain_preserves_shutdown_sentinel():
+    """Review r3: a handler-side drain (submit racing close) must NOT
+    consume the worker's shutdown sentinel — dropping it left the worker
+    blocked in _q.get() forever and close() hanging its full join
+    timeout. The preserving drain re-enqueues it."""
+    import queue as _queue
+    from concurrent.futures import Future
+
+    from vit_cpp_tpu.server import MicroBatcher
+
+    mb = MicroBatcher.__new__(MicroBatcher)  # no worker thread: direct test
+    mb._q = _queue.SimpleQueue()
+    mb._closed = True
+    fut = Future()
+    mb._q.put(mb._SENTINEL)  # close() enqueued shutdown first
+    mb._q.put((None, fut))  # then the racing handler's item
+    mb._drain_failed(preserve_sentinel=True)
+    # the sentinel survives for the worker (re-enqueued behind the item);
+    # the future is not resolved here — the worker or close()'s
+    # post-join drain owns it
+    items = [mb._q.get_nowait(), mb._q.get_nowait()]
+    assert mb._SENTINEL in items
+    assert not fut.done()
+    for it in items:
+        mb._q.put(it)
+    # the non-preserving drain (close()'s post-join path) consumes both
+    mb._drain_failed()
+    with pytest.raises(_queue.Empty):
+        mb._q.get_nowait()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=0)

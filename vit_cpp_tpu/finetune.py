@@ -422,7 +422,17 @@ def finetune(
         strict = dict(run_meta)
         if schedule == "const":
             strict.pop("epochs")
-        theirs = {k: saved.get(k) for k in strict}
+        # keys absent from an older meta file (written before they were
+        # recorded) cannot be validated — warn and accept the requested
+        # value instead of hard-rejecting a resume with identical flags
+        missing = [k for k in strict if k not in saved]
+        if missing:
+            log(
+                f"finetune: warning — {meta_path} predates recording of "
+                f"{missing}; those settings cannot be validated against "
+                "the original run"
+            )
+        theirs = {k: saved.get(k, strict[k]) for k in strict}
         if theirs != strict:
             diff = {
                 k: (theirs[k], strict[k])

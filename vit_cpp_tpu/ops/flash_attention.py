@@ -63,37 +63,38 @@ def _query_chunk(t: int) -> int:
     return -(-t // n)
 
 
-def _mxusum_enabled() -> bool:
-    """MXU-carried softmax row-sum (VIT_ATTN_MXUSUM): a ones column in a
-    dead lane of each masked V copy makes the PV dot emit sum_j p_ij for
-    free, deleting the (qc, T) VPU sum pass — the costliest remaining
-    softmax stage in the B/8 anatomy (tools/attn_anatomy.py). Default
-    off until the device A/B lands; flip here once measured."""
+def _env_flag(name: str) -> bool:
+    """Trace-time kernel A/B knobs (docs/TUNING.md records each verdict):
+
+    VIT_ATTN_MXUSUM — MXU-carried softmax row-sum: a ones column in a
+    dead lane of each masked V copy makes the PV dot emit sum_j p_ij,
+    deleting the (qc, T) VPU sum pass. Lane/pair kernels only.
+    VIT_ATTN_BF16EXP — bf16 softmax weights: downcast the clamped /
+    max-subtracted scores to bf16 BEFORE exp2 (2x-packed VPU passes;
+    f32 row-sum). NOT bit-exact (~2^-9 weight rounding, tests bound it).
+    All kernel shapes.
+    VIT_ATTN_PIPE — software-pipelined instruction order: chain i+1's
+    MXU score dot issues before chain i's VPU softmax + PV dot.
+    Bit-exact. Lane/pair kernels only.
+
+    All three measured NEUTRAL end-to-end (the in-model kernels hide
+    their VPU work behind the masked dots — TUNING "bf16exp" section);
+    they stay as opt-in experiment knobs, default off."""
     import os
 
-    return os.environ.get("VIT_ATTN_MXUSUM", "0") != "0"
+    return os.environ.get(name, "0") != "0"
+
+
+def _mxusum_enabled() -> bool:
+    return _env_flag("VIT_ATTN_MXUSUM")
 
 
 def _bf16exp_enabled() -> bool:
-    """bf16 softmax weights (VIT_ATTN_BF16EXP): downcast the clamped /
-    max-subtracted scores to bf16 BEFORE exp2 so every remaining VPU pass
-    over the (qc, T) workspace runs 2x-packed; the row-sum still
-    accumulates f32 and the PV dot already consumed bf16 p. The largest
-    isolated lever in the B/8 stage anatomy (tools/attn_anatomy.py:
-    0.150 vs 0.228 ms full). NOT bit-exact: softmax weights round to
-    bf16 (~2^-9 relative), tests bound the output error. Opt-in."""
-    import os
-
-    return os.environ.get("VIT_ATTN_BF16EXP", "0") != "0"
+    return _env_flag("VIT_ATTN_BF16EXP")
 
 
 def _pipe_enabled() -> bool:
-    """VIT_ATTN_PIPE=1 software-pipelines the fused kernels: chain i+1's
-    MXU score dot issues before chain i's VPU softmax + PV dot (A/B knob
-    for the serialization experiments; read at trace time)."""
-    import os as _os
-
-    return _os.environ.get("VIT_ATTN_PIPE", "0") != "0"
+    return _env_flag("VIT_ATTN_PIPE")
 
 
 def _key_mask(t: int, kv: int | None):
@@ -126,7 +127,8 @@ def _attention_qkv_xla(qkv, num_heads: int, kv: int | None = None):
     return o.transpose(0, 2, 1, 3).reshape(b, t, h)
 
 
-def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None):
+def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None,
+          bf16exp: bool = False):
     """(T, D) f-dim attention math shared by both kernels; f32 softmax.
 
     The 1/sqrt(D) scale is folded into Q (T x D elements) rather than the
@@ -159,13 +161,21 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None):
         # (A Cauchy-Schwarz row-max bound over (T, D) was tried and is
         # overflow-proof for any input, but measured slower than the true
         # (T, T) max on v5e — norm/sqrt/scalar-broadcast lowering.)
-        p = jnp.exp2(jnp.minimum(s, 120.0))
+        sc = jnp.minimum(s, 120.0)
     else:
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
+        if kmask is not None:
+            # mask PAD scores before the row max: a garbage pad score
+            # above the real maximum would shift every real weight into
+            # exp2 underflow (l = 0 -> NaN for a REAL row); masked, the
+            # padded math is exactly the unpadded math
+            s = jnp.where(kmask > 0.0, s, -1e30)
+        sc = s - jnp.max(s, axis=-1, keepdims=True)
+    if bf16exp:
+        sc = sc.astype(jnp.bfloat16)
+    p = jnp.exp2(sc)
     if kmask is not None:
-        p = p * kmask  # pad keys contribute exactly zero weight
-    l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * kmask.astype(p.dtype)  # pad keys: exactly zero weight
+    l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
     # normalize AFTER the PV matmul: divides (T, D) instead of (T, T)
     o = jax.lax.dot_general(
         p.astype(v.dtype),
@@ -178,7 +188,7 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None):
 
 def _qkv_kernel(
     x_ref, o_ref, *, nh: int, group: int, fast: bool = False,
-    kv: int | None = None,
+    kv: int | None = None, bf16exp: bool = False,
 ):
     """`group` batch elements per grid step: x is (G, T, 3h) — [q|k|v] x
     heads on the feature axis (timm fused-QKV order); writes all heads of
@@ -209,7 +219,8 @@ def _qkv_kernel(
                 q1 = min(q0 + qc, t)
                 q = x[q0:q1, i * d : (i + 1) * d]
                 o_ref[g, q0:q1, i * d : (i + 1) * d] = _sdpa(
-                    q, k, v, o_ref.dtype, fast=fast, kmask=kmask
+                    q, k, v, o_ref.dtype, fast=fast, kmask=kmask,
+                    bf16exp=bf16exp,
                 )
 
 
@@ -309,6 +320,9 @@ def _qkv_lane_kernel(
         if fast:
             sc = jnp.minimum(sm, 120.0)
         else:
+            if kmask is not None:
+                # pad scores must not win the row max (see _sdpa)
+                sm = jnp.where(kmask > 0.0, sm, -1e30)
             sc = sm - jnp.max(sm, axis=-1, keepdims=True)
         if bf16exp:
             sc = sc.astype(jnp.bfloat16)
@@ -367,18 +381,18 @@ def _attention_qkv_lane(
     if bf16exp is None:
         bf16exp = _bf16exp_enabled()
 
-    def est(w, qc_=None):
+    def est(w):
         """Scoped-VMEM estimate: double-buffered in/out blocks, the f32
         (qc, T) score workspaces (safe softmax needs ~2x of fast for the
         max/subtract temporaries; pipelining holds one extra pending score
         block), and the per-panel masked K/V copies (built per unrolled
-        loop iteration — scales with w). The 13 MB threshold is calibrated
-        on measured points: safe/T=785 fits at w=1 (est 12.3 MB) and OOMs
-        at w=3 (est 17.1, real 20.5 vs the 16 MB limit); fast/785 w=3
-        (12.1) and safe/577 w=4 (12.4) fit."""
-        q = qc if qc_ is None else qc_
+        loop iteration — scales with w). Reads the enclosing qc, which
+        the chunk-shrink loop below mutates. The 13 MB threshold is
+        calibrated on measured points: safe/T=785 fits at w=1 (est 12.3
+        MB) and OOMs at w=3 (est 17.1, real 20.5 vs the 16 MB limit);
+        fast/785 w=3 (12.1) and safe/577 w=4 (12.4) fit."""
         blocks = 2 * 4 * t * 128 * w * qkv.dtype.itemsize
-        tmps = ((4 if not fast else 2) + (1 if pipe else 0)) * q * t * 4
+        tmps = ((4 if not fast else 2) + (1 if pipe else 0)) * qc * t * 4
         masked = (
             w * 2 * nsub * t * 128 * qkv.dtype.itemsize if nsub > 1 else 0
         )
@@ -554,7 +568,8 @@ def attention_qkv(
         while b % group:
             group -= 1
         kern = functools.partial(
-            _qkv_kernel, nh=num_heads, group=group, fast=fast, kv=kv
+            _qkv_kernel, nh=num_heads, group=group, fast=fast, kv=kv,
+            bf16exp=bf16exp,
         )
     out = pl.pallas_call(
         kern,
@@ -632,10 +647,15 @@ def _qkv_pair_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    kmask = _key_mask(t, kv)
+
     def softmax(s):
         if fast:
             s = jnp.minimum(s, 120.0)
         else:
+            if kmask is not None:
+                # pad scores must not win the row max (see _sdpa)
+                s = jnp.where(kmask > 0.0, s, -1e30)
             s = s - jnp.max(s, axis=-1, keepdims=True)
         if bf16exp:
             s = s.astype(jnp.bfloat16)  # 2x-packed VPU exp2 (opt-in)
@@ -661,8 +681,6 @@ def _qkv_pair_kernel(
     def start(it):
         _, _, _, qp, k_lo, k_hi, _, _ = it
         return raw_scores(qp, k_lo), raw_scores(qp, k_hi)
-
-    kmask = _key_mask(t, kv)
 
     def finish(it, s_pair):
         i, q0, q1, _, _, _, v_lo, v_hi = it
@@ -716,7 +734,8 @@ def _qkv_pair_kernel(
             q1 = min(q0 + qc, t)
             q = x[q0:q1, i * d : (i + 1) * d]
             o_ref[0, q0:q1, i * d : (i + 1) * d] = _sdpa(
-                q, k, v, o_ref.dtype, fast=fast, kmask=kmask
+                q, k, v, o_ref.dtype, fast=fast, kmask=kmask,
+                bf16exp=bf16exp,
             )
 
 

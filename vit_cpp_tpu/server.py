@@ -89,7 +89,7 @@ class MicroBatcher:
             # close() may have finished its final drain between the check
             # above and the put; drain again so THIS future resolves now
             # rather than at the handler's full request timeout
-            self._drain_failed()
+            self._drain_failed(preserve_sentinel=True)
         return fut
 
     def close(self) -> None:
@@ -98,17 +98,28 @@ class MicroBatcher:
         self._worker.join(timeout=5.0)
         self._drain_failed()  # anything enqueued after the sentinel
 
-    def _drain_failed(self) -> None:
+    def _drain_failed(self, preserve_sentinel: bool = False) -> None:
         """Fail-fast every queued Future so in-flight handler threads get
         an immediate error instead of blocking out their full timeout
         (close() can race handlers: httpd.shutdown() stops the accept
-        loop but does not wait for active handler threads)."""
+        loop but does not wait for active handler threads).
+
+        A handler-side drain (submit() racing close()) must NOT consume
+        the shutdown sentinel — the worker may still be blocked in
+        _q.get() waiting for it, and dropping it would hang close()'s
+        join for its full timeout and leak the thread. preserve_sentinel
+        re-enqueues it and stops; the worker (or close()'s post-join
+        drain) handles anything queued behind it."""
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 return
-            if item is not self._SENTINEL:
+            if item is self._SENTINEL:
+                if preserve_sentinel:
+                    self._q.put(item)
+                    return
+            else:
                 item[1].set_exception(RuntimeError("server shutting down"))
 
     def _run(self) -> None:
