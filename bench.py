@@ -49,7 +49,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument(
-        "--size", choices=["tiny", "small", "base", "large"], default="base"
+        "--size", choices=["tiny", "small", "base", "large", "huge"],
+        default="base",
+        help="huge = ViT-H (1280x32, d=80 heads — dispatches the generic "
+        "full-block attention kernel, not the d=64 pair kernel); pair "
+        "with --patch 14 for the standard ViT-H/14",
     )
     ap.add_argument("--patch", type=int, default=16)
     ap.add_argument("--img", type=int, default=224)
@@ -153,6 +157,7 @@ def main() -> int:
         "small": (384, 12, 6),
         "base": (768, 12, 12),
         "large": (1024, 24, 16),
+        "huge": (1280, 32, 16),
     }[args.size]
     hp = VitHParams(
         hidden_size=geo[0],

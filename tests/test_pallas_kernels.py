@@ -62,7 +62,26 @@ class TestFlashAttention:
         out = attention_qkv(jnp.asarray(qkv5.reshape(b, t, 3 * nh * d)), nh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
-    @pytest.mark.parametrize("nh,d", [(2, 64), (2, 32), (3, 64)])
+    def test_attention_qkv_d80_vit_huge_head_width(self):
+        # ViT-H's d=80 heads: 128 % 80 != 0 so neither the pair nor the
+        # lane kernel is eligible — the generic full-block kernel carves
+        # 80-lane head slices. Must match the split-head XLA reference.
+        b, t, nh, d = 2, 60, 2, 80
+        rng = np.random.default_rng(29)
+        qkv5 = rng.standard_normal((b, t, 3, nh, d))
+        q, k, v = (
+            jnp.asarray(qkv5[:, :, i].transpose(0, 2, 1, 3)) for i in range(3)
+        )
+        ref = attention(q, k, v, impl="xla").transpose(0, 2, 1, 3).reshape(b, t, nh * d)
+        for fast in (False, True):
+            out = attention_qkv(
+                jnp.asarray(qkv5.reshape(b, t, 3 * nh * d)), nh, fast=fast
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5
+            )
+
+    @pytest.mark.parametrize("nh,d", [(2, 64), (2, 32), (3, 64), (2, 80)])
     def test_attention_qkv_train_grad_matches_xla(self, nh, d):
         """The custom-VJP training attention: value AND gradient parity
         with the composed-XLA-ops path (which JAX differentiates itself)."""

@@ -247,6 +247,12 @@ def check_geometries():
         ("ViT-tiny/8@224", VitHParams(hidden_size=192, num_hidden_layers=12,
                                       num_attention_heads=3, num_classes=1000,
                                       patch_size=8, img_size=224)),
+        # d=80 heads (not 64, not a divisor of 128): neither the pair nor
+        # the lane kernel is eligible — the generic full-block kernel
+        # carves 80-lane head slices (T=257, 1.97 MB in-block)
+        ("ViT-H/14@224", VitHParams(hidden_size=1280, num_hidden_layers=32,
+                                    num_attention_heads=16, num_classes=1000,
+                                    patch_size=14, img_size=224)),
     ]
     rng = np.random.default_rng(0)
     for name, hp in confs:

@@ -54,6 +54,16 @@ def main(argv=None) -> int:
         help="train the head only (linear probe)",
     )
     ap.add_argument(
+        "--augment", choices=["none", "flip", "crop", "all"], default="none",
+        help="on-device train-batch augmentation (classifier only): "
+        "random horizontal flip and/or random resized crop; keyed by the "
+        "global step so resumed runs replay the same stream",
+    )
+    ap.add_argument(
+        "--label-smooth", type=float, default=0.0, metavar="EPS",
+        help="label-smoothing epsilon for the classifier loss (0 = off)",
+    )
+    ap.add_argument(
         "--mu-dtype", choices=["f32", "bf16"], default="f32",
         help="adamw first-moment dtype (bf16 halves that buffer's memory "
         "and HBM traffic in the update; momentum precision cost is "
@@ -111,6 +121,8 @@ def main(argv=None) -> int:
             clip_norm=args.clip_norm,
             mu_dtype=args.mu_dtype,
             freeze_backbone=args.freeze_backbone,
+            augment=args.augment,
+            label_smoothing=args.label_smooth,
             mesh=mesh,
             ckpt_dir=args.ckpt_dir,
             seed=args.seed,

@@ -270,6 +270,8 @@ def finetune(
     clip_norm: float = 0.0,
     mu_dtype: str = "f32",
     freeze_backbone: bool = False,
+    augment: str = "none",
+    label_smoothing: float = 0.0,
     mesh=None,
     ckpt_dir: Optional[str] = None,
     seed: int = 0,
@@ -298,11 +300,22 @@ def finetune(
         train_step_accum,
     )
 
+    from vit_cpp_tpu.ops.augment import augment_batch, augment_flags
+
     mf = read_model(model)
     hp = detect_hparams(mf)
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    aug_flip, aug_crop = augment_flags(augment)  # validates the mode
     is_vitstr = hp.seq_len is not None
+    if is_vitstr and (augment != "none" or label_smoothing):
+        # mirrored glyphs / cropped-away characters change the ground
+        # truth, and the sequence loss is mask-weighted — reject rather
+        # than silently train on corrupted (image, text) pairs
+        raise ValueError(
+            "augmentation / label smoothing are classifier-only "
+            "(scene-text labels are orientation- and crop-sensitive)"
+        )
     texts = vtexts = None
     if is_vitstr:
         # scene text: gt.txt / filename-stem labels, (B, seq_len) targets
@@ -401,6 +414,8 @@ def finetune(
         "clip_norm": clip_norm,
         "mu_dtype": mu_dtype,
         "freeze_backbone": freeze_backbone,
+        "augment": augment,
+        "label_smoothing": label_smoothing,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -460,6 +475,24 @@ def finetune(
         )
 
     start_epoch = int(state.step) // updates_per_epoch
+    # construct the accum loss_fn ONCE: it is a static jit argument, and
+    # functools.partial hashes by identity — a fresh partial per step
+    # would retrace train_step_accum every update
+    accum_loss_fn = None
+    if grad_accum > 1:
+        if is_vitstr:
+            from vit_cpp_tpu.parallel.train import vitstr_cross_entropy_loss
+
+            accum_loss_fn = vitstr_cross_entropy_loss
+        elif label_smoothing:
+            import functools
+
+            from vit_cpp_tpu.parallel.train import cross_entropy_loss
+
+            accum_loss_fn = functools.partial(
+                cross_entropy_loss, smooth=label_smoothing
+            )
+    aug_key = jax.random.PRNGKey(seed) if augment != "none" else None
     losses: List[float] = []
     for epoch in range(start_epoch, epochs):
         # deterministic per-epoch shuffle: the same order replays on resume
@@ -471,19 +504,30 @@ def finetune(
             by = jnp.asarray(labels[idx])
             if mesh is not None:
                 bx, by = shard_batch(bx, by, mesh)
+            if aug_key is not None:
+                # keyed by the GLOBAL update index so a resumed run
+                # replays the original augmentation stream bit-for-bit
+                bx = augment_batch(
+                    jax.random.fold_in(
+                        aug_key, epoch * updates_per_epoch + s
+                    ),
+                    bx,
+                    flip=aug_flip,
+                    crop=aug_crop,
+                )
             if grad_accum > 1:
-                from vit_cpp_tpu.parallel.train import vitstr_cross_entropy_loss
-
                 state, loss = train_step_accum(
                     state, bx, by, hp, optimizer, grad_accum,
-                    loss_fn=vitstr_cross_entropy_loss if is_vitstr else None,
+                    loss_fn=accum_loss_fn,
                 )
             elif is_vitstr:
                 from vit_cpp_tpu.parallel.train import train_step_vitstr
 
                 state, loss = train_step_vitstr(state, bx, by, hp, optimizer)
             else:
-                state, loss = train_step(state, bx, by, hp, optimizer)
+                state, loss = train_step(
+                    state, bx, by, hp, optimizer, smooth=label_smoothing
+                )
             epoch_losses.append(float(loss))
         mean_loss = float(np.mean(epoch_losses))
         losses.append(mean_loss)

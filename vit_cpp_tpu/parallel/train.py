@@ -68,7 +68,7 @@ def make_optimizer(
 
 
 def cross_entropy_loss(
-    params, images, labels, hp: VitHParams
+    params, images, labels, hp: VitHParams, smooth: float = 0.0
 ) -> jax.Array:
     # remat="dots+attn": keep each block's GEMM outputs AND the fused
     # attention outputs — ViT-B/16 batch-128 training OOMs a 16 GB v5e
@@ -94,6 +94,11 @@ def cross_entropy_loss(
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
+    if smooth:
+        # label smoothing: target (1-eps) on the true class, eps spread
+        # uniformly — CE = (1-eps)*nll + eps * mean_c(-logp_c)
+        uniform = -jnp.mean(logp, axis=-1, keepdims=True)
+        nll = (1.0 - smooth) * nll + smooth * uniform
     return jnp.mean(nll)
 
 
@@ -139,7 +144,7 @@ def train_step_vitstr(
 
 
 @partial(
-    jax.jit, static_argnames=("hp", "optimizer"), donate_argnums=(0,)
+    jax.jit, static_argnames=("hp", "optimizer", "smooth"), donate_argnums=(0,)
 )
 def train_step(
     state: TrainState,
@@ -147,9 +152,10 @@ def train_step(
     labels: jax.Array,
     hp: VitHParams,
     optimizer,
+    smooth: float = 0.0,
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        state.params, images, labels, hp
+        state.params, images, labels, hp, smooth
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
