@@ -58,6 +58,14 @@ CONFIGS = [
         "vitb8_224_q8_0_w8a8",
         ["--patch", "8", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
+    # ViT-H/14 @224 (d=80 heads -> generic full-block attention kernel;
+    # K=1280 contractions run the int8 MXU above the flagship's K=768
+    # rate — the K-bound verdict's other direction)
+    (
+        "vith14_224_q8_0_w8a8_bs64",
+        ["--size", "huge", "--patch", "14", "--quant", "q8_0", "--mm",
+         "int8", "--attn", "pallas-fast", "--batch", "64", "--chain", "12"],
+    ),
     (
         "latency_q8_0_w8a8",
         ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
