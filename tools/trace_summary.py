@@ -54,19 +54,29 @@ def summarize(d: str):
     }
     agg: dict = collections.defaultdict(lambda: [0.0, 0])
     envelope: dict = collections.defaultdict(lambda: [0.0, 0])
+    # family -> [us, count, model_flops, bytes_accessed] (xprof per-event
+    # metadata; FLOPs are XLA's cost model incl. Pallas CostEstimate)
+    fam: dict = collections.defaultdict(lambda: [0.0, 0, 0.0, 0.0])
     for e in data["traceEvents"]:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e["name"]
         bucket = (
             envelope
-            if name.startswith(("jit_", "while"))
+            if name.startswith(("jit_", "while")) or name.isdigit()
             else agg
         )
         b = bucket[name]
         b[0] += e.get("dur", 0)
         b[1] += 1
-    return agg, envelope
+        if bucket is agg:
+            args = e.get("args", {})
+            f = fam[name.rsplit(".", 1)[0]]
+            f[0] += e.get("dur", 0)
+            f[1] += 1
+            f[2] += float(args.get("model_flops", 0) or 0)
+            f[3] += float(args.get("raw_bytes_accessed", 0) or 0)
+    return agg, envelope, fam
 
 
 def main() -> int:
@@ -78,9 +88,36 @@ def main() -> int:
         help="divide by N model iterations (bench chain x runs)",
     )
     ap.add_argument("--diff", default=None, help="second dir to A/B")
+    ap.add_argument(
+        "--attr", action="store_true",
+        help="attribute by fusion FAMILY (name minus the .N suffix) with "
+        "XLA-cost-model FLOP and HBM rates — the speed-of-light check per "
+        "component (model_flops counts NOMINAL work: the masked-width "
+        "Pallas kernels issue 2x that)",
+    )
     args = ap.parse_args()
 
-    agg, env = summarize(args.dir)
+    agg, env, fam = summarize(args.dir)
+    if args.attr:
+        scale = 1.0 / (args.per_iter or 1)
+        unit = "ms/iter" if args.per_iter else "ms"
+        total = sum(v[0] for v in fam.values())
+        print(
+            f"{unit:>10} {'share':>6} {'x':>5} {'GFLOP':>8} {'TFLOP/s':>8} "
+            f"{'GB':>7} {'GB/s':>7}  family"
+        )
+        for name, (us, cnt, fl, by) in sorted(
+            fam.items(), key=lambda kv: -kv[1][0]
+        )[: args.top]:
+            rate = fl / (us * 1e6) if us else 0.0  # FLOP/us -> TFLOP/s
+            bw = by / (us * 1e3) if us else 0.0  # B/us -> GB/s
+            print(
+                f"{us / 1e3 * scale:10.3f} {us / total * 100:5.1f}% "
+                f"{cnt * scale:5.0f} {fl / 1e9 * scale:8.1f} {rate:8.1f} "
+                f"{by / 1e9 * scale:7.2f} {bw:7.0f}  {name[:48]}"
+            )
+        print(f"{total / 1e3 * scale:10.3f}  TOTAL (device fusion time)")
+        return 0
     total = sum(v[0] for v in agg.values())
     scale = 1.0 / (args.per_iter or 1)
     unit = "ms/iter" if args.per_iter else "ms"
