@@ -105,6 +105,71 @@ class TestDeterminism:
             augment_flags("rotate")
 
 
+class TestMixup:
+    def test_mixed_batch_is_convex_combination(self):
+        from vit_cpp_tpu.ops.augment import mixup_batch
+
+        x = _batch(b=8, s=16, seed=10)
+        mixed, perm, lam = mixup_batch(jax.random.PRNGKey(11), x, 0.4)
+        lam_f = float(lam)
+        assert 0.5 <= lam_f <= 1.0  # folded to the majority side
+        xn = np.asarray(x)
+        want = lam_f * xn + (1 - lam_f) * xn[np.asarray(perm)]
+        np.testing.assert_allclose(np.asarray(mixed), want, atol=1e-5)
+        # perm is a permutation of the batch
+        assert sorted(np.asarray(perm).tolist()) == list(range(8))
+
+    def test_mixed_loss_matches_manual(self):
+        from vit_cpp_tpu.hparams import VitHParams
+        from vit_cpp_tpu.models import params_from_state_dict
+        from vit_cpp_tpu.parallel.train import (
+            _mixed_cross_entropy_loss,
+            cross_entropy_loss,
+        )
+        from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+        hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=1,
+            num_attention_heads=2,
+            num_classes=5,
+            patch_size=8,
+            img_size=16,
+        )
+        params = params_from_state_dict(random_state_dict(hp, seed=8), hp)
+        x = _batch(b=4, s=16, seed=9)
+        y1 = jnp.asarray([0, 3, 1, 4], jnp.int32)
+        y2 = jnp.asarray([2, 0, 4, 1], jnp.int32)
+        lam = jnp.asarray(0.7, jnp.float32)
+        got = float(_mixed_cross_entropy_loss(params, x, y1, y2, lam, hp, 0.0))
+        want = 0.7 * float(cross_entropy_loss(params, x, y1, hp)) + 0.3 * float(
+            cross_entropy_loss(params, x, y2, hp)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_mixup_rejected_with_grad_accum(self, tmp_path):
+        from test_finetune import _make_dataset, VitHParams
+        from vit_cpp_tpu.finetune import finetune
+        from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+        hp = VitHParams(
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_classes=7,
+            patch_size=8,
+            img_size=32,
+        )
+        model = str(tmp_path / "m.gguf")
+        write_synthetic_model(model, hp, ftype=1, seed=4)
+        data = _make_dataset(tmp_path / "train")
+        with pytest.raises(ValueError, match="grad-accum"):
+            finetune(
+                model, data, mixup=0.2, grad_accum=2, batch=4,
+                log=lambda m: None,
+            )
+
+
 class TestLabelSmoothing:
     def test_matches_manual_computation(self):
         from vit_cpp_tpu.hparams import VitHParams
@@ -204,7 +269,7 @@ class TestFinetuneIntegration:
         model, data = setup
         kw = dict(
             epochs=2, batch=4, lr=1e-3, augment="all",
-            label_smoothing=0.1, log=lambda m: None,
+            label_smoothing=0.1, mixup=0.2, log=lambda m: None,
         )
         straight, _, _, _ = finetune(model, data, **kw)
         ck = str(tmp_path / "ck")

@@ -64,6 +64,11 @@ def main(argv=None) -> int:
         help="label-smoothing epsilon for the classifier loss (0 = off)",
     )
     ap.add_argument(
+        "--mixup", type=float, default=0.0, metavar="ALPHA",
+        help="per-batch mixup with lam ~ Beta(ALPHA, ALPHA) (0 = off; "
+        "classifier only, incompatible with --grad-accum > 1)",
+    )
+    ap.add_argument(
         "--mu-dtype", choices=["f32", "bf16"], default="f32",
         help="adamw first-moment dtype (bf16 halves that buffer's memory "
         "and HBM traffic in the update; momentum precision cost is "
@@ -123,6 +128,7 @@ def main(argv=None) -> int:
             freeze_backbone=args.freeze_backbone,
             augment=args.augment,
             label_smoothing=args.label_smooth,
+            mixup=args.mixup,
             mesh=mesh,
             ckpt_dir=args.ckpt_dir,
             seed=args.seed,

@@ -272,6 +272,7 @@ def finetune(
     freeze_backbone: bool = False,
     augment: str = "none",
     label_smoothing: float = 0.0,
+    mixup: float = 0.0,
     mesh=None,
     ckpt_dir: Optional[str] = None,
     seed: int = 0,
@@ -307,8 +308,14 @@ def finetune(
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     aug_flip, aug_crop = augment_flags(augment)  # validates the mode
+    if mixup < 0:
+        raise ValueError(f"mixup alpha must be >= 0, got {mixup}")
+    if mixup and grad_accum > 1:
+        # the accum scan's loss_fn contract is (params, x, y, hp); mixup
+        # threads (y, y2, lam) — unsupported rather than silently wrong
+        raise ValueError("--mixup is incompatible with --grad-accum > 1")
     is_vitstr = hp.seq_len is not None
-    if is_vitstr and (augment != "none" or label_smoothing):
+    if is_vitstr and (augment != "none" or label_smoothing or mixup):
         # mirrored glyphs / cropped-away characters change the ground
         # truth, and the sequence loss is mask-weighted — reject rather
         # than silently train on corrupted (image, text) pairs
@@ -416,6 +423,7 @@ def finetune(
         "freeze_backbone": freeze_backbone,
         "augment": augment,
         "label_smoothing": label_smoothing,
+        "mixup": mixup,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -492,7 +500,9 @@ def finetune(
             accum_loss_fn = functools.partial(
                 cross_entropy_loss, smooth=label_smoothing
             )
-    aug_key = jax.random.PRNGKey(seed) if augment != "none" else None
+    aug_key = (
+        jax.random.PRNGKey(seed) if augment != "none" or mixup else None
+    )
     losses: List[float] = []
     for epoch in range(start_epoch, epochs):
         # deterministic per-epoch shuffle: the same order replays on resume
@@ -504,18 +514,32 @@ def finetune(
             by = jnp.asarray(labels[idx])
             if mesh is not None:
                 bx, by = shard_batch(bx, by, mesh)
+            mix = None
             if aug_key is not None:
                 # keyed by the GLOBAL update index so a resumed run
                 # replays the original augmentation stream bit-for-bit
-                bx = augment_batch(
-                    jax.random.fold_in(
-                        aug_key, epoch * updates_per_epoch + s
-                    ),
-                    bx,
-                    flip=aug_flip,
-                    crop=aug_crop,
+                step_key = jax.random.fold_in(
+                    aug_key, epoch * updates_per_epoch + s
                 )
-            if grad_accum > 1:
+                if augment != "none":
+                    bx = augment_batch(
+                        step_key, bx, flip=aug_flip, crop=aug_crop
+                    )
+                if mixup:
+                    from vit_cpp_tpu.ops.augment import mixup_batch
+
+                    bx, perm, lam = mixup_batch(
+                        jax.random.fold_in(step_key, 1), bx, mixup
+                    )
+                    mix = (jnp.take(by, perm, axis=0), lam)
+            if mix is not None:
+                from vit_cpp_tpu.parallel.train import train_step_mixup
+
+                state, loss = train_step_mixup(
+                    state, bx, by, mix[0], mix[1], hp, optimizer,
+                    smooth=label_smoothing,
+                )
+            elif grad_accum > 1:
                 state, loss = train_step_accum(
                     state, bx, by, hp, optimizer, grad_accum,
                     loss_fn=accum_loss_fn,

@@ -128,6 +128,23 @@ def augment_batch(
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def mixup_batch(key: jax.Array, x: jax.Array, alpha: float):
+    """Per-batch mixup (Zhang et al. 2017, the standard one-lambda form):
+    draw lam ~ Beta(alpha, alpha), mix each image with a permuted partner
+    `lam * x + (1 - lam) * x[perm]`, and return (mixed, perm, lam) so the
+    caller can form the mixed loss `lam * CE(y) + (1-lam) * CE(y[perm])`.
+    lam is folded toward the majority side (`max(lam, 1-lam)`) so the
+    un-permuted labels always carry the dominant weight — makes val-time
+    behavior insensitive to Beta's symmetry."""
+    kl, kp = jax.random.split(key)
+    lam = jax.random.beta(kl, alpha, alpha)
+    lam = jnp.maximum(lam, 1.0 - lam)
+    perm = jax.random.permutation(kp, x.shape[0])
+    mixed = lam * x + (1.0 - lam) * x[perm]
+    return mixed.astype(x.dtype), perm, lam
+
+
 AUGMENT_MODES = ("none", "flip", "crop", "all")
 
 

@@ -162,6 +162,55 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def _mixed_cross_entropy_loss(
+    params, images, labels, labels2, lam, hp: VitHParams, smooth: float
+) -> jax.Array:
+    """Mixup loss: one forward on the pre-mixed batch, CE against both
+    label sets weighted by the (traced) mixing coefficient."""
+    logits = forward(
+        params,
+        images,
+        hp,
+        attn_impl="pallas-train",
+        remat="dots+attn",
+        unroll=hp.num_hidden_layers,
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    def ce(y):
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)
+        if smooth:
+            uniform = -jnp.mean(logp, axis=-1, keepdims=True)
+            nll = (1.0 - smooth) * nll + smooth * uniform
+        return jnp.mean(nll)
+
+    return lam * ce(labels) + (1.0 - lam) * ce(labels2)
+
+
+@partial(
+    jax.jit, static_argnames=("hp", "optimizer", "smooth"), donate_argnums=(0,)
+)
+def train_step_mixup(
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    labels2: jax.Array,
+    lam: jax.Array,
+    hp: VitHParams,
+    optimizer,
+    smooth: float = 0.0,
+) -> Tuple[TrainState, jax.Array]:
+    """Classifier step on a mixup batch (ops/augment.mixup_batch): images
+    are already mixed; `labels2 = labels[perm]` and `lam` is the traced
+    mixing scalar, so every lambda draw reuses one compiled program."""
+    loss, grads = jax.value_and_grad(_mixed_cross_entropy_loss)(
+        state.params, images, labels, labels2, lam, hp, smooth
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 @partial(
     jax.jit,
     static_argnames=("hp", "optimizer", "accum", "loss_fn"),
