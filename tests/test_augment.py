@@ -310,6 +310,7 @@ class TestFinetuneIntegration:
             lr=1e-3,
             augment="all",
             label_smoothing=0.1,
+            mixup=0.2,  # x[perm]/take(by, perm) gather across dp shards
             mesh=mesh,
             log=lambda m: None,
         )
