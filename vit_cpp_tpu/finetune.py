@@ -284,6 +284,12 @@ def finetune(
 
     Resumable: when `ckpt_dir` holds a previous run's state, training
     continues from its step count (epochs already covered are skipped).
+
+    `augment` ("none"/"flip"/"crop"/"all"), `mixup` (Beta alpha, 0 = off)
+    and `label_smoothing` are classifier-only (ops/augment.py); all
+    randomness keys off (seed, global update index) so resumed runs
+    replay the exact stream — every one of these settings is recorded in
+    the checkpoint's sibling meta and validated on resume.
     """
     import jax
     import jax.numpy as jnp
