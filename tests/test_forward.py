@@ -141,3 +141,20 @@ def test_forward_debug_stage_capture(tiny_setup):
     # stage capture agrees with the float64 oracle end to end
     np.testing.assert_allclose(np.asarray(acts["logits"]), golden, atol=1e-3)
     print_t("embed", acts["embed"])  # smoke: console dump shape
+
+
+def test_forward_features_is_the_pooled_stage(tiny_setup):
+    """forward(features=True) returns the final-LN pooled representation —
+    exactly forward_debug's 'pooled' stage (the vit_encode_image encoder
+    output, vit.cpp:903-920) — with the head never applied."""
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.models.vit import forward, forward_debug
+
+    state, images, _ = tiny_setup
+    params = params_from_state_dict(state, TINY)
+    feats = forward(params, jnp.asarray(images), TINY, features=True)
+    assert feats.shape == (2, TINY.hidden_size)
+    acts = forward_debug(params, images, TINY)
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(acts["pooled"]), atol=1e-5
+    )

@@ -113,6 +113,36 @@ class TestVitServer:
         assert batcher.n_requests - n0_req == 8
         assert batcher.n_batches - n0_batch < 8
 
+    def test_embed_route_matches_engine_features(self, vit_server):
+        """POST /v1/embed returns the final-LN pooled feature vector —
+        identical to the engine's own features_batch on the same pixels."""
+        engine, base, _ = vit_server
+        png = _png_bytes(4)
+        code, body = _post(f"{base}/v1/embed", png)
+        assert code == 200
+        assert body["shape"] == [engine.hp.hidden_size]
+        img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        want = np.asarray(
+            engine.features_batch(engine.preprocess_image(img)[None])
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(body["embedding"], np.float32), want, atol=1e-5
+        )
+
+    def test_embed_file_matches_features_batch(self, vit_server, tmp_path):
+        """VitEngine.embed_file = decode + preprocess + features."""
+        engine, _, _ = vit_server
+        png = _png_bytes(5)
+        p = tmp_path / "img.png"
+        p.write_bytes(png)
+        feat = engine.embed_file(str(p))
+        assert feat.shape == (engine.hp.hidden_size,)
+        img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        want = np.asarray(
+            engine.features_batch(engine.preprocess_image(img)[None])
+        )[0]
+        np.testing.assert_allclose(feat, want, atol=1e-6)
+
     def test_bad_image_400(self, vit_server):
         _, base, _ = vit_server
         with pytest.raises(urllib.error.HTTPError) as e:

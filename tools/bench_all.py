@@ -95,10 +95,25 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_DETAILS.json")
     ap.add_argument("--timeout", type=int, default=1800, help="per config, s")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip configs already present (without error) in --out",
+    )
     args = ap.parse_args(argv)
 
     results = {}
+    if args.resume:
+        try:
+            with open(args.out) as f:
+                results = {
+                    k: v for k, v in json.load(f).items() if "error" not in v
+                }
+            print(f"resuming: {len(results)} configs kept", file=sys.stderr)
+        except (OSError, json.JSONDecodeError):
+            pass
     for name, flags in CONFIGS:
+        if name in results:
+            continue
         print(f"=== {name}: bench.py {' '.join(flags)}", file=sys.stderr)
         try:
             proc = subprocess.run(

@@ -242,6 +242,43 @@ class VitEngine:
             images = jax.device_put(images, sharding)
         return self._predict(self.params, images)
 
+    def features_batch(self, images: jax.Array) -> jax.Array:
+        """images: (B, C, S, S) preprocessed -> (B, hidden) final-LN pooled
+        features ((B, seq_len, hidden) for sequence heads) — the encoder
+        output without the classifier head (models/vit.py forward
+        features=True). Jitted lazily on first use; serving-path knobs
+        (attn/mm impl, fold-ln, static scales, shardings) all apply."""
+        if self._needs_calibration:
+            self.calibrate(images)
+        fn = getattr(self, "_features", None)
+        if fn is None:
+            from vit_cpp_tpu.models.vit import forward
+
+            def _feat(params, images):
+                with jax.default_matmul_precision(self.matmul_precision):
+                    return forward(
+                        params,
+                        images,
+                        self.hp,
+                        attn_impl=self._attn_impl,
+                        mm_impl=self._mm_impl,
+                        features=True,
+                    )
+
+            self._features = fn = jax.jit(_feat)
+        sharding = getattr(self, "_batch_sharding", None)
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+        return fn(self.params, images)
+
+    def embed_file(self, path: str) -> np.ndarray:
+        """Decode, preprocess, encode: one image -> (hidden,) feature
+        vector (or (seq_len, hidden)). The retrieval-embedding entry
+        point; callers L2-normalize if their similarity metric needs it."""
+        img = load_image_rgb(path)
+        pixels = self.preprocess_image(img)
+        return np.asarray(self.features_batch(pixels[None])[0])
+
     def classify_file(
         self, path: str, topk: int = 5, verbose: bool = True
     ) -> List[Tuple[int, float, str]]:

@@ -146,11 +146,19 @@ def forward(
     unroll: int = 1,
     remat: bool = False,
     pad_tokens: bool = False,
+    features: bool = False,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
 
     Returns (B, num_classes) for classification, or (B, seq_len, num_classes)
     when hp.seq_len is set (ViTSTR sequence head).
+
+    `features=True` stops before the classifier head and returns the
+    final-LN pooled representation instead — (B, hidden) for classifiers,
+    (B, seq_len, hidden) for sequence heads. This is the encoder output
+    the reference's `vit_encode_image` name promises (the CLS pool +
+    final LN stage, vit.cpp:903-920, minus head+softmax) and the
+    embedding a retrieval/similarity deployment serves.
 
     `unroll` forwards to lax.scan over the stacked blocks: >1 trades
     compile time for fewer scan-carry copies between layers. `remat`
@@ -222,6 +230,8 @@ def forward(
     else:
         pooled = x[:, : hp.seq_len]  # ViTSTR 25-token readout
     pooled = layernorm(pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps)
+    if features:
+        return pooled
     logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"], impl=mm_impl)
     return logits
 

@@ -14,10 +14,15 @@ Endpoints (single model, create_server):
   GET  /stats                 -> request/batch counters
   POST /v1/classify[?topk=K]  -> {"topk": [{"id", "label", "prob"}, ...]}
   POST /v1/recognize          -> {"text", "confidence"}   (ViTSTR models)
+  POST /v1/embed              -> {"shape": [...], "embedding": [floats]}
+                                 (final-LN pooled features; live engines
+                                 only — an AotEngine exports one fixed
+                                 program, which is the classifier)
 
 Multi-model (create_multi_server, `vit-server -m name=path` repeated):
-each model gets its own MicroBatcher and POST route
-/v1/<name>/classify|recognize; /healthz and /stats report per model.
+each model gets its own MicroBatcher and POST routes
+/v1/<name>/classify|recognize + /v1/<name>/embed; /healthz and /stats
+report per model.
 
 Request body = raw image bytes (JPEG/PNG/BMP/PNM via the native decoder,
 anything else via PIL).
@@ -208,8 +213,10 @@ def make_handler(
 ):
     """Single-model request handler (legacy routes /v1/classify|recognize)."""
     m = _Model(None, engine, batcher)
-    route = "/v1/recognize" if m.is_vitstr else "/v1/classify"
-    return _make_handler({route: m}, single=m, timeout_s=timeout_s,
+    routes = {("/v1/recognize" if m.is_vitstr else "/v1/classify"): (m, None)}
+    if hasattr(engine, "features_batch"):
+        routes["/v1/embed"] = (m, "embed")
+    return _make_handler(routes, single=m, timeout_s=timeout_s,
                          max_body_bytes=max_body_bytes)
 
 
@@ -218,11 +225,14 @@ def make_multi_handler(
     timeout_s: float = 30.0,
     max_body_bytes: int = 32 * 1024 * 1024,
 ):
-    """Multi-model handler: routes /v1/<name>/classify|recognize per model."""
+    """Multi-model handler: routes /v1/<name>/classify|recognize (+ embed)
+    per model."""
     routes = {}
     for m in models:
         kind = "recognize" if m.is_vitstr else "classify"
-        routes[f"/v1/{m.name}/{kind}"] = m
+        routes[f"/v1/{m.name}/{kind}"] = (m, None)
+        if hasattr(m.engine, "features_batch"):
+            routes[f"/v1/{m.name}/embed"] = (m, "embed")
     return _make_handler(routes, single=None, timeout_s=timeout_s,
                          max_body_bytes=max_body_bytes)
 
@@ -251,7 +261,9 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                         200,
                         {
                             "ok": True,
-                            "models": {m.name: m.health() for m in routes.values()},
+                            "models": {
+                                m.name: m.health() for m, _ in routes.values()
+                            },
                         },
                     )
             elif self.path == "/stats":
@@ -271,7 +283,7 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                                 "requests": m.batcher.n_requests,
                                 "batches": m.batcher.n_batches,
                             }
-                            for m in routes.values()
+                            for m, _ in routes.values()
                         },
                     )
             else:
@@ -279,7 +291,7 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
 
         def do_POST(self):
             path, _, query = self.path.partition("?")
-            model = routes.get(path)
+            model, kind = routes.get(path, (None, None))
             if model is None:
                 self._json(
                     404,
@@ -306,6 +318,26 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                         self._json(400, {"error": f"bad query {kv!r}"})
                         return
             pixels = model.preprocess(img)
+            if kind == "embed":
+                # direct dispatch in the handler thread (B=1 program),
+                # not micro-batched: embeddings are the secondary route
+                # and must not cost a second warmed-up batcher per model
+                try:
+                    feat = np.asarray(
+                        model.engine.features_batch(pixels[None])[0],
+                        dtype=np.float32,
+                    )
+                except Exception as e:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self._json(
+                    200,
+                    {
+                        "shape": list(feat.shape),
+                        "embedding": [float(v) for v in feat.reshape(-1)],
+                    },
+                )
+                return
             try:
                 probs = model.batcher.submit(pixels).result(timeout=timeout_s)
             except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
