@@ -153,6 +153,67 @@ def test_resume_is_bit_identical(model_path, tmp_path):
     )
 
 
+def test_ema_lags_raw_weights_and_serves(model_path, tmp_path):
+    """--ema returns the weight EMA (timm ModelEma semantics): with a
+    decay near 1 the returned params stay close to the init while the raw
+    run's move away — and the EMA head still serves/export-round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.engine import VitEngine, detect_hparams
+    from vit_cpp_tpu.finetune import _dense_f32, _reinit_head, finetune
+    from vit_cpp_tpu.gguf.reader import read_model
+    from vit_cpp_tpu.models.export import save_params
+    from vit_cpp_tpu.models.params import load_params
+
+    data = _make_dataset(tmp_path / "train")
+    kw = dict(epochs=2, batch=4, lr=1e-3, seed=5, log=lambda m: None)
+    raw, hp, classes, _ = finetune(model_path, data, **kw)
+    ema, _, _, _ = finetune(model_path, data, ema=0.9, **kw)
+
+    mf = read_model(model_path)
+    init, _ = _reinit_head(
+        _dense_f32(load_params(mf, jnp.float32)), detect_hparams(mf), 2
+    )
+
+    def dist(a, b):
+        leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+        return float(sum(jnp.sum((x - y) ** 2) for x, y in zip(leaves_a, leaves_b)))
+
+    # EMA lags: closer to the init than the raw weights are
+    assert 0 < dist(ema, init) < dist(raw, init)
+    # ...and the EMA relation holds exactly per-step is covered by the
+    # resume test below; here just prove the artifact serves
+    out = str(tmp_path / "ema.gguf")
+    save_params(out, ema, hp, id2label=dict(enumerate(classes)))
+    VitEngine(out, verbose=False).classify_file(
+        str(tmp_path / "train" / "aa_dark" / "0.png"), topk=1, verbose=False
+    )
+
+
+def test_ema_resume_is_bit_identical(model_path, tmp_path):
+    """The EMA tree rides the orbax checkpoint: straight-through and
+    resumed runs return the same EMA weights bit-for-bit."""
+    import jax
+
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    kw = dict(batch=4, lr=1e-3, seed=3, ema=0.8, log=lambda m: None)
+
+    straight, _, _, _ = finetune(model_path, data, epochs=3, **kw)
+
+    ck = str(tmp_path / "ckpt")
+    finetune(model_path, data, epochs=2, ckpt_dir=ck, **kw)
+    resumed, _, _, _ = finetune(model_path, data, epochs=3, ckpt_dir=ck, **kw)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        straight,
+        resumed,
+    )
+
+
 def test_grad_accum_matches_big_batch(model_path, tmp_path):
     """grad_accum=2 with batch=4 produces the same updates as one batch=8
     step (mean-of-grads == grad-of-mean for equal micro sizes)."""

@@ -69,6 +69,12 @@ def main(argv=None) -> int:
         "classifier only, incompatible with --grad-accum > 1)",
     )
     ap.add_argument(
+        "--ema", type=float, default=0.0, metavar="DECAY",
+        help="maintain an exponential moving average of the weights "
+        "(e.g. 0.999) and write THAT to the output gguf; validation "
+        "scores the EMA weights (0 = off)",
+    )
+    ap.add_argument(
         "--mu-dtype", choices=["f32", "bf16"], default="f32",
         help="adamw first-moment dtype (bf16 halves that buffer's memory "
         "and HBM traffic in the update; momentum precision cost is "
@@ -129,6 +135,7 @@ def main(argv=None) -> int:
             augment=args.augment,
             label_smoothing=args.label_smooth,
             mixup=args.mixup,
+            ema=args.ema,
             mesh=mesh,
             ckpt_dir=args.ckpt_dir,
             seed=args.seed,

@@ -205,6 +205,24 @@ def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
 
 _EVAL_FWD = None  # persistent jitted fns: per-epoch eval must not retrace
 _EVAL_FWD_PROBS = None
+_EMA_UPDATE = None
+
+
+def _ema_update():
+    """Jitted EMA step `e := d*e + (1-d)*p` over the params pytree; the old
+    EMA buffers are donated (the update is pure HBM traffic — same class
+    as the adamw update, ~1.7 ms at ViT-B/16, TUNING train breakdown)."""
+    global _EMA_UPDATE
+    if _EMA_UPDATE is None:
+        import jax
+
+        _EMA_UPDATE = jax.jit(
+            lambda e, p, d: jax.tree.map(
+                lambda ev, pv: ev * d + pv * (1.0 - d), e, p
+            ),
+            donate_argnums=0,
+        )
+    return _EMA_UPDATE
 
 
 def _eval_fwd():
@@ -273,6 +291,7 @@ def finetune(
     augment: str = "none",
     label_smoothing: float = 0.0,
     mixup: float = 0.0,
+    ema: float = 0.0,
     mesh=None,
     ckpt_dir: Optional[str] = None,
     seed: int = 0,
@@ -290,6 +309,13 @@ def finetune(
     randomness keys off (seed, global update index) so resumed runs
     replay the exact stream — every one of these settings is recorded in
     the checkpoint's sibling meta and validated on resume.
+
+    `ema` > 0 maintains an exponential moving average of the weights
+    (timm ModelEma semantics: init = the starting params, e := d*e +
+    (1-d)*p after every update, no bias correction) and RETURNS the EMA
+    params — that is what you serve. Validation also scores the EMA
+    weights. The EMA tree rides the orbax checkpoint, so resumes are
+    bit-identical.
     """
     import jax
     import jax.numpy as jnp
@@ -316,6 +342,8 @@ def finetune(
     aug_flip, aug_crop = augment_flags(augment)  # validates the mode
     if mixup < 0:
         raise ValueError(f"mixup alpha must be >= 0, got {mixup}")
+    if not 0.0 <= ema < 1.0:
+        raise ValueError(f"ema decay must be in [0, 1), got {ema}")
     if mixup and grad_accum > 1:
         # the accum scan's loss_fn contract is (params, x, y, hp); mixup
         # threads (y, y2, lam) — unsupported rather than silently wrong
@@ -389,6 +417,9 @@ def finetune(
             opt_state=optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+    # EMA starts as a COPY of the initial params: the train steps DONATE
+    # state.params, so an alias would read deleted buffers one step in
+    ema_params = jax.tree.map(jnp.copy, state.params) if ema else None
 
     # validate cheap things BEFORE the expensive dataset preprocessing
     vpaths = vlabels = None
@@ -430,6 +461,7 @@ def finetune(
         "augment": augment,
         "label_smoothing": label_smoothing,
         "mixup": mixup,
+        "ema": ema,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -476,7 +508,15 @@ def finetune(
             )
         from vit_cpp_tpu.parallel.checkpoint import restore_train_state
 
-        state = restore_train_state(ckpt_dir, state)
+        # the EMA tree rides the same leaf-keyed checkpoint (saved as the
+        # (state, ema) tuple); the meta validation above guarantees the
+        # template structure matches what was saved
+        if ema:
+            state, ema_params = restore_train_state(
+                ckpt_dir, (state, ema_params)
+            )
+        else:
+            state = restore_train_state(ckpt_dir, state)
         log(f"finetune: resumed from {ckpt_dir} at step {int(state.step)}")
 
     log(f"finetune: preprocessing {len(paths)} images ...")
@@ -558,24 +598,30 @@ def finetune(
                 state, loss = train_step(
                     state, bx, by, hp, optimizer, smooth=label_smoothing
                 )
+            if ema:
+                ema_params = _ema_update()(ema_params, state.params, ema)
             epoch_losses.append(float(loss))
         mean_loss = float(np.mean(epoch_losses))
         losses.append(mean_loss)
         msg = f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}"
         if val is not None:
+            # score what will be served: the EMA weights when enabled
+            eval_params = ema_params if ema else state.params
             if is_vitstr:
-                acc = evaluate_vitstr(state.params, hp, val[0], val[1], batch)
-                msg += f", val word-acc {acc:.3f}"
+                acc = evaluate_vitstr(eval_params, hp, val[0], val[1], batch)
+                msg += f", val word-acc{' (ema)' if ema else ''} {acc:.3f}"
             else:
-                acc = evaluate(state.params, hp, val[0], val[1], batch)
-                msg += f", val top-1 {acc:.3f}"
+                acc = evaluate(eval_params, hp, val[0], val[1], batch)
+                msg += f", val top-1{' (ema)' if ema else ''} {acc:.3f}"
         log(msg)
         if ckpt_dir:
             import json
 
             from vit_cpp_tpu.parallel.checkpoint import save_train_state
 
-            save_train_state(ckpt_dir, state)
+            save_train_state(
+                ckpt_dir, (state, ema_params) if ema else state
+            )
             with open(meta_path, "w") as f:
                 json.dump(run_meta, f)
-    return state.params, hp, classes, losses
+    return (ema_params if ema else state.params), hp, classes, losses
