@@ -120,6 +120,28 @@ class TestServe:
         ips = throughput(engine, paths, batch=4)
         assert ips > 0
 
+    def test_embed_files_parity_and_failures(self, serve_setup):
+        """embed_files yields the same vectors as the engine's own
+        embed_file parity path, in input order, with failed decodes
+        marked vector=None."""
+        from vit_cpp_tpu.engine import VitEngine
+        from vit_cpp_tpu.serve import embed_files
+
+        model, paths = serve_setup
+        engine = VitEngine(model, verbose=False)
+        results = list(embed_files(engine, paths, batch=3))
+        assert [e.path for e in results] == paths
+        by_path = {e.path: e for e in results}
+        assert by_path[paths[3]].vector is None
+        for p in paths:
+            if p == paths[3]:
+                continue
+            vec = by_path[p].vector
+            assert vec.shape == (engine.hp.hidden_size,)
+            np.testing.assert_allclose(
+                vec, engine.embed_file(p), atol=1e-5
+            )
+
 
 class TestServeCli:
     def test_cli_smoke(self, serve_setup, capsys):
@@ -131,6 +153,26 @@ class TestServeCli:
         out = capsys.readouterr().out.strip().splitlines()
         assert len(out) >= 3  # broken.jpg goes to stderr
         assert all("\t" in l for l in out)
+
+    def test_cli_embed_writes_npy_and_paths(self, serve_setup, tmp_path):
+        from vit_cpp_tpu.cli.serve import main
+        from vit_cpp_tpu.engine import VitEngine
+
+        model, paths = serve_setup
+        out = str(tmp_path / "feats.npy")
+        rc = main(
+            ["-m", model, "--dtype", "f32", "--attn", "xla", "--mm", "xla",
+             "-b", "4", "--embed", out, *paths]
+        )
+        assert rc == 0
+        feats = np.load(out)
+        kept = (tmp_path / "feats.paths.txt").read_text().splitlines()
+        assert len(kept) == len(paths) - 1  # broken.jpg skipped
+        engine = VitEngine(model, verbose=False)
+        assert feats.shape == (len(kept), engine.hp.hidden_size)
+        np.testing.assert_allclose(
+            feats[0], engine.embed_file(kept[0]), atol=1e-5
+        )
 
 
 class TestServeVitstrAutoDetect:

@@ -52,6 +52,13 @@ def main(argv=None) -> int:
         help="fold LN affines into adjacent matmuls (default: on for the "
         "int8 serving path, off otherwise)",
     )
+    ap.add_argument(
+        "--embed", metavar="OUT.npy", default=None,
+        help="extract embeddings instead of classifying: write an (N, "
+        "hidden) f32 .npy of final-LN pooled features plus OUT.paths.txt "
+        "(one kept path per line; failed decodes are skipped). gguf "
+        "engines only — a .vitx artifact bakes the classifier program.",
+    )
     ap.add_argument("--decode-threads", type=int, default=0)
     ap.add_argument(
         "--mesh",
@@ -105,6 +112,13 @@ def main(argv=None) -> int:
         # size were baked at export; the program is single-chip by contract
         from vit_cpp_tpu.aot import AotEngine
 
+        if args.embed:
+            print(
+                "--embed is not supported for .vitx artifacts (the exported "
+                "program is the classifier); serve the gguf instead",
+                file=sys.stderr,
+            )
+            return 1
         if args.mesh:
             print(
                 "--mesh is not supported for .vitx artifacts (the exported "
@@ -165,6 +179,14 @@ def main(argv=None) -> int:
     )
     if mesh is not None:
         engine.shard(mesh)
+    if args.embed:
+        return _embed_loop(
+            engine,
+            paths,
+            out=args.embed,
+            batch=args.batch,
+            decode_threads=args.decode_threads,
+        )
     return _serve_loop(
         engine,
         is_vitstr,
@@ -173,6 +195,39 @@ def main(argv=None) -> int:
         topk=args.topk,
         decode_threads=args.decode_threads,
     )
+
+
+def _embed_loop(engine, paths, *, out: str, batch: int, decode_threads: int) -> int:
+    """Bulk feature extraction -> OUT.npy (N, hidden) + OUT.paths.txt."""
+    import numpy as np
+
+    from vit_cpp_tpu.serve import embed_files
+
+    t0 = time.perf_counter()
+    kept, vecs = [], []
+    for e in embed_files(
+        engine, paths, batch=batch, decode_threads=decode_threads
+    ):
+        if e.vector is None:
+            print(f"{e.path}\t<decode failed>", file=sys.stderr)
+            continue
+        kept.append(e.path)
+        vecs.append(e.vector)
+    if not vecs:
+        print("no decodable images", file=sys.stderr)
+        return 1
+    np.save(out, np.stack(vecs))
+    paths_txt = out[: -len(".npy")] + ".paths.txt" if out.endswith(".npy") else out + ".paths.txt"
+    with open(paths_txt, "w", encoding="utf-8") as f:
+        f.write("\n".join(kept) + "\n")
+    dt = time.perf_counter() - t0
+    print(
+        f"serve: embedded {len(kept)}/{len(paths)} images in {dt:.2f}s "
+        f"= {len(kept) / max(dt, 1e-9):.1f} images/sec -> {out} "
+        f"({len(kept)} x {vecs[0].shape[-1]}) + {paths_txt}",
+        file=sys.stderr,
+    )
+    return 0
 
 
 def _serve_loop(

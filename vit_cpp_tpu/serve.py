@@ -222,6 +222,93 @@ def recognize_files(
         stop.set()
 
 
+@dataclasses.dataclass
+class Embedding:
+    path: str
+    vector: Optional[np.ndarray]  # (hidden,) f32, or None on decode failure
+
+
+def embed_files(
+    engine: VitEngine,
+    paths: Iterable[str],
+    *,
+    batch: int = 64,
+    decode_threads: int = 0,
+    prefetch: int = 2,
+) -> Iterator[Embedding]:
+    """Bulk feature extraction: the serve_files pipeline with the head
+    replaced by the final-LN pooled encoder output (engine.features_batch)
+    — the index-building counterpart of the daemon's /v1/embed route.
+    Yields (path, (hidden,) f32 vector) in input order; failed decodes
+    yield vector=None. Sequence-head models yield (seq_len, hidden)."""
+    import os
+
+    if decode_threads <= 0:
+        decode_threads = os.cpu_count() or 1
+    is_seq = engine.hp.seq_len is not None
+    paths = list(paths)
+    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for chunk in chunks:
+                if stop.is_set():
+                    return
+                images = _decode_many(chunk, decode_threads)
+                ok = [im is not None for im in images]
+                pixels = None
+                if any(ok):
+                    imgs = [im for im in images if im is not None]
+                    while len(imgs) < batch:
+                        imgs.append(imgs[0])
+                    if is_seq:
+                        from vit_cpp_tpu.models.vitstr import (
+                            preprocess_grayscale_batch,
+                        )
+
+                        pixels = preprocess_grayscale_batch(
+                            imgs, engine.hp.img_size
+                        )
+                    else:
+                        pixels = preprocess_batch(
+                            imgs,
+                            engine.hp.img_size,
+                            mode=engine.hp.interpolation,
+                        )
+                q.put((chunk, ok, pixels))
+            q.put(None)
+        except BaseException as e:  # re-raised in the consumer
+            q.put(_ProducerError(e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, _ProducerError):
+                raise item.exc
+            chunk, ok, pixels = item
+            feats = None
+            if pixels is not None:
+                n = sum(ok)
+                feats = np.asarray(
+                    engine.features_batch(pixels), dtype=np.float32
+                )[:n]
+            j = 0
+            for p, good in zip(chunk, ok):
+                if not good:
+                    yield Embedding(p, None)
+                    continue
+                yield Embedding(p, feats[j])
+                j += 1
+    finally:
+        stop.set()
+
+
 def throughput(
     engine: VitEngine, paths: Sequence[str], *, batch: int = 64, **kw
 ) -> float:
