@@ -322,6 +322,14 @@ def test_mesh_finetune_runs(model_path, tmp_path):
     )
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
     assert np.isfinite(np.asarray(params["head"]["kernel"])).all()
+    # EMA over sharded params: the copy/update tree ops preserve the mesh
+    # layout and the returned EMA weights are finite and head-moved
+    ema, _, _, _ = finetune(
+        model_path, data, epochs=2, batch=8, lr=1e-3, mesh=mesh, ema=0.8,
+        log=lambda m: None,
+    )
+    k = np.asarray(ema["head"]["kernel"])
+    assert np.isfinite(k).all() and np.abs(k).sum() > 0
 
 
 def test_cli_end_to_end(model_path, tmp_path, capsys):
