@@ -58,6 +58,49 @@ def test_wrong_batch_rejected(model_path, tmp_path):
         aot.predict_probs_batch(_pixels(3))
 
 
+def test_multi_batch_artifact(model_path, tmp_path):
+    """One artifact, several batch programs (vit-export -b 1,4): every
+    exported size serves with exact parity, the single-image front end
+    runs the SMALLEST (latency) program, and unexported sizes fail with
+    the batch list."""
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    engine = VitEngine(model_path, verbose=False)
+    out = str(tmp_path / "m.vitx")
+    meta = save_engine(engine, out, batch=[4, 1])
+    assert meta["batches"] == [1, 4] and meta["batch"] == 4
+
+    aot = AotEngine(out)
+    assert aot.batches == [1, 4] and aot.batch == 4
+    for b in (1, 4):
+        x = _pixels(b)
+        np.testing.assert_allclose(
+            np.asarray(aot.predict_probs_batch(x)),
+            np.asarray(engine.predict_probs_batch(x)),
+            atol=1e-5,
+            rtol=1e-5,
+        )
+    with pytest.raises(ValueError, match="batches 1/4"):
+        aot.predict_probs_batch(_pixels(2))
+
+    # single-image path: identical result whether the artifact also
+    # carries the big batch (it must pick b=1, not broadcast to 4)
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = tmp_path / "i.png"
+    Image.fromarray(
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ).save(img)
+    got = aot.classify_file(str(img), topk=1, verbose=False)[0]
+    b4only = str(tmp_path / "m4.vitx")
+    save_engine(engine, b4only, batch=4)
+    want = AotEngine(b4only).classify_file(str(img), topk=1, verbose=False)[0]
+    assert got[0] == want[0]
+    np.testing.assert_allclose(got[1], want[1], atol=1e-5)
+
+
 def test_bad_magic_rejected(tmp_path):
     from vit_cpp_tpu.aot import AotEngine
 

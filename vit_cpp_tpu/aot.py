@@ -9,11 +9,20 @@ analogue of shipping the reference's ggml file + binary as one unit, with
 the trace/compile cost paid at build time instead of at serving start
 (complementary to utils/compile_cache.py, which caches per-machine).
 
-File layout:  b"VITX\\x01" | u32 json_len | meta json | jax.export blob
+File layout:  b"VITX\\x01" | u32 json_len | meta json | jax.export blob(s)
 
 The exported program is pinned to a fixed (batch, C, S, S) input (batch
 padding is the serving layer's job — serve.py and server.py already pad
 to a fixed batch) and to the lowering platform(s) recorded at export.
+
+An artifact may carry SEVERAL batch sizes (`vit-export -b 1,64`): one
+exported program per size, concatenated after the metadata
+(meta["batches"] + meta["blob_lengths"] index them). One file then
+serves both the latency path (the single-image CLIs pick the smallest
+batch instead of broadcasting into the big program) and the throughput
+path (serve/server use meta["batch"] = the largest). Weights are
+constant-folded into EACH program, so N batch entries cost ~N x the
+model size on disk — the price of a zero-trace deploy artifact.
 """
 
 from __future__ import annotations
@@ -28,8 +37,11 @@ import numpy as np
 MAGIC = b"VITX\x01"
 
 
-def export_engine(engine, batch: int, platforms=None) -> bytes:
-    """Serialize `engine`'s serving function for a fixed batch size.
+def export_engine(engine, batch, platforms=None) -> bytes:
+    """Serialize `engine`'s serving function for fixed batch size(s).
+
+    `batch` is an int or a list of ints — one exported program per size
+    in one artifact (docstring above: latency + throughput in one file).
 
     Weights are closed over (constant-folded into the artifact); the
     exported callable maps (batch, in_chans, S, S) f32 pixels ->
@@ -68,6 +80,12 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
                 params, images, hp, attn_impl=attn_impl, mm_impl=mm_impl
             )
 
+    batches = sorted(
+        {int(b) for b in (batch if isinstance(batch, (list, tuple)) else [batch])}
+    )
+    if not batches or batches[0] < 1:
+        raise ValueError(f"batch sizes must be >= 1, got {batches}")
+
     jit_kw: Dict[str, Any] = {}
     x_sharding = None
     if mesh is not None:
@@ -75,25 +93,34 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
 
         x_sharding = NamedSharding(mesh, P("data"))
         jit_kw = dict(in_shardings=x_sharding, out_shardings=x_sharding)
-    x = jax.ShapeDtypeStruct(
-        (batch, hp.in_chans, hp.img_size, hp.img_size),
-        jnp.float32,
-        sharding=x_sharding,
-    )
     disabled = [
         jex.DisabledSafetyCheck.custom_call("tpu_custom_call"),
         jex.DisabledSafetyCheck.custom_call("Mosaic"),
     ]
-    exp = jex.export(
-        jax.jit(serve_fn, **jit_kw),
-        platforms=platforms,
-        disabled_checks=disabled,
-    )(x)
+    blobs = []
+    exp_platforms = None
+    for b in batches:
+        x = jax.ShapeDtypeStruct(
+            (b, hp.in_chans, hp.img_size, hp.img_size),
+            jnp.float32,
+            sharding=x_sharding,
+        )
+        exp = jex.export(
+            jax.jit(serve_fn, **jit_kw),
+            platforms=platforms,
+            disabled_checks=disabled,
+        )(x)
+        exp_platforms = list(exp.platforms)
+        blobs.append(exp.serialize())
     meta = {
-        "batch": batch,
+        # "batch" stays the single serving batch (the largest) so older
+        # readers and the serve/server CLIs keep working unchanged
+        "batch": batches[-1],
+        "batches": batches,
+        "blob_lengths": [len(b) for b in blobs],
         "hparams": dataclasses.asdict(hp),
         "id2label": {str(k): v for k, v in engine.id2label.items()},
-        "platforms": list(exp.platforms),
+        "platforms": exp_platforms,
         "attn_impl": attn_impl,
         "mm_impl": mm_impl,
     }
@@ -103,10 +130,10 @@ def export_engine(engine, batch: int, platforms=None) -> bytes:
             "axis_sizes": [int(mesh.shape[a]) for a in mesh.axis_names],
         }
     mj = json.dumps(meta).encode()
-    return MAGIC + struct.pack("<I", len(mj)) + mj + exp.serialize()
+    return MAGIC + struct.pack("<I", len(mj)) + mj + b"".join(blobs)
 
 
-def save_engine(engine, path: str, batch: int, platforms=None) -> Dict[str, Any]:
+def save_engine(engine, path: str, batch, platforms=None) -> Dict[str, Any]:
     blob = export_engine(engine, batch, platforms=platforms)
     with open(path, "wb") as f:
         f.write(blob)
@@ -162,9 +189,12 @@ def is_vitx(path: str) -> bool:
 
 class AotEngine:
     """Serve a .vitx artifact: drop-in for VitEngine's serving surface
-    (hp / id2label / preprocess_image / predict_probs_batch) with a FIXED
-    batch size — pair with serve_files(..., batch=engine.batch) or the
-    HTTP daemon's MicroBatcher(batch=engine.batch)."""
+    (hp / id2label / preprocess_image / predict_probs_batch) with FIXED
+    batch size(s) — pair with serve_files(..., batch=engine.batch) or the
+    HTTP daemon's MicroBatcher(batch=engine.batch). Multi-batch artifacts
+    expose every exported size through `.batches`; `.batch` is the
+    largest (the throughput batch) and the single-image front ends use
+    the smallest (the latency batch)."""
 
     def __init__(self, path: str):
         import time
@@ -180,6 +210,13 @@ class AotEngine:
             meta, blob = _split(f.read())
         self.meta = meta
         self.batch = int(meta["batch"])
+        self.batches = [int(b) for b in meta.get("batches", [self.batch])]
+        blob_lengths = meta.get("blob_lengths", [len(blob)])
+        if sum(blob_lengths) != len(blob):
+            raise ValueError(
+                f"{path}: blob_lengths {blob_lengths} do not cover the "
+                f"{len(blob)}-byte program section (truncated artifact?)"
+            )
         self.hp = VitHParams(**meta["hparams"])
         self.id2label = {int(k): v for k, v in meta["id2label"].items()}
         # fail at load, not per-request: platform mismatch is a deploy
@@ -196,7 +233,11 @@ class AotEngine:
                 f"vit-export --platforms {want} (or export on the "
                 "serving platform)"
             )
-        self._exported = jex.deserialize(blob)
+        self._programs = {}
+        off = 0
+        for b, n in zip(self.batches, blob_lengths):
+            self._programs[b] = jex.deserialize(blob[off : off + n])
+            off += n
         self._batch_sharding = None
         if "mesh" in meta:
             # sharded artifact: rebuild the export-time mesh over this
@@ -235,17 +276,20 @@ class AotEngine:
     def predict_probs_batch(self, images):
         import jax.numpy as jnp
 
-        if images.shape[0] != self.batch:
+        prog = self._programs.get(int(images.shape[0]))
+        if prog is None:
             raise ValueError(
-                f"artifact is compiled for batch {self.batch}, "
-                f"got {images.shape[0]} (pad at the serving layer)"
+                f"artifact is compiled for batch"
+                f"{'es' if len(self.batches) > 1 else ''} "
+                f"{'/'.join(map(str, self.batches))}, got {images.shape[0]} "
+                "(pad at the serving layer)"
             )
         images = jnp.asarray(images, jnp.float32)
         if self._batch_sharding is not None:
             import jax
 
             images = jax.device_put(images, self._batch_sharding)
-        return self._exported.call(images)
+        return prog.call(images)
 
     # -- single-image front ends (the vit / vitstr CLIs accept .vitx) ------
 
@@ -265,8 +309,11 @@ class AotEngine:
             print(
                 f"processed, out dims : ({self.hp.img_size} x {self.hp.img_size})"
             )
-        # artifact batch is fixed: broadcast the one image and read row 0
-        stacked = jnp.broadcast_to(pixels[None], (self.batch,) + pixels.shape)
+        # use the smallest exported batch (the latency program of a
+        # multi-batch artifact; the one program otherwise): broadcast the
+        # image and read row 0
+        b = min(self.batches)
+        stacked = jnp.broadcast_to(pixels[None], (b,) + pixels.shape)
         return np.asarray(self.predict_probs_batch(stacked)[0])
 
     def classify_file(self, path: str, topk: int = 5, verbose: bool = True):

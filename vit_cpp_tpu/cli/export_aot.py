@@ -21,7 +21,13 @@ def main(argv=None) -> int:
     ap.add_argument("model", nargs="?", help="input .gguf checkpoint")
     ap.add_argument("out", nargs="?", help="output .vitx artifact")
     ap.add_argument("--info", metavar="VITX", help="print an artifact's metadata")
-    ap.add_argument("-b", "--batch", type=int, default=64)
+    ap.add_argument(
+        "-b", "--batch", default="64", metavar="N[,N...]",
+        help="batch size(s) to export — a comma list (e.g. 1,64) embeds "
+        "one program per size in one artifact: the single-image CLIs use "
+        "the smallest (latency), serving uses the largest (throughput). "
+        "Weights are folded into each program (~N x model size on disk).",
+    )
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     ap.add_argument("--mm", choices=["xla", "pallas", "int8"], default="int8")
     ap.add_argument(
@@ -65,11 +71,16 @@ def main(argv=None) -> int:
         return 1
     platforms = args.platforms.split(",") if args.platforms else None
     try:
+        batches = [int(b) for b in str(args.batch).split(",")]
+    except ValueError:
+        print(f"bad --batch {args.batch!r}: want N or N,N,...", file=sys.stderr)
+        return 1
+    try:
         engine, _ = build_engine(
             args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
             fold_ln=args.fold_ln,
         )
-        meta = save_engine(engine, args.out, batch=args.batch, platforms=platforms)
+        meta = save_engine(engine, args.out, batch=batches, platforms=platforms)
     except (OSError, ValueError) as e:
         print(f"vit-export: {e}", file=sys.stderr)
         return 1
@@ -77,7 +88,9 @@ def main(argv=None) -> int:
 
     print(
         f"vit-export: {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
-        f"batch {meta['batch']}, platforms {meta['platforms']})",
+        f"batch{'es' if len(meta['batches']) > 1 else ''} "
+        f"{','.join(map(str, meta['batches']))}, "
+        f"platforms {meta['platforms']})",
         file=sys.stderr,
     )
     return 0
