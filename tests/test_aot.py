@@ -101,6 +101,54 @@ def test_multi_batch_artifact(model_path, tmp_path):
     np.testing.assert_allclose(got[1], want[1], atol=1e-5)
 
 
+def test_static_scale_export(model_path, tmp_path, capsys):
+    """vit-export --act static --calib-dir bakes calibrated activation
+    scales into the artifact: meta records act=static, and the artifact
+    matches the live statically-calibrated engine exactly."""
+    from PIL import Image
+
+    from vit_cpp_tpu.aot import AotEngine, read_meta
+    from vit_cpp_tpu.cli.common import build_engine, calibrate_engine_from_paths
+    from vit_cpp_tpu.cli.export_aot import main
+
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        Image.fromarray(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        ).save(calib / f"c{i}.png")
+
+    out = str(tmp_path / "m.vitx")
+    rc = main(
+        [model_path, out, "-b", "4", "--attn", "xla", "--act", "static",
+         "--calib-dir", str(calib)]
+    )
+    err = capsys.readouterr().err
+    if rc != 0:  # the guardrail legitimately may reject synthetic weights
+        assert "calibration rejected" in err
+        pytest.skip("guardrail rejected static scales on synthetic weights")
+    assert read_meta(out)["act"] == "static"
+
+    live, _ = build_engine(model_path, attn="xla", act="static")
+    assert calibrate_engine_from_paths(live, str(calib))
+    x = _pixels(4)
+    np.testing.assert_allclose(
+        np.asarray(AotEngine(out).predict_probs_batch(x)),
+        np.asarray(live.predict_probs_batch(x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_static_export_requires_calib(model_path, tmp_path, capsys):
+    from vit_cpp_tpu.cli.export_aot import main
+
+    rc = main([model_path, str(tmp_path / "m.vitx"), "--act", "static"])
+    assert rc == 1
+    assert "--calib-dir" in capsys.readouterr().err
+
+
 def test_bad_magic_rejected(tmp_path):
     from vit_cpp_tpu.aot import AotEngine
 

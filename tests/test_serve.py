@@ -154,6 +154,23 @@ class TestServeCli:
         assert len(out) >= 3  # broken.jpg goes to stderr
         assert all("\t" in l for l in out)
 
+    def test_cli_static_act_scales(self, serve_setup, capsys):
+        """--act static --calib-dir serves through the calibrated path
+        (or falls back to dynamic with the guardrail message) and still
+        classifies every decodable image."""
+        from vit_cpp_tpu.cli.serve import main
+
+        model, paths = serve_setup
+        good = [p for i, p in enumerate(paths) if i != 3][:4]
+        rc = main(
+            ["-m", model, "--attn", "xla", "--mm", "int8", "-b", "4",
+             "--act", "static", "--calib-dir",
+             str(__import__("os").path.dirname(good[0])), *good]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 4 and all("\t" in l for l in out)
+
     def test_cli_embed_writes_npy_and_paths(self, serve_setup, tmp_path):
         from vit_cpp_tpu.cli.serve import main
         from vit_cpp_tpu.engine import VitEngine

@@ -124,6 +124,12 @@ def export_engine(engine, batch, platforms=None) -> bytes:
         "attn_impl": attn_impl,
         "mm_impl": mm_impl,
     }
+    if mm_impl == "int8":
+        from vit_cpp_tpu.quant.int8 import params_have_static_scales
+
+        meta["act"] = (
+            "static" if params_have_static_scales(params) else "dynamic"
+        )
     if mesh is not None:
         meta["mesh"] = {
             "axis_names": list(mesh.axis_names),

@@ -15,17 +15,26 @@ def build_engine(
     mm: str = "int8",
     attn: str = "pallas-fast",
     fold_ln=None,
+    act: str = "dynamic",
 ):
     """gguf checkpoint or .vitx artifact -> (engine, is_vitstr).
 
     Artifacts carry their knobs baked at export; gguf engines get the
     CLI's dtype/mm/attn and the fold-ln default (on for the int8 serving
-    path, off otherwise)."""
+    path, off otherwise). `act="static"` selects calibrated static
+    activation scales (quant/calibrate.py): calibrate explicitly via
+    `calibrate_engine_from_paths` (or the first served batch, lazily)."""
     from vit_cpp_tpu.aot import is_vitx
 
     if is_vitx(path):
         from vit_cpp_tpu.aot import AotEngine
 
+        if act == "static":
+            raise ValueError(
+                "--act static does not apply to a .vitx artifact — its "
+                "activation scales were baked at export (vit-export "
+                "--act static --calib-dir ...)"
+            )
         engine = AotEngine(path)
         return engine, engine.hp.seq_len is not None
 
@@ -44,9 +53,54 @@ def build_engine(
         attn_impl=attn,
         mm_impl=mm,
         fold_ln=fold_ln,
+        act_quant=act,
         verbose=False,
     )
     return engine, is_vitstr
+
+
+def calibrate_engine_from_paths(engine, calib: str, n: int = 16) -> bool:
+    """Calibrate static activation scales from a directory (or one file)
+    of representative images; returns params_have_static_scales(engine
+    .params) — False means the agreement guardrail rejected the scales
+    and the engine fell back to dynamic quantization.
+
+    16 images are enough to pin the per-layer maxima (measured,
+    tests/test_w8a8_accuracy.py / docs/TUNING.md static-scale section).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.io.image import IMAGE_EXTS, load_image_rgb
+
+    paths = []
+    if os.path.isdir(calib):
+        for root, _, files in os.walk(calib):
+            paths.extend(
+                os.path.join(root, f)
+                for f in sorted(files)
+                if os.path.splitext(f)[1] in IMAGE_EXTS
+            )
+    else:
+        paths = [calib]
+    if not paths:
+        raise ValueError(f"no calibration images under {calib}")
+    pix = []
+    for p in paths:
+        if len(pix) >= n:
+            break
+        try:
+            pix.append(engine.preprocess_image(load_image_rgb(p)))
+        except (OSError, ValueError):  # undecodable file in the set
+            continue
+    if not pix:
+        raise ValueError(f"no decodable calibration images under {calib}")
+    pixels = jnp.stack(pix)
+    engine.calibrate(pixels)
+    from vit_cpp_tpu.quant.int8 import params_have_static_scales
+
+    return params_have_static_scales(engine.params)
 
 
 def model_spec(s: str) -> Tuple[str, str] | None:

@@ -37,6 +37,18 @@ def main(argv=None) -> int:
         "--fold-ln", action=argparse.BooleanOptionalAction, default=None
     )
     ap.add_argument(
+        "--act", choices=["dynamic", "static"], default="dynamic",
+        help="int8 activation quantization: 'static' bakes calibrated "
+        "per-tensor scales into the artifact (the fastest measured "
+        "serving config — no per-GEMM absmax passes; needs --calib-dir)",
+    )
+    ap.add_argument(
+        "--calib-dir", metavar="DIR",
+        help="representative images for --act static calibration (up to "
+        "16 used; the agreement guardrail rejects saturating scales and "
+        "fails the export)",
+    )
+    ap.add_argument(
         "--platforms", metavar="P1,P2",
         help="comma-separated lowering targets (cpu,tpu) — export on a CPU "
         "box for TPU serving; Pallas configs (--attn/--mm pallas*) can "
@@ -75,11 +87,35 @@ def main(argv=None) -> int:
     except ValueError:
         print(f"bad --batch {args.batch!r}: want N or N,N,...", file=sys.stderr)
         return 1
+    if args.act == "static" and args.mm != "int8":
+        print("vit-export: --act static requires --mm int8", file=sys.stderr)
+        return 1
+    if args.act == "static" and not args.calib_dir:
+        print(
+            "vit-export: --act static needs --calib-dir DIR "
+            "(representative images to calibrate on)",
+            file=sys.stderr,
+        )
+        return 1
     try:
         engine, _ = build_engine(
             args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
-            fold_ln=args.fold_ln,
+            fold_ln=args.fold_ln, act=args.act,
         )
+        if args.act == "static":
+            from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
+
+            if not calibrate_engine_from_paths(engine, args.calib_dir):
+                # a deploy artifact must not silently carry the dynamic
+                # fallback the engine's guardrail downgraded to
+                print(
+                    "vit-export: static calibration rejected by the "
+                    "agreement guardrail (scales would clip activations); "
+                    "use different calibration images or export --act "
+                    "dynamic",
+                    file=sys.stderr,
+                )
+                return 1
         meta = save_engine(engine, args.out, batch=batches, platforms=platforms)
     except (OSError, ValueError) as e:
         print(f"vit-export: {e}", file=sys.stderr)

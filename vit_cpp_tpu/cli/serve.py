@@ -53,6 +53,17 @@ def main(argv=None) -> int:
         "int8 serving path, off otherwise)",
     )
     ap.add_argument(
+        "--act", choices=["dynamic", "static"], default="dynamic",
+        help="int8 activation quantization: 'static' serves with "
+        "calibrated per-tensor scales (the fastest measured config; "
+        "guardrailed — falls back to dynamic on rejection). Calibrates "
+        "on --calib-dir when given, else on the first served batch.",
+    )
+    ap.add_argument(
+        "--calib-dir", metavar="DIR",
+        help="representative images for --act static (up to 16 used)",
+    )
+    ap.add_argument(
         "--embed", metavar="OUT.npy", default=None,
         help="extract embeddings instead of classifying: write an (N, "
         "hidden) f32 .npy of final-LN pooled features plus OUT.paths.txt "
@@ -119,6 +130,13 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.act == "static":
+            print(
+                "--act static does not apply to a .vitx artifact — its "
+                "scales were baked at export (vit-export --act static)",
+                file=sys.stderr,
+            )
+            return 1
         if args.mesh:
             print(
                 "--mesh is not supported for .vitx artifacts (the exported "
@@ -166,6 +184,9 @@ def main(argv=None) -> int:
         except ValueError as e:  # dp*tp != visible devices
             print(f"--mesh {args.mesh}: {e}", file=sys.stderr)
             return 1
+    if args.act == "static" and args.mm != "int8":
+        print("--act static requires --mm int8", file=sys.stderr)
+        return 1
     # sequence-head (ViTSTR) checkpoints are served with the greedy decoder
     is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
     cls = VitstrEngine if is_vitstr else VitEngine
@@ -175,10 +196,20 @@ def main(argv=None) -> int:
         attn_impl=args.attn,
         mm_impl=args.mm,
         fold_ln=fold_ln,
+        act_quant=args.act,
         verbose=False,
     )
     if mesh is not None:
         engine.shard(mesh)
+    if args.act == "static" and args.calib_dir:
+        from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
+
+        if not calibrate_engine_from_paths(engine, args.calib_dir):
+            print(
+                "serve: static calibration rejected by the guardrail; "
+                "serving with dynamic activation scales",
+                file=sys.stderr,
+            )
     if args.embed:
         return _embed_loop(
             engine,

@@ -41,6 +41,17 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--fold-ln", action=argparse.BooleanOptionalAction, default=None
     )
+    ap.add_argument(
+        "--act", choices=["dynamic", "static"], default="dynamic",
+        help="int8 activation quantization: 'static' serves with "
+        "calibrated per-tensor scales (fastest measured config). The "
+        "daemon warms up on a dummy batch, so static REQUIRES "
+        "--calib-dir; a guardrail rejection falls back to dynamic.",
+    )
+    ap.add_argument(
+        "--calib-dir", metavar="DIR",
+        help="representative images for --act static (up to 16 used)",
+    )
     ap.add_argument("--mesh", metavar="DPxTP", default=None)
     ap.add_argument(
         "--request-timeout", type=float, default=30.0,
@@ -66,6 +77,21 @@ def main(argv=None) -> int:
     from vit_cpp_tpu.cli.common import build_engine, model_spec
     from vit_cpp_tpu.server import create_multi_server, create_server
 
+    if args.act == "static":
+        # the warmup batch is zeros — lazy calibration would fix scales
+        # on it, so the daemon requires explicit calibration data
+        if args.mm != "int8":
+            print("--act static requires --mm int8", file=sys.stderr)
+            return 1
+        if not args.calib_dir:
+            print(
+                "--act static needs --calib-dir DIR (the daemon warms up "
+                "on a dummy batch, which must not become the calibration "
+                "set)",
+                file=sys.stderr,
+            )
+            return 1
+
     # multi-model when -m is repeated or a name=path spec ('=' inside a
     # plain path does NOT hijack: spec names must be '/'-free)
     multi = len(args.model) > 1 or model_spec(args.model[0]) is not None
@@ -88,10 +114,25 @@ def main(argv=None) -> int:
             if name in engines:
                 print(f"duplicate model name {name!r}", file=sys.stderr)
                 return 1
-            engines[name], _ = build_engine(
-                path, dtype=args.dtype, mm=args.mm, attn=args.attn,
-                fold_ln=args.fold_ln,
-            )
+            try:
+                engines[name], _ = build_engine(
+                    path, dtype=args.dtype, mm=args.mm, attn=args.attn,
+                    fold_ln=args.fold_ln, act=args.act,
+                )
+            except ValueError as e:  # e.g. --act static on a .vitx
+                print(f"vit-server: {name}: {e}", file=sys.stderr)
+                return 1
+            if args.act == "static":
+                from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
+
+                if not calibrate_engine_from_paths(
+                    engines[name], args.calib_dir
+                ):
+                    print(
+                        f"vit-server: {name}: static calibration rejected "
+                        "by the guardrail; serving dynamic",
+                        file=sys.stderr,
+                    )
             batches[name] = (
                 engines[name].batch
                 if is_vitx(path)
@@ -126,6 +167,13 @@ def main(argv=None) -> int:
     if is_vitx(model_path):
         # AOT artifact: engine knobs and batch baked at export; the
         # micro-batcher must use the artifact's compiled batch size
+        if args.act == "static":
+            print(
+                "--act static does not apply to a .vitx artifact — its "
+                "scales were baked at export (vit-export --act static)",
+                file=sys.stderr,
+            )
+            return 1
         if args.mesh:
             print(
                 "--mesh is not supported for .vitx artifacts (the exported "
@@ -145,8 +193,17 @@ def main(argv=None) -> int:
     else:
         engine, is_vitstr = build_engine(
             model_path, dtype=args.dtype, mm=args.mm, attn=args.attn,
-            fold_ln=args.fold_ln,
+            fold_ln=args.fold_ln, act=args.act,
         )
+        if args.act == "static":
+            from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
+
+            if not calibrate_engine_from_paths(engine, args.calib_dir):
+                print(
+                    "vit-server: static calibration rejected by the "
+                    "guardrail; serving dynamic",
+                    file=sys.stderr,
+                )
     if args.mesh:
         from vit_cpp_tpu.parallel.mesh import make_mesh
 

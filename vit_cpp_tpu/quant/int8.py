@@ -105,3 +105,17 @@ def convert_params_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
         head["kernel"] = channelwise_int8(hk)
     out["head"] = head
     return out
+
+
+def params_have_static_scales(params: Dict[str, Any]) -> bool:
+    """True when any Int8Linear leaf carries calibrated static activation
+    scales (act_scale set by quant/calibrate.calibrate_act_scales) — the
+    signal that an engine/artifact serves the static-scale path."""
+    import jax
+
+    return any(
+        isinstance(l, Int8Linear) and l.act_scale is not None
+        for l in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, Int8Linear)
+        )
+    )
