@@ -161,6 +161,37 @@ class TestVitServer:
         assert code == 200 and body["requests"] >= 1
 
 
+def test_microbatcher_overload_rejects_fast():
+    """max_queue bounds the backlog: with the device worker blocked,
+    submits beyond the bound fail immediately with OverloadedError (the
+    handler's 503) instead of waiting out the request timeout; queued
+    work still completes once the device frees up."""
+    import threading
+
+    from vit_cpp_tpu.server import MicroBatcher, OverloadedError
+
+    gate = threading.Event()
+    entered = threading.Event()
+
+    def slow_predict(x):
+        entered.set()
+        gate.wait(10.0)
+        return np.zeros((1, 3), np.float32)
+
+    b = MicroBatcher(slow_predict, batch=1, max_wait_ms=0.0, max_queue=2)
+    px = np.zeros((3, 8, 8), np.float32)
+    first = b.submit(px)  # the worker picks this up and blocks in predict
+    assert entered.wait(5.0)
+    queued = [b.submit(px), b.submit(px)]  # fills the backlog bound
+    rejected = b.submit(px)  # 3rd queued submit exceeds max_queue=2
+    with pytest.raises(OverloadedError, match="overloaded"):
+        rejected.result(timeout=1.0)
+    gate.set()
+    for f in [first, *queued]:
+        assert f.result(timeout=10.0).shape == (3,)
+    b.close()
+
+
 def test_vitstr_recognize_route(tmp_path):
     from vit_cpp_tpu.engine import VitstrEngine
     from vit_cpp_tpu.models.vitstr import vitstr_id2label

@@ -58,6 +58,12 @@ def main(argv=None) -> int:
         help="per-request wait on the device queue, seconds",
     )
     ap.add_argument(
+        "--max-queue", type=int, default=0,
+        help="admission bound: reject with 503 when more than this many "
+        "requests are already queued for the device (0 = unbounded; a "
+        "few multiples of the batch size is a sane production setting)",
+    )
+    ap.add_argument(
         "--no-warmup", action="store_true",
         help="skip the pre-bind warmup batch (first request pays the compile)",
     )
@@ -146,6 +152,7 @@ def main(argv=None) -> int:
             max_wait_ms=args.max_wait_ms,
             warmup=not args.no_warmup,
             request_timeout_s=args.request_timeout,
+            max_queue=args.max_queue,
         )
         print(
             f"vit-server: {len(engines)} models on "
@@ -229,6 +236,7 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
         request_timeout_s=args.request_timeout,
+        max_queue=args.max_queue,
     )
     kind = "vitstr" if is_vitstr else "vit"
     print(

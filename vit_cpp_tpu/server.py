@@ -60,6 +60,12 @@ def decode_rgb_from_bytes(data: bytes) -> Optional[np.ndarray]:
         return None
 
 
+class OverloadedError(RuntimeError):
+    """Raised by MicroBatcher.submit when the queue exceeds max_queue —
+    the handler maps it to HTTP 503 so clients back off instead of
+    timing out inside an unbounded backlog."""
+
+
 class MicroBatcher:
     """Coalesce concurrent single-image requests into fixed-size batches.
 
@@ -68,13 +74,24 @@ class MicroBatcher:
     up to `batch` more for at most `max_wait_ms` — pads the tail by
     repeating the first item (shape-stable: no recompiles, same rationale
     as serve.py), runs `predict`, and resolves each Future with its row.
+
+    `max_queue` > 0 bounds the backlog: a submit() that would exceed it
+    fails fast with OverloadedError (-> 503) instead of letting every
+    request wait out the full timeout under overload. 0 = unbounded.
     """
 
     _SENTINEL = object()
 
-    def __init__(self, predict, batch: int = 8, max_wait_ms: float = 5.0):
+    def __init__(
+        self,
+        predict,
+        batch: int = 8,
+        max_wait_ms: float = 5.0,
+        max_queue: int = 0,
+    ):
         self._predict = predict
         self.batch = int(batch)
+        self.max_queue = int(max_queue)
         self.max_wait = float(max_wait_ms) / 1000.0
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self.n_requests = 0
@@ -88,6 +105,16 @@ class MicroBatcher:
         fut: Future = Future()
         if self._closed:  # fail fast instead of waiting out the timeout
             fut.set_exception(RuntimeError("server shutting down"))
+            return fut
+        if self.max_queue and self._q.qsize() >= self.max_queue:
+            # qsize is approximate under concurrency — a soft admission
+            # bound, which is all an overload guard needs
+            fut.set_exception(
+                OverloadedError(
+                    f"server overloaded (~{self._q.qsize()} requests "
+                    f"queued, limit {self.max_queue})"
+                )
+            )
             return fut
         self._q.put((pixels, fut))
         if self._closed:
@@ -340,6 +367,9 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                 return
             try:
                 probs = model.batcher.submit(pixels).result(timeout=timeout_s)
+            except OverloadedError as e:  # bounded queue: tell clients to back off
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
+                return
             except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -380,6 +410,7 @@ def create_server(
     warmup: bool = True,
     request_timeout_s: float = 30.0,
     max_body_bytes: int = 32 * 1024 * 1024,
+    max_queue: int = 0,
 ):
     """Build (ThreadingHTTPServer, MicroBatcher); caller runs
     serve_forever() (or .handle_request() in tests) and closes both.
@@ -389,7 +420,10 @@ def create_server(
     XLA compile (minutes on TPU for the big serving programs — pair with
     --compile-cache to make it a one-time cost per machine)."""
     batcher = MicroBatcher(
-        engine.predict_probs_batch, batch=batch, max_wait_ms=max_wait_ms
+        engine.predict_probs_batch,
+        batch=batch,
+        max_wait_ms=max_wait_ms,
+        max_queue=max_queue,
     )
     if warmup:
         import jax.numpy as jnp
@@ -420,6 +454,7 @@ def create_multi_server(
     warmup: bool = True,
     request_timeout_s: float = 30.0,
     max_body_bytes: int = 32 * 1024 * 1024,
+    max_queue: int = 0,
 ):
     """Serve several models from one daemon: `engines` is {name: engine}
     (classifier and ViTSTR mixed freely), each with its own MicroBatcher
@@ -438,7 +473,10 @@ def create_multi_server(
                 name,
                 engine,
                 MicroBatcher(
-                    engine.predict_probs_batch, batch=b, max_wait_ms=max_wait_ms
+                    engine.predict_probs_batch,
+                    batch=b,
+                    max_wait_ms=max_wait_ms,
+                    max_queue=max_queue,
                 ),
             )
         )
