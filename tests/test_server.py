@@ -161,6 +161,50 @@ class TestVitServer:
         assert code == 200 and body["requests"] >= 1
 
 
+def test_embed_route_on_sharded_engine(tmp_path):
+    """/v1/embed on a mesh-sharded daemon: the B=1 request must be
+    broadcast to the data axis (batch 1 does not divide dp) and match the
+    unsharded embedding."""
+    import jax
+
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.parallel.mesh import make_mesh
+    from vit_cpp_tpu.server import create_server
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    model = str(tmp_path / "m.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=6)
+    plain = VitEngine(model, verbose=False)
+    engine = VitEngine(model, verbose=False).shard(make_mesh(dp=4, tp=2))
+    httpd, batcher = create_server(engine, port=0, batch=4, max_wait_ms=5.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        png = _png_bytes(7)
+        code, body = _post(
+            f"http://127.0.0.1:{httpd.server_port}/v1/embed", png
+        )
+        assert code == 200 and body["shape"] == [64]
+        img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        want = np.asarray(
+            plain.features_batch(plain.preprocess_image(img)[None])
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(body["embedding"], np.float32), want, atol=1e-5
+        )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
 def test_microbatcher_overload_rejects_fast():
     """max_queue bounds the backlog: with the device worker blocked,
     submits beyond the bound fail immediately with OverloadedError (the

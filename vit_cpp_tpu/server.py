@@ -348,10 +348,19 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
             if kind == "embed":
                 # direct dispatch in the handler thread (B=1 program),
                 # not micro-batched: embeddings are the secondary route
-                # and must not cost a second warmed-up batcher per model
+                # and must not cost a second warmed-up batcher per model.
+                # On a mesh-sharded engine the batch must divide the
+                # 'data' axis — broadcast to dp rows and read row 0.
+                import jax.numpy as jnp
+
+                mesh = getattr(model.engine, "mesh", None)
+                dp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+                stacked = jnp.broadcast_to(
+                    jnp.asarray(pixels)[None], (dp,) + tuple(pixels.shape)
+                )
                 try:
                     feat = np.asarray(
-                        model.engine.features_batch(pixels[None])[0],
+                        model.engine.features_batch(stacked)[0],
                         dtype=np.float32,
                     )
                 except Exception as e:
