@@ -72,6 +72,15 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # SIGTERM (systemd/docker stop) takes the same clean-shutdown path as
+    # Ctrl-C: close the socket, fail queued futures fast, join the worker
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
     from vit_cpp_tpu.utils.compile_cache import enable_compile_cache, enable_from_env
 
     if args.compile_cache is not None:

@@ -96,6 +96,7 @@ class MicroBatcher:
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self.n_requests = 0
         self.n_batches = 0
+        self.n_rejected = 0
         self._closed = False
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -109,6 +110,8 @@ class MicroBatcher:
         if self.max_queue and self._q.qsize() >= self.max_queue:
             # qsize is approximate under concurrency — a soft admission
             # bound, which is all an overload guard needs
+            with self._stats_lock:
+                self.n_rejected += 1
             fut.set_exception(
                 OverloadedError(
                     f"server overloaded (~{self._q.qsize()} requests "
@@ -300,6 +303,8 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                         {
                             "requests": single.batcher.n_requests,
                             "batches": single.batcher.n_batches,
+                            "rejected": single.batcher.n_rejected,
+                            "queued": single.batcher._q.qsize(),
                         },
                     )
                 else:
@@ -309,6 +314,8 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                             m.name: {
                                 "requests": m.batcher.n_requests,
                                 "batches": m.batcher.n_batches,
+                                "rejected": m.batcher.n_rejected,
+                                "queued": m.batcher._q.qsize(),
                             }
                             for m, _ in routes.values()
                         },
