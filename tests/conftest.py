@@ -20,6 +20,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Environment for CLI subprocess tests: a MINIMAL env so the axon TPU
+# plugin never loads in the child (JAX_PLATFORMS=cpu alone is ignored once
+# the plugin is importable, and a down TPU tunnel hangs backend init).
+# Setting PYTHONPATH shadows the axon site dir — deliberate here, and only
+# here (see CLAUDE.md: never set it for on-device runs).
+CLI_SUBPROCESS_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "PATH": "/usr/bin:/bin",
+    "PYTHONPATH": "/root/repo",
+}
+
 
 def pytest_configure(config):
     config.addinivalue_line(

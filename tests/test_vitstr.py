@@ -184,10 +184,7 @@ class TestVitstrEngine:
             capture_output=True,
             text=True,
             timeout=600,
-            env={
-                **__import__("os").environ,
-                "JAX_PLATFORMS": "cpu",
-            },
+            env=__import__("conftest").CLI_SUBPROCESS_ENV,
         )
         assert proc.returncode == 0, proc.stderr
         assert "score :" in proc.stdout
