@@ -49,11 +49,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument(
-        "--size", choices=["tiny", "small", "base", "large", "huge"],
+        "--size", choices=["tiny", "small", "base", "large", "huge", "giant"],
         default="base",
         help="huge = ViT-H (1280x32, d=80 heads — dispatches the generic "
         "full-block attention kernel, not the d=64 pair kernel); pair "
-        "with --patch 14 for the standard ViT-H/14",
+        "with --patch 14 for the standard ViT-H/14. giant = ViT-g "
+        "(1408x40, d=88 heads, MLP ratio 48/11 per the original paper — "
+        "~1.0B params)",
     )
     ap.add_argument("--patch", type=int, default=16)
     ap.add_argument("--img", type=int, default=224)
@@ -152,17 +154,21 @@ def main() -> int:
     from vit_cpp_tpu.models.vit import forward
     from vit_cpp_tpu.testing.synthetic import random_state_dict
 
+    # (hidden, layers, heads, mlp_hidden-or-None); ViT-g's 48/11 MLP ratio
+    # is the original paper's (6144 on hidden 1408)
     geo = {
-        "tiny": (192, 12, 3),
-        "small": (384, 12, 6),
-        "base": (768, 12, 12),
-        "large": (1024, 24, 16),
-        "huge": (1280, 32, 16),
+        "tiny": (192, 12, 3, None),
+        "small": (384, 12, 6, None),
+        "base": (768, 12, 12, None),
+        "large": (1024, 24, 16, None),
+        "huge": (1280, 32, 16, None),
+        "giant": (1408, 40, 16, 6144),
     }[args.size]
     hp = VitHParams(
         hidden_size=geo[0],
         num_hidden_layers=geo[1],
         num_attention_heads=geo[2],
+        mlp_hidden=geo[3],
         num_classes=96 if args.vitstr else 1000,
         patch_size=args.patch,
         img_size=args.img,

@@ -58,6 +58,24 @@ class TestInference:
         assert got.img_size == hp.img_size
         assert got.num_classes == hp.num_classes
 
+    def test_infer_hparams_non_4x_mlp(self, torch_ckpt):
+        """ViT-g-family widths (MLP != 4x) are read off the fc1 shape."""
+        path, hp, state = torch_ckpt
+        st = {k: np.asarray(v) for k, v in state.items()}
+        assert infer_hparams(st).mlp_hidden is None  # 4x family: no override
+        wide = hp.hidden_size * 11 // 4
+        for i in range(hp.num_hidden_layers):
+            st[f"blocks.{i}.mlp.fc1.weight"] = np.zeros(
+                (wide, hp.hidden_size), np.float32
+            )
+            st[f"blocks.{i}.mlp.fc1.bias"] = np.zeros((wide,), np.float32)
+            st[f"blocks.{i}.mlp.fc2.weight"] = np.zeros(
+                (hp.hidden_size, wide), np.float32
+            )
+        got = infer_hparams(st)
+        assert got.mlp_hidden == wide
+        assert got.mlp_dim == wide
+
     def test_normalize_strips_prefixes(self):
         raw = {"module.vitstr.norm.weight": torch.ones(4)}
         out = normalize_state_dict(raw)

@@ -138,3 +138,56 @@ def test_fuzz_single_byte_corruptions(tmp_path):
     assert ok + clean_fail == len(offsets)
     # payload corruptions should mostly load; structural ones must fail
     assert clean_fail > 0 and ok > 0
+
+
+def test_non_4x_mlp_inferred_from_fc1_shape(tmp_path):
+    """ViT-g-family checkpoints (MLP != 4x hidden; the original paper's
+    48/11 ratio) carry their width only in the fc1 tensor shape — the
+    legacy hparam block has no MLP field. The loader must infer it and
+    the forward must match an explicit-hparams build bit for bit."""
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.models.vit import forward
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=4,
+        patch_size=8,
+        img_size=16,
+        mlp_hidden=176,  # 64 * 11/4 -> deliberately not 4x
+    )
+    state = random_state_dict(hp, seed=3)
+    assert state["blocks.0.mlp.fc1.weight"].shape == (176, 64)
+    p = tmp_path / "g.gguf"
+    write_synthetic_model(str(p), hp, ftype=0, seed=3)
+
+    # load WITHOUT hparams: the file's hparam block says nothing about MLP
+    mf = read_model(str(p))
+    assert mf.hparams.mlp_hidden is None
+    params = load_params(mf)
+    assert params["blocks"]["fc1"]["kernel"].shape == (2, 64, 176)
+    assert params["blocks"]["fc2"]["kernel"].shape == (2, 176, 64)
+
+    ref = params_from_state_dict(state, hp)
+    x = np.asarray(
+        np.random.default_rng(0).normal(size=(1, 3, 16, 16)), np.float32
+    )
+    got = forward(params, jnp.asarray(x), mf.hparams)
+    want = forward(ref, jnp.asarray(x), hp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_mlp_width_mismatch_with_explicit_hparams_rejected(tmp_path):
+    """An EXPLICIT mlp_hidden that contradicts the tensors must still fail
+    the strict shape check (no silent inference override)."""
+    hp = _hp()
+    p = tmp_path / "m.gguf"
+    write_synthetic_model(str(p), hp, ftype=0, seed=0)
+    import dataclasses
+
+    bad = dataclasses.replace(hp, mlp_hidden=192)
+    with pytest.raises(ValueError, match="mlp.fc1.weight"):
+        load_params(read_model(str(p)), hparams=bad)

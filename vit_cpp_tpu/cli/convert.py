@@ -47,7 +47,7 @@ from vit_cpp_tpu.hparams import VitHParams
 # Heads for the timm ViT family when only shapes are known
 # (vit_{tiny,small,base,large}: hidden 192/384/768/1024 — reference
 # README.md model table).
-_DEFAULT_HEADS = {192: 3, 384: 6, 768: 12, 1024: 16}
+_DEFAULT_HEADS = {192: 3, 384: 6, 768: 12, 1024: 16, 1280: 16, 1408: 16}
 
 _KEEP_F32 = ("pos_embed", "cls_token")
 
@@ -91,6 +91,12 @@ def infer_hparams(
     ]
     num_layers = max(layer_ids) + 1 if layer_ids else 0
     num_classes = int(state["head.weight"].shape[0])
+    # Non-4x MLP families (ViT-g: 6144 on hidden 1408) declare their width
+    # through the fc1 shape; the loader re-infers it the same way at read.
+    mlp_hidden = None
+    fc1 = state.get("blocks.0.mlp.fc1.weight")
+    if fc1 is not None and int(fc1.shape[0]) != 4 * hidden:
+        mlp_hidden = int(fc1.shape[0])
     if heads is None:
         heads = _DEFAULT_HEADS.get(hidden)
         if heads is None:
@@ -106,6 +112,7 @@ def infer_hparams(
         patch_size=patch,
         img_size=side * patch,
         in_chans=in_chans,
+        mlp_hidden=mlp_hidden,
     )
 
 

@@ -34,6 +34,11 @@ class VitHParams:
     # head over the first `seq_len` tokens of a single-channel model.
     in_chans: int = 3
     seq_len: Optional[int] = None  # None => CLS classification head
+    # MLP width override for non-4x families (ViT-g/14 uses 6144 on
+    # hidden 1408, ratio 48/11 — Zhai et al., "Scaling Vision
+    # Transformers"). Not part of the legacy on-disk hparam block; the
+    # loader infers it from the fc1 tensor shape (models/params.py).
+    mlp_hidden: Optional[int] = None
 
     @property
     def n_patches_side(self) -> int:
@@ -55,7 +60,10 @@ class VitHParams:
 
     @property
     def mlp_dim(self) -> int:
-        # The reference family always uses a 4x MLP (vit.cpp:556-560).
+        # The reference family always uses a 4x MLP (vit.cpp:556-560);
+        # mlp_hidden overrides for non-4x geometries (ViT-g).
+        if self.mlp_hidden is not None:
+            return self.mlp_hidden
         return 4 * self.hidden_size
 
     def expected_tensor_count(self) -> int:

@@ -94,6 +94,23 @@ def load_params(
     """
     hp = hparams or mf.hparams
     h, L = hp.hidden_size, hp.num_hidden_layers
+
+    # The legacy hparam block carries no MLP width (the reference family is
+    # always 4x, vit.cpp:556-560). Non-4x checkpoints (ViT-g: 6144 on
+    # hidden 1408) declare it through their fc1 tensor shape — trust that
+    # when it is internally consistent, keep strict validation otherwise.
+    if L > 0 and hp.mlp_hidden is None:
+        fc1 = mf.tensors.get("blocks.0.mlp.fc1.weight")
+        if (
+            fc1 is not None
+            and len(fc1.shape) == 2
+            and fc1.shape[1] == h
+            and fc1.shape[0] != hp.mlp_dim
+        ):
+            import dataclasses
+
+            hp = dataclasses.replace(hp, mlp_hidden=int(fc1.shape[0]))
+
     rs = _RecordSet(mf.tensors, dtype)
 
     pe_w = rs.rec("patch_embed.proj.weight")
