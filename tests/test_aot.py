@@ -434,3 +434,35 @@ def test_cli_export_and_info(model_path, tmp_path, capsys):
 
     meta = json.loads(capsys.readouterr().out)
     assert meta["batch"] == 2 and meta["hparams"]["hidden_size"] == 64
+
+
+def test_meta_hparams_compat(model_path, tmp_path):
+    """Artifact meta stays readable across hparams evolution: standard
+    geometries omit optional overrides (pre-override VitHParams(**d)
+    readers keep working) and the reader drops unknown keys from newer
+    writers instead of raising TypeError."""
+    import json
+    import struct
+
+    from vit_cpp_tpu.aot import MAGIC, AotEngine, read_meta, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    out = str(tmp_path / "m.vitx")
+    save_engine(VitEngine(model_path, verbose=False), out, batch=2)
+    meta = read_meta(out)
+    assert "mlp_hidden" not in meta["hparams"]  # 4x family: omitted
+
+    # simulate a FUTURE writer adding an unknown optional hparam field
+    with open(out, "rb") as f:
+        data = f.read()
+    (mlen,) = struct.unpack("<I", data[len(MAGIC) : len(MAGIC) + 4])
+    start = len(MAGIC) + 4
+    meta2 = json.loads(data[start : start + mlen])
+    meta2["hparams"]["field_from_the_future"] = 7
+    mj = json.dumps(meta2).encode()
+    patched = tmp_path / "future.vitx"
+    patched.write_bytes(
+        MAGIC + struct.pack("<I", len(mj)) + mj + data[start + mlen :]
+    )
+    aot = AotEngine(str(patched))  # must not TypeError
+    assert aot.hp.hidden_size == meta["hparams"]["hidden_size"]

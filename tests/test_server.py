@@ -487,3 +487,46 @@ def test_handler_drain_preserves_shutdown_sentinel():
         mb._q.get_nowait()
     with pytest.raises(RuntimeError, match="shutting down"):
         fut.result(timeout=0)
+
+
+def test_embed_rides_its_own_batcher(tmp_path):
+    """/v1/embed goes through a MicroBatcher (not direct handler-thread
+    dispatch): it shares the admission/timeout machinery, shows up under
+    /stats "embed", and its batcher closes in cascade with the main one."""
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    model = str(tmp_path / "m.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=0)
+    engine = VitEngine(model, verbose=False)
+    httpd, batcher = create_server(
+        engine, port=0, batch=2, max_wait_ms=2.0, max_queue=4
+    )
+    assert batcher.child is not None  # embed batcher exists, unwarmed
+    assert batcher.child.n_batches == 0
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, body = _post(f"{base}/v1/embed", _png_bytes(9))
+        assert code == 200 and body["shape"] == [hp.hidden_size]
+        code, stats = _get(f"{base}/stats")
+        assert stats["embed"]["requests"] == 1
+        assert stats["embed"]["batches"] >= 1
+        assert stats["requests"] == 0  # classify batcher untouched
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+    # cascade close: the embed batcher rejects new work immediately
+    fut = batcher.child.submit(np.zeros((3, 32, 32), np.float32))
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=1.0)

@@ -71,3 +71,22 @@ def test_attr_cli_prints_rates(tmp_path):
     assert float(cols[0]) == 2.0
     assert float(cols[4]) == 2.0
     assert any("TOTAL" in l for l in lines)
+
+
+def test_diff_cli_aligns_two_traces(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    _write_trace(str(a))
+    _write_trace(str(b))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "trace_summary.py"),
+         str(a), "--diff", str(b)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    row = next(l for l in lines if l.rstrip().endswith("fusion.2"))
+    cols = row.split()
+    # identical traces: A == B == 3.0 ms, delta +0.000
+    assert float(cols[0]) == 3.0 and float(cols[1]) == 3.0
+    assert cols[2] == "+0.000"
+    assert any("TOTAL" in l for l in lines)

@@ -123,7 +123,7 @@ def main() -> int:
     unit = "ms/iter" if args.per_iter else "ms"
 
     if args.diff:
-        agg_b, _ = summarize(args.diff)
+        agg_b, _, _ = summarize(args.diff)
         total_b = sum(v[0] for v in agg_b.values())
         names = sorted(
             set(agg) | set(agg_b),

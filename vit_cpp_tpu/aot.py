@@ -112,13 +112,24 @@ def export_engine(engine, batch, platforms=None) -> bytes:
         )(x)
         exp_platforms = list(exp.platforms)
         blobs.append(exp.serialize())
+    # Optional hparam overrides (mlp_hidden) are omitted when unset so a
+    # standard-geometry artifact's meta stays readable by pre-override
+    # VitHParams(**d) readers; the reader side additionally drops unknown
+    # keys, so future writer fields cannot brick a deployed reader.
+    hp_dict = {
+        k: v
+        for k, v in dataclasses.asdict(hp).items()
+        if not (k == "mlp_hidden" and v is None)
+    }
     meta = {
-        # "batch" stays the single serving batch (the largest) so older
-        # readers and the serve/server CLIs keep working unchanged
+        # "batch" stays the single serving batch (the largest): readers
+        # that predate "batches" keep working on SINGLE-batch artifacts
+        # (the default); multi-batch artifacts need a "batches"-aware
+        # reader to slice blob_lengths
         "batch": batches[-1],
         "batches": batches,
         "blob_lengths": [len(b) for b in blobs],
-        "hparams": dataclasses.asdict(hp),
+        "hparams": hp_dict,
         "id2label": {str(k): v for k, v in engine.id2label.items()},
         "platforms": exp_platforms,
         "attn_impl": attn_impl,
@@ -223,7 +234,12 @@ class AotEngine:
                 f"{path}: blob_lengths {blob_lengths} do not cover the "
                 f"{len(blob)}-byte program section (truncated artifact?)"
             )
-        self.hp = VitHParams(**meta["hparams"])
+        # drop hparam keys this build doesn't know (a newer writer's
+        # optional fields must not brick an older serving host)
+        known = {f.name for f in dataclasses.fields(VitHParams)}
+        self.hp = VitHParams(
+            **{k: v for k, v in meta["hparams"].items() if k in known}
+        )
         self.id2label = {int(k): v for k, v in meta["id2label"].items()}
         # fail at load, not per-request: platform mismatch is a deploy
         # error (vit-export --platforms cross-lowers for other targets).

@@ -204,7 +204,12 @@ def main(argv=None) -> int:
     if args.act == "static" and args.calib_dir:
         from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 
-        if not calibrate_engine_from_paths(engine, args.calib_dir):
+        try:
+            ok = calibrate_engine_from_paths(engine, args.calib_dir)
+        except ValueError as e:  # e.g. empty/undecodable --calib-dir
+            print(f"serve: {e}", file=sys.stderr)
+            return 1
+        if not ok:
             print(
                 "serve: static calibration rejected by the guardrail; "
                 "serving with dynamic activation scales",

@@ -140,9 +140,14 @@ def main(argv=None) -> int:
             if args.act == "static":
                 from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 
-                if not calibrate_engine_from_paths(
-                    engines[name], args.calib_dir
-                ):
+                try:
+                    ok = calibrate_engine_from_paths(
+                        engines[name], args.calib_dir
+                    )
+                except ValueError as e:
+                    print(f"vit-server: {name}: {e}", file=sys.stderr)
+                    return 1
+                if not ok:
                     print(
                         f"vit-server: {name}: static calibration rejected "
                         "by the guardrail; serving dynamic",
@@ -214,7 +219,12 @@ def main(argv=None) -> int:
         if args.act == "static":
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 
-            if not calibrate_engine_from_paths(engine, args.calib_dir):
+            try:
+                ok = calibrate_engine_from_paths(engine, args.calib_dir)
+            except ValueError as e:
+                print(f"vit-server: {e}", file=sys.stderr)
+                return 1
+            if not ok:
                 print(
                     "vit-server: static calibration rejected by the "
                     "guardrail; serving dynamic",

@@ -14,6 +14,11 @@ overlaps the device programs with the next host stage automatically.
     engine = VitEngine(model, dtype=jnp.bfloat16)
     for result in serve_files(engine, paths, batch=64):
         ...  # result.path, result.top1, result.probs
+
+serve_files / recognize_files / embed_files are thin wrappers over ONE
+shared pipeline (_stream): the chunking, prefetch queue, producer-thread
+error forwarding, pad-to-batch and ok-mask bookkeeping live in a single
+place, parameterized by the per-batch preprocess and compute stages.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -49,6 +54,77 @@ def _decode_many(paths: Sequence[str], n_threads: int) -> List[Optional[np.ndarr
     return load_images_rgb_batch(paths, n_threads=n_threads)
 
 
+def _stream(
+    paths: Iterable[str],
+    *,
+    batch: int,
+    decode_threads: int,
+    prefetch: int,
+    preprocess: Callable,
+    compute: Callable,
+):
+    """The shared double-buffered pipeline.
+
+    A producer thread decodes each chunk on the native thread pool, pads
+    short chunks to the full batch (so preprocess AND forward compile
+    exactly once) and stages the device transfer + preprocessing einsum —
+    which overlaps the consumer's forward pass. The consumer runs
+    `compute(pixels, n_ok)` (must return a per-kept-image indexable) and
+    yields (path, ok, row) in input order, row=None for failed decodes.
+
+    Invariants owned HERE, for every wrapper: any producer failure is
+    re-raised in the consumer (a silently dead producer would leave the
+    consumer blocked on q.get() forever), and the stop event tears the
+    producer down when the consumer is closed early.
+    """
+    import os
+
+    if decode_threads <= 0:
+        decode_threads = os.cpu_count() or 1
+    paths = list(paths)
+    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for chunk in chunks:
+                if stop.is_set():
+                    return
+                images = _decode_many(chunk, decode_threads)
+                ok = [im is not None for im in images]
+                pixels = None
+                if any(ok):
+                    imgs = [im for im in images if im is not None]
+                    while len(imgs) < batch:
+                        imgs.append(imgs[0])
+                    pixels = preprocess(imgs)
+                q.put((chunk, ok, pixels))
+            q.put(None)
+        except BaseException as e:  # re-raised in the consumer
+            q.put(_ProducerError(e))
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, _ProducerError):
+                raise item.exc
+            chunk, ok, pixels = item
+            rows = compute(pixels, sum(ok)) if pixels is not None else None
+            j = 0
+            for p, good in zip(chunk, ok):
+                if not good:
+                    yield p, False, None
+                else:
+                    yield p, True, rows[j]
+                    j += 1
+    finally:
+        stop.set()
+
+
 def serve_files(
     engine: VitEngine,
     paths: Iterable[str],
@@ -63,74 +139,27 @@ def serve_files(
     Failed decodes yield top1 == -1 (the harness-style skip marker,
     reference tests/benchmark.cpp:108-125).
     """
-    import os
 
-    if decode_threads <= 0:
-        decode_threads = os.cpu_count() or 1
-    paths = list(paths)
-    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
-    stop = threading.Event()
+    def compute(pixels, n):
+        return np.asarray(engine.predict_probs_batch(pixels))[:n]
 
-    def producer():
-        # any failure must reach the consumer: a silently dead producer
-        # would leave the consumer blocked on q.get() forever
-        try:
-            for chunk in chunks:
-                if stop.is_set():
-                    return
-                images = _decode_many(chunk, decode_threads)
-                kept = [(p, im) for p, im in zip(chunk, images) if im is not None]
-                ok = [im is not None for im in images]
-                pixels = None
-                if kept:
-                    # stage the device transfer + preprocessing einsum from the
-                    # producer thread: it overlaps the consumer's forward pass.
-                    # Short chunks are padded to the full batch size up front so
-                    # preprocess AND forward each compile exactly once.
-                    imgs = [im for _, im in kept]
-                    while len(imgs) < batch:
-                        imgs.append(imgs[0])
-                    pixels = preprocess_batch(
-                        imgs,
-                        engine.hp.img_size,
-                        mode=engine.hp.interpolation,
-                    )
-                q.put((chunk, ok, pixels))
-            q.put(None)
-        except BaseException as e:  # re-raised in the consumer
-            q.put(_ProducerError(e))
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, _ProducerError):
-                raise item.exc
-            chunk, ok, pixels = item
-            probs = top = None
-            if pixels is not None:
-                n = sum(ok)
-                probs = np.asarray(engine.predict_probs_batch(pixels))[:n]
-                top = probs.argmax(axis=-1)
-            j = 0
-            for p, good in zip(chunk, ok):
-                if not good:
-                    yield Prediction(p, -1, 0.0)
-                    continue
-                t1, pr = top[j], probs[j]
-                j += 1
-                yield Prediction(
-                    p,
-                    int(t1),
-                    float(pr[t1]),
-                    probs=pr if keep_probs else None,
-                )
-    finally:
-        stop.set()
+    for p, good, pr in _stream(
+        paths,
+        batch=batch,
+        decode_threads=decode_threads,
+        prefetch=prefetch,
+        preprocess=lambda imgs: preprocess_batch(
+            imgs, engine.hp.img_size, mode=engine.hp.interpolation
+        ),
+        compute=compute,
+    ):
+        if not good:
+            yield Prediction(p, -1, 0.0)
+            continue
+        t1 = int(pr.argmax())
+        yield Prediction(
+            p, t1, float(pr[t1]), probs=pr if keep_probs else None
+        )
 
 
 @dataclasses.dataclass
@@ -154,72 +183,37 @@ def recognize_files(
     selection and confidence run on device (greedy_decode_device), only
     (B, seq) ids/flags come back to the host. Failed decodes yield
     text='' / confidence=-1.0."""
-    import os
-
     from vit_cpp_tpu.models.vitstr import (
         decode_tokens,
         greedy_decode_device,
         preprocess_grayscale_batch,
     )
 
-    if decode_threads <= 0:
-        decode_threads = os.cpu_count() or 1
-    paths = list(paths)
-    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
-    stop = threading.Event()
+    def compute(pixels, n):
+        toks, valid, conf = greedy_decode_device(
+            engine.predict_probs_batch(pixels)
+        )
+        return list(
+            zip(np.asarray(toks)[:n], np.asarray(valid)[:n], np.asarray(conf)[:n])
+        )
 
-    def producer():
-        try:
-            for chunk in chunks:
-                if stop.is_set():
-                    return
-                images = _decode_many(chunk, decode_threads)
-                ok = [im is not None for im in images]
-                pixels = None
-                if any(ok):
-                    imgs = [im for im in images if im is not None]
-                    while len(imgs) < batch:
-                        imgs.append(imgs[0])
-                    pixels = preprocess_grayscale_batch(imgs, engine.hp.img_size)
-                q.put((chunk, ok, pixels))
-            q.put(None)
-        except BaseException as e:  # re-raised in the consumer
-            q.put(_ProducerError(e))
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, _ProducerError):
-                raise item.exc
-            chunk, ok, pixels = item
-            toks = valid = conf = None
-            if pixels is not None:
-                n = sum(ok)
-                probs = engine.predict_probs_batch(pixels)
-                toks, valid, conf = greedy_decode_device(probs)
-                toks, valid, conf = (
-                    np.asarray(toks)[:n],
-                    np.asarray(valid)[:n],
-                    np.asarray(conf)[:n],
-                )
-            j = 0
-            for p, good in zip(chunk, ok):
-                if not good:
-                    yield Recognition(p, "", -1.0)
-                    continue
-                yield Recognition(
-                    p,
-                    decode_tokens(toks[j], valid[j], engine.id2label),
-                    float(conf[j]),
-                )
-                j += 1
-    finally:
-        stop.set()
+    for p, good, row in _stream(
+        paths,
+        batch=batch,
+        decode_threads=decode_threads,
+        prefetch=prefetch,
+        preprocess=lambda imgs: preprocess_grayscale_batch(
+            imgs, engine.hp.img_size
+        ),
+        compute=compute,
+    ):
+        if not good:
+            yield Recognition(p, "", -1.0)
+            continue
+        toks, valid, conf = row
+        yield Recognition(
+            p, decode_tokens(toks, valid, engine.id2label), float(conf)
+        )
 
 
 @dataclasses.dataclass
@@ -241,72 +235,29 @@ def embed_files(
     — the index-building counterpart of the daemon's /v1/embed route.
     Yields (path, (hidden,) f32 vector) in input order; failed decodes
     yield vector=None. Sequence-head models yield (seq_len, hidden)."""
-    import os
+    if engine.hp.seq_len is not None:
+        from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
 
-    if decode_threads <= 0:
-        decode_threads = os.cpu_count() or 1
-    is_seq = engine.hp.seq_len is not None
-    paths = list(paths)
-    chunks = [paths[i : i + batch] for i in range(0, len(paths), batch)]
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
-    stop = threading.Event()
+        preprocess = lambda imgs: preprocess_grayscale_batch(  # noqa: E731
+            imgs, engine.hp.img_size
+        )
+    else:
+        preprocess = lambda imgs: preprocess_batch(  # noqa: E731
+            imgs, engine.hp.img_size, mode=engine.hp.interpolation
+        )
 
-    def producer():
-        try:
-            for chunk in chunks:
-                if stop.is_set():
-                    return
-                images = _decode_many(chunk, decode_threads)
-                ok = [im is not None for im in images]
-                pixels = None
-                if any(ok):
-                    imgs = [im for im in images if im is not None]
-                    while len(imgs) < batch:
-                        imgs.append(imgs[0])
-                    if is_seq:
-                        from vit_cpp_tpu.models.vitstr import (
-                            preprocess_grayscale_batch,
-                        )
+    def compute(pixels, n):
+        return np.asarray(engine.features_batch(pixels), dtype=np.float32)[:n]
 
-                        pixels = preprocess_grayscale_batch(
-                            imgs, engine.hp.img_size
-                        )
-                    else:
-                        pixels = preprocess_batch(
-                            imgs,
-                            engine.hp.img_size,
-                            mode=engine.hp.interpolation,
-                        )
-                q.put((chunk, ok, pixels))
-            q.put(None)
-        except BaseException as e:  # re-raised in the consumer
-            q.put(_ProducerError(e))
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, _ProducerError):
-                raise item.exc
-            chunk, ok, pixels = item
-            feats = None
-            if pixels is not None:
-                n = sum(ok)
-                feats = np.asarray(
-                    engine.features_batch(pixels), dtype=np.float32
-                )[:n]
-            j = 0
-            for p, good in zip(chunk, ok):
-                if not good:
-                    yield Embedding(p, None)
-                    continue
-                yield Embedding(p, feats[j])
-                j += 1
-    finally:
-        stop.set()
+    for p, good, vec in _stream(
+        paths,
+        batch=batch,
+        decode_threads=decode_threads,
+        prefetch=prefetch,
+        preprocess=preprocess,
+        compute=compute,
+    ):
+        yield Embedding(p, vec if good else None)
 
 
 def throughput(

@@ -17,7 +17,11 @@ Endpoints (single model, create_server):
   POST /v1/embed              -> {"shape": [...], "embedding": [floats]}
                                  (final-LN pooled features; live engines
                                  only — an AotEngine exports one fixed
-                                 program, which is the classifier)
+                                 program, which is the classifier. Rides
+                                 its own unwarmed MicroBatcher: same
+                                 --max-queue/timeout semantics as
+                                 classify, first request pays the
+                                 features-program compile)
 
 Multi-model (create_multi_server, `vit-server -m name=path` repeated):
 each model gets its own MicroBatcher and POST routes
@@ -97,6 +101,9 @@ class MicroBatcher:
         self.n_requests = 0
         self.n_batches = 0
         self.n_rejected = 0
+        # optional companion batcher (the embed route's) closed with this
+        # one, so callers keep the one-close() contract
+        self.child: Optional["MicroBatcher"] = None
         self._closed = False
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -132,6 +139,8 @@ class MicroBatcher:
         self._q.put(self._SENTINEL)
         self._worker.join(timeout=5.0)
         self._drain_failed()  # anything enqueued after the sentinel
+        if self.child is not None:
+            self.child.close()
 
     def _drain_failed(self, preserve_sentinel: bool = False) -> None:
         """Fail-fast every queued Future so in-flight handler threads get
@@ -205,6 +214,19 @@ class _Model:
         self.name = name
         self.engine = engine
         self.batcher = batcher
+        # Embeddings ride their OWN batcher so they share the admission
+        # bound / request timeout / single-compile serialization with
+        # classify — but it is NOT warmed up: the features program only
+        # compiles if the route is ever hit (first /v1/embed pays it).
+        self.embed_batcher: Optional[MicroBatcher] = None
+        if hasattr(engine, "features_batch"):
+            self.embed_batcher = MicroBatcher(
+                engine.features_batch,
+                batch=batcher.batch,
+                max_wait_ms=batcher.max_wait * 1000.0,
+                max_queue=batcher.max_queue,
+            )
+            batcher.child = self.embed_batcher  # closed with the main one
         # hp-based so AotEngine (aot.py) routes the same as VitstrEngine:
         # a sequence head means the recognize route + grayscale preprocess
         self.is_vitstr = engine.hp.seq_len is not None
@@ -244,7 +266,7 @@ def make_handler(
     """Single-model request handler (legacy routes /v1/classify|recognize)."""
     m = _Model(None, engine, batcher)
     routes = {("/v1/recognize" if m.is_vitstr else "/v1/classify"): (m, None)}
-    if hasattr(engine, "features_batch"):
+    if m.embed_batcher is not None:
         routes["/v1/embed"] = (m, "embed")
     return _make_handler(routes, single=m, timeout_s=timeout_s,
                          max_body_bytes=max_body_bytes)
@@ -261,7 +283,7 @@ def make_multi_handler(
     for m in models:
         kind = "recognize" if m.is_vitstr else "classify"
         routes[f"/v1/{m.name}/{kind}"] = (m, None)
-        if hasattr(m.engine, "features_batch"):
+        if m.embed_batcher is not None:
             routes[f"/v1/{m.name}/embed"] = (m, "embed")
     return _make_handler(routes, single=None, timeout_s=timeout_s,
                          max_body_bytes=max_body_bytes)
@@ -297,28 +319,29 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                         },
                     )
             elif self.path == "/stats":
+
+                def _stats(m):
+                    s = {
+                        "requests": m.batcher.n_requests,
+                        "batches": m.batcher.n_batches,
+                        "rejected": m.batcher.n_rejected,
+                        "queued": m.batcher._q.qsize(),
+                    }
+                    if m.embed_batcher is not None:
+                        eb = m.embed_batcher
+                        s["embed"] = {
+                            "requests": eb.n_requests,
+                            "batches": eb.n_batches,
+                            "rejected": eb.n_rejected,
+                            "queued": eb._q.qsize(),
+                        }
+                    return s
+
                 if single is not None:
-                    self._json(
-                        200,
-                        {
-                            "requests": single.batcher.n_requests,
-                            "batches": single.batcher.n_batches,
-                            "rejected": single.batcher.n_rejected,
-                            "queued": single.batcher._q.qsize(),
-                        },
-                    )
+                    self._json(200, _stats(single))
                 else:
                     self._json(
-                        200,
-                        {
-                            m.name: {
-                                "requests": m.batcher.n_requests,
-                                "batches": m.batcher.n_batches,
-                                "rejected": m.batcher.n_rejected,
-                                "queued": m.batcher._q.qsize(),
-                            }
-                            for m, _ in routes.values()
-                        },
+                        200, {m.name: _stats(m) for m, _ in routes.values()}
                     )
             else:
                 self._json(404, {"error": f"no route {self.path}"})
@@ -352,27 +375,25 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                         self._json(400, {"error": f"bad query {kv!r}"})
                         return
             pixels = model.preprocess(img)
+            # classify/recognize and embed each ride a MicroBatcher, so
+            # BOTH get the admission bound (--max-queue -> 503), the
+            # request timeout, and single-compile serialization; the
+            # embed batcher is unwarmed — the first /v1/embed pays the
+            # features-program compile inside the worker. Batch padding
+            # keeps the mesh 'data' axis divisibility classify relies on.
+            batcher = (
+                model.embed_batcher if kind == "embed" else model.batcher
+            )
+            try:
+                probs = batcher.submit(pixels).result(timeout=timeout_s)
+            except OverloadedError as e:  # bounded queue: tell clients to back off
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if kind == "embed":
-                # direct dispatch in the handler thread (B=1 program),
-                # not micro-batched: embeddings are the secondary route
-                # and must not cost a second warmed-up batcher per model.
-                # On a mesh-sharded engine the batch must divide the
-                # 'data' axis — broadcast to dp rows and read row 0.
-                import jax.numpy as jnp
-
-                mesh = getattr(model.engine, "mesh", None)
-                dp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-                stacked = jnp.broadcast_to(
-                    jnp.asarray(pixels)[None], (dp,) + tuple(pixels.shape)
-                )
-                try:
-                    feat = np.asarray(
-                        model.engine.features_batch(stacked)[0],
-                        dtype=np.float32,
-                    )
-                except Exception as e:
-                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
-                    return
+                feat = np.asarray(probs, dtype=np.float32)
                 self._json(
                     200,
                     {
@@ -380,14 +401,6 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                         "embedding": [float(v) for v in feat.reshape(-1)],
                     },
                 )
-                return
-            try:
-                probs = model.batcher.submit(pixels).result(timeout=timeout_s)
-            except OverloadedError as e:  # bounded queue: tell clients to back off
-                self._json(503, {"error": f"{type(e).__name__}: {e}"})
-                return
-            except Exception as e:  # device failure/timeout -> JSON, not a dropped socket
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             if model.is_vitstr:
                 from vit_cpp_tpu.models.vitstr import greedy_decode
