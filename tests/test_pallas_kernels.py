@@ -81,6 +81,24 @@ class TestFlashAttention:
                 np.asarray(out), np.asarray(ref), atol=2e-5
             )
 
+    def test_attention_qkv_d88_vit_giant_head_width(self):
+        # ViT-g's d=88 heads (1408/16): like d=80, no pair/lane kernel is
+        # eligible; the full-block kernel carves 88-lane head slices.
+        b, t, nh, d = 2, 60, 2, 88
+        rng = np.random.default_rng(31)
+        qkv5 = rng.standard_normal((b, t, 3, nh, d))
+        q, k, v = (
+            jnp.asarray(qkv5[:, :, i].transpose(0, 2, 1, 3)) for i in range(3)
+        )
+        ref = attention(q, k, v, impl="xla").transpose(0, 2, 1, 3).reshape(b, t, nh * d)
+        for fast in (False, True):
+            out = attention_qkv(
+                jnp.asarray(qkv5.reshape(b, t, 3 * nh * d)), nh, fast=fast
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5
+            )
+
     @pytest.mark.parametrize("nh,d", [(2, 64), (2, 32), (3, 64), (2, 80)])
     def test_attention_qkv_train_grad_matches_xla(self, nh, d):
         """The custom-VJP training attention: value AND gradient parity

@@ -253,6 +253,16 @@ def check_geometries():
         ("ViT-H/14@224", VitHParams(hidden_size=1280, num_hidden_layers=32,
                                     num_attention_heads=16, num_classes=1000,
                                     patch_size=14, img_size=224)),
+        # ViT-g/14: d=88 heads (another non-64/non-128-divisor head class)
+        # AND a non-4x MLP (6144 on 1408, ratio 48/11) — exercises the
+        # full-block kernel's 88-lane head slices and the mlp_hidden
+        # override through the whole jitted forward. 8 layers (not the
+        # paper's 40): geometry coverage, not a throughput run
+        ("ViT-g/14@224 (8L)", VitHParams(hidden_size=1408,
+                                         num_hidden_layers=8,
+                                         num_attention_heads=16,
+                                         num_classes=1000, patch_size=14,
+                                         img_size=224, mlp_hidden=6144)),
     ]
     rng = np.random.default_rng(0)
     for name, hp in confs:
