@@ -66,6 +66,14 @@ CONFIGS = [
         ["--size", "huge", "--patch", "14", "--quant", "q8_0", "--mm",
          "int8", "--attn", "pallas-fast", "--batch", "64", "--chain", "12"],
     ),
+    # ViT-g/14 @224 (~1.0B params): d=88 heads on the full-block kernel
+    # AND the non-4x MLP override (6144 on hidden 1408, ratio 48/11)
+    (
+        "vitg14_224_q8_0_w8a8_bs32",
+        ["--size", "giant", "--patch", "14", "--quant", "q8_0", "--mm",
+         "int8", "--attn", "pallas-fast", "--batch", "32", "--chain", "12"],
+        3600,
+    ),
     (
         "latency_q8_0_w8a8",
         ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
@@ -111,16 +119,20 @@ def main(argv=None) -> int:
             print(f"resuming: {len(results)} configs kept", file=sys.stderr)
         except (OSError, json.JSONDecodeError):
             pass
-    for name, flags in CONFIGS:
+    for name, flags, *extra in CONFIGS:
         if name in results:
             continue
+        # optional per-config timeout (3rd tuple element): the 1B-param
+        # configs pay ~5 min of host-side weight gen/quantize plus a
+        # longer remote compile than the default budget assumes
+        timeout = extra[0] if extra else args.timeout
         print(f"=== {name}: bench.py {' '.join(flags)}", file=sys.stderr)
         try:
             proc = subprocess.run(
                 [sys.executable, "bench.py", *flags],
                 capture_output=True,
                 text=True,
-                timeout=args.timeout,
+                timeout=timeout,
             )
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
             results[name] = json.loads(line) if line.startswith("{") else {
