@@ -95,7 +95,28 @@ def main(argv=None) -> int:
         help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
         "block formats)",
     )
+    ap.add_argument(
+        "--compile-cache",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="DIR",
+        help="persist compiled XLA programs (utils/compile_cache.py) — "
+        "the train step is the most expensive compile in the repo, so "
+        "restarts/resumes skip minutes; optional DIR overrides the "
+        "default cache location (also: VIT_COMPILE_CACHE env)",
+    )
     args = ap.parse_args(argv)
+
+    from vit_cpp_tpu.utils.compile_cache import (
+        enable_compile_cache,
+        enable_from_env,
+    )
+
+    if args.compile_cache is not None:
+        enable_compile_cache(args.compile_cache or None)
+    else:
+        enable_from_env()
 
     mesh = None
     if args.mesh:
