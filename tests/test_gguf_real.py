@@ -138,3 +138,41 @@ def test_quantize_accepts_real_gguf_input(tmp_path):
     ref = np.asarray(forward(load_params(read_model(str(src))), x, hp))
     got = np.asarray(forward(params, x, hp))
     np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_fuzz_single_byte_corruptions(tmp_path):
+    """Corruption robustness parity with the legacy reader's fuzz test:
+    every single-byte corruption of a real v3 container either still
+    loads or fails with a clean ValueError/decode error — never a hang,
+    a multi-GB allocation, ZeroDivisionError (alignment=0), int64
+    overflow on dims, or RecursionError (nested metadata arrays)."""
+    import struct
+
+    hp = _hp()
+    state = random_state_dict(hp, seed=3)
+    path = tmp_path / "m.gguf"
+    write_gguf(
+        str(path),
+        hp,
+        {i: f"L{i}" for i in range(6)},
+        state_dict_records(state, ftype=1),
+        ftype=1,
+    )
+    data = bytearray(path.read_bytes())
+    rng = np.random.default_rng(0)
+    offsets = set(rng.integers(0, len(data), 120).tolist())
+    offsets.update(range(0, 96, 4))  # header + first KV fields
+    ok = clean_fail = 0
+    for off in sorted(offsets):
+        corrupted = bytearray(data)
+        corrupted[off] ^= 0xA5
+        p = tmp_path / "fuzz.gguf"
+        p.write_bytes(corrupted)
+        try:
+            mf = read_model(str(p))
+            load_params(mf)
+            ok += 1
+        except (ValueError, UnicodeDecodeError):
+            clean_fail += 1
+    assert ok + clean_fail == len(offsets)
+    assert clean_fail > 0 and ok > 0

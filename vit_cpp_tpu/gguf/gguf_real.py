@@ -42,8 +42,17 @@ _SCALAR_FMT = {
 
 
 class _Reader:
+    """Corruption-hardened parser: every length/count read from the file
+    is validated against the bytes that actually remain, so a bit-flipped
+    u64 cannot trigger a multi-GB allocation, and array nesting is capped
+    so a malicious file cannot blow the recursion limit. Failure mode is
+    always ValueError (the loader convention, gguf/reader.py)."""
+
     def __init__(self, f):
         self.f = f
+        f.seek(0, 2)
+        self.size = f.tell()
+        f.seek(0)
 
     def read(self, fmt: str):
         size = struct.calcsize(fmt)
@@ -54,17 +63,29 @@ class _Reader:
 
     def read_str(self) -> str:
         n = self.read("<Q")
+        if n > self.size - self.f.tell():
+            raise ValueError(
+                f"gguf: string length {n} exceeds remaining file bytes"
+            )
         return self.f.read(n).decode("utf-8")
 
-    def read_value(self, vtype: int):
+    def read_value(self, vtype: int, depth: int = 0):
         if vtype in _SCALAR_FMT:
             return self.read(_SCALAR_FMT[vtype])
         if vtype == _STR:
             return self.read_str()
         if vtype == _ARR:
+            if depth >= 8:
+                raise ValueError("gguf: metadata arrays nested too deeply")
             etype = self.read("<I")
             count = self.read("<Q")
-            return [self.read_value(etype) for _ in range(count)]
+            # each element is >= 1 byte on disk; a count beyond the
+            # remaining bytes is corruption, not a huge valid array
+            if count > self.size - self.f.tell():
+                raise ValueError(
+                    f"gguf: array count {count} exceeds remaining file bytes"
+                )
+            return [self.read_value(etype, depth + 1) for _ in range(count)]
         raise ValueError(f"gguf: unknown metadata value type {vtype}")
 
 
@@ -128,13 +149,23 @@ def read_gguf_raw(path: str):
             dtype = GGMLDType(r.read("<I"))
             offset = r.read("<Q")
             infos.append((name, tuple(reversed(ne)), dtype, offset))
-        align = int(meta.get("general.alignment", DEFAULT_ALIGNMENT))
+        align_v = meta.get("general.alignment", DEFAULT_ALIGNMENT)
+        if not isinstance(align_v, int) or not (1 <= align_v <= 1 << 20):
+            raise ValueError(f"gguf: bad general.alignment {align_v!r}")
+        align = align_v
         pos = f.tell()
         data_start = (pos + align - 1) // align * align
         tensors = []
         for name, shape, dtype, offset in infos:
-            n = int(np.prod(shape)) if shape else 1
+            n = 1
+            for dim in shape:  # python ints: no int64 overflow on corrupt dims
+                n *= int(dim)
             nbytes = dtype.row_bytes(n)
+            if nbytes > r.size or offset > r.size:
+                raise ValueError(
+                    f"{path}: tensor '{name}' claims {nbytes}B at offset "
+                    f"{offset} in a {r.size}B file"
+                )
             f.seek(data_start + offset)
             raw = f.read(nbytes)
             if len(raw) != nbytes:
