@@ -130,16 +130,29 @@ class TestConvertRoundTrip:
         want = forward_numpy(state, hp, imgs)
         np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
 
-    def test_norm_pre_skipped(self, torch_ckpt, tmp_path):
+    def test_norm_pre_written_by_default(self, torch_ckpt, tmp_path):
+        """Deliberate fix of the reference quirk (SURVEY.md §2.5): norm_pre
+        tensors are written and served; --drop-norm-pre restores the
+        reference converter's skip (tests/test_distilled.py covers the
+        full pre-norm forward parity)."""
         path, hp, state = torch_ckpt
         tstate = {k: torch.from_numpy(v) for k, v in state.items()}
         tstate["norm_pre.weight"] = torch.ones(hp.hidden_size)
+        tstate["norm_pre.bias"] = torch.zeros(hp.hidden_size)
         p2 = tmp_path / "with_pre.pth"
         torch.save(tstate, p2)
         out = convert(
             checkpoint=str(p2), output_dir=str(tmp_path), ftype=0, verbose=False
         )
-        assert "norm_pre.weight" not in read_model(out).tensors
+        assert "norm_pre.weight" in read_model(out).tensors
+        out2 = convert(
+            checkpoint=str(p2),
+            output_dir=str(tmp_path),
+            ftype=0,
+            drop_norm_pre=True,
+            verbose=False,
+        )
+        assert "norm_pre.weight" not in read_model(out2).tensors
 
     def test_vitstr_conversion(self, tmp_path):
         hp = VitHParams(

@@ -8,8 +8,13 @@ with the same serialization rules:
   ndim != 1 is written f16 EXCEPT `pos_embed` and `cls_token` (kept f32);
   ftype=0 writes everything f32;
 - `patch_embed.proj.bias` is reshaped to (1, C, 1, 1) (py:150-151);
-- `norm_pre.*` tensors are skipped (py:117-120) — models that need them are
-  knowingly unsupported, like the reference;
+- `norm_pre.*` tensors are WRITTEN and served (deliberate fix of the
+  reference quirk, SURVEY.md §2.5: the reference converter skips them,
+  py:117-120, silently mis-serving CLIP-style pre-norm models; pass
+  --drop-norm-pre for byte-parity with the reference's output);
+- DeiT-distilled checkpoints (dist_token + head_dist.*) serialize with
+  dist_token kept f32 like cls_token; the engine averages the two heads
+  at inference (models/vit.py);
 - dims are written reversed so ne[0] is the contiguous axis (py:155-156,
   handled by gguf.writer);
 - id2label: timm's ImageNet subset inference when available (py:80-93),
@@ -49,7 +54,7 @@ from vit_cpp_tpu.hparams import VitHParams
 # README.md model table).
 _DEFAULT_HEADS = {192: 3, 384: 6, 768: 12, 1024: 16, 1280: 16, 1408: 16}
 
-_KEEP_F32 = ("pos_embed", "cls_token")
+_KEEP_F32 = ("pos_embed", "cls_token", "dist_token")
 
 
 def serialize_state_dict(
@@ -57,9 +62,6 @@ def serialize_state_dict(
 ) -> Iterable[Tuple[str, tuple, GGMLDType, np.ndarray]]:
     """Apply the reference converter's per-tensor rules (py:117-158)."""
     for name, arr in state.items():
-        if name.startswith("norm_pre"):
-            # models with pre-norm are not fully supported (py:117-120)
-            continue
         arr = np.asarray(arr, dtype=np.float32)
         if name == "patch_embed.proj.bias":
             arr = arr.reshape(1, -1, 1, 1)  # (py:150-151)
@@ -81,9 +83,12 @@ def infer_hparams(
     patch = int(pe.shape[-1])
     in_chans = int(pe.shape[1])
     n_tokens = int(np.asarray(state["pos_embed"]).shape[-2])
-    side = int(math.isqrt(n_tokens - 1))
-    if side * side != n_tokens - 1:
-        raise ValueError(f"pos_embed token count {n_tokens} is not grid+CLS")
+    n_prefix = 2 if "dist_token" in state else 1
+    side = int(math.isqrt(n_tokens - n_prefix))
+    if side * side != n_tokens - n_prefix:
+        raise ValueError(
+            f"pos_embed token count {n_tokens} is not grid+{n_prefix} prefix"
+        )
     layer_ids = [
         int(m.group(1))
         for m in (re.match(r"blocks\.(\d+)\.", k) for k in state)
@@ -104,6 +109,10 @@ def infer_hparams(
                 f"cannot infer num_attention_heads for hidden={hidden}; "
                 "pass --heads"
             )
+    if "dist_token" in state and "head_dist.weight" not in state:
+        raise ValueError(
+            "distilled checkpoint has dist_token but no head_dist.weight"
+        )
     return VitHParams(
         hidden_size=hidden,
         num_hidden_layers=num_layers,
@@ -113,6 +122,8 @@ def infer_hparams(
         img_size=side * patch,
         in_chans=in_chans,
         mlp_hidden=mlp_hidden,
+        num_prefix_tokens=n_prefix,
+        norm_pre="norm_pre.weight" in state,
     )
 
 
@@ -188,6 +199,7 @@ def convert(
     heads: int | None = None,
     vitstr: bool = False,
     real_gguf: bool = False,
+    drop_norm_pre: bool = False,
     verbose: bool = True,
 ) -> str:
     timm_model = None
@@ -211,6 +223,12 @@ def convert(
 
     if vitstr:
         state = collapse_to_grayscale(state)
+    if drop_norm_pre:
+        # reference-parity mode: reproduce the reference converter's
+        # norm_pre skip (convert-pth-to-ggml.py:117-120) byte-for-byte
+        state = {
+            k: v for k, v in state.items() if not k.startswith("norm_pre")
+        }
     hp = infer_hparams(state, heads=heads)
 
     if vitstr or hp.in_chans == 1:
@@ -276,6 +294,12 @@ def main(argv=None) -> int:
         help="write a real GGUF v3 container instead of the legacy layout",
     )
     ap.add_argument(
+        "--drop-norm-pre",
+        action="store_true",
+        help="skip norm_pre tensors like the reference converter does "
+        "(byte-parity mode; default is to write and serve them)",
+    )
+    ap.add_argument(
         "--list",
         action="store_true",
         help="List some examples of the supported model names.",
@@ -292,6 +316,7 @@ def main(argv=None) -> int:
         heads=args.heads,
         vitstr=args.vitstr,
         real_gguf=args.gguf,
+        drop_norm_pre=args.drop_norm_pre,
     )
     return 0
 

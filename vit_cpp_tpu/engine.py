@@ -47,6 +47,13 @@ def detect_hparams(mf) -> VitHParams:
         from vit_cpp_tpu.models.vitstr import VITSTR_SEQ_LEN
 
         hp = dataclasses.replace(hp, seq_len=VITSTR_SEQ_LEN)
+    # DeiT distilled / CLIP-style pre-norm extensions, likewise declared
+    # by tensor presence (hparams.py; models/params.py re-infers the same
+    # way for direct load_params callers).
+    if "dist_token" in mf.tensors and hp.num_prefix_tokens == 1:
+        hp = dataclasses.replace(hp, num_prefix_tokens=2)
+    if "norm_pre.weight" in mf.tensors and not hp.norm_pre:
+        hp = dataclasses.replace(hp, norm_pre=True)
     return hp
 
 

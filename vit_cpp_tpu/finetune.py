@@ -149,14 +149,22 @@ def _dense_f32(params):
 
 
 def _reinit_head(params, hp, num_classes: int):
-    """Zero-init a fresh (h, num_classes) head for transfer learning."""
+    """Zero-init a fresh (h, num_classes) head for transfer learning.
+
+    Distilled checkpoints (head_dist, models/params.py) get both heads
+    re-initialized: without a teacher, fine-tuning trains both on the
+    label loss (hard distillation with ground truth as the teacher) and
+    inference keeps averaging them (models/vit.py forward)."""
     import jax.numpy as jnp
 
     params = dict(params)
-    params["head"] = {
+    fresh = lambda: {
         "kernel": jnp.zeros((hp.hidden_size, num_classes), jnp.float32),
         "bias": jnp.zeros((num_classes,), jnp.float32),
     }
+    params["head"] = fresh()
+    if "head_dist" in params:
+        params["head_dist"] = fresh()
     return params, dataclasses.replace(hp, num_classes=num_classes)
 
 
@@ -169,7 +177,7 @@ def _trainable_labels(params, freeze_backbone: bool):
             return "train"
         top = path[0]
         key = getattr(top, "key", getattr(top, "name", None))
-        return "train" if key == "head" else "freeze"
+        return "train" if key in ("head", "head_dist") else "freeze"
 
     return jtu.tree_map_with_path(label, params)
 

@@ -39,6 +39,19 @@ class VitHParams:
     # Transformers"). Not part of the legacy on-disk hparam block; the
     # loader infers it from the fc1 tensor shape (models/params.py).
     mlp_hidden: Optional[int] = None
+    # Family extensions the reference cannot represent, inferred from
+    # tensor presence like in_chans/mlp_hidden (not in the on-disk hparam
+    # block):
+    # - num_prefix_tokens=2: DeiT distilled models carry a `dist_token`
+    #   next to CLS and a second classifier `head_dist` whose logits are
+    #   averaged with the CLS head's at inference (timm
+    #   VisionTransformerDistilled.forward_head semantics).
+    # - norm_pre=True: CLIP-style pre-norm ViTs apply a LayerNorm between
+    #   the embeddings and the first block. The reference converter SKIPS
+    #   these tensors (convert-pth-to-ggml.py:117-120) and silently
+    #   mis-serves such models; here they are first-class.
+    num_prefix_tokens: int = 1
+    norm_pre: bool = False
 
     @property
     def n_patches_side(self) -> int:
@@ -51,8 +64,9 @@ class VitHParams:
 
     @property
     def n_tokens(self) -> int:
-        """Sequence length including the CLS token (vit.cpp:791-797)."""
-        return self.n_patches + 1
+        """Sequence length including the prefix token(s): CLS
+        (vit.cpp:791-797), plus the distillation token when present."""
+        return self.n_patches + self.num_prefix_tokens
 
     @property
     def head_dim(self) -> int:
@@ -68,5 +82,11 @@ class VitHParams:
 
     def expected_tensor_count(self) -> int:
         """Number of tensors in a checkpoint: 8 global + 12 per layer
-        (vit.cpp:697-701; README.md:77 cites 152 for 12-layer models)."""
-        return 8 + 12 * self.num_hidden_layers
+        (vit.cpp:697-701; README.md:77 cites 152 for 12-layer models);
+        +2 for pre-norm models, +3 for distilled (dist_token + head_dist)."""
+        n = 8 + 12 * self.num_hidden_layers
+        if self.norm_pre:
+            n += 2
+        if self.num_prefix_tokens == 2:
+            n += 3
+        return n

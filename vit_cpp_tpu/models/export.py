@@ -40,8 +40,11 @@ def params_to_state_dict(
 ) -> Dict[str, np.ndarray]:
     """Forward-pass pytree -> reference-schema torch-order state dict."""
     h = hp.hidden_size
+    pos = _np(params["pos_embed"])
     out: Dict[str, np.ndarray] = {
-        "pos_embed": _np(params["pos_embed"]).reshape(1, hp.n_tokens, h),
+        # row count from the array itself: hp may predate the loader's
+        # prefix-token inference (distilled models carry n_patches + 2 rows)
+        "pos_embed": pos.reshape(1, pos.shape[-2], h),
         "cls_token": _np(params["cls_token"]).reshape(1, 1, h),
         # pytree stores the flattened (p*p*c, h) matmul kernel; the file
         # stores the conv layout (h, c, p, p) (vit.cpp:515)
@@ -55,6 +58,17 @@ def params_to_state_dict(
         "head.weight": _kernel_to_torch(params["head"]["kernel"]),
         "head.bias": _np(params["head"]["bias"]),
     }
+    # Optional family extensions (models/params.py): pre-norm LN,
+    # distillation token + head. Folded pytrees (scale=None) cannot be
+    # exported — save_params callers always hold unfolded params.
+    if "norm_pre" in params:
+        out["norm_pre.weight"] = _np(params["norm_pre"]["scale"])
+        out["norm_pre.bias"] = _np(params["norm_pre"]["bias"])
+    if "dist_token" in params:
+        out["dist_token"] = _np(params["dist_token"]).reshape(1, 1, h)
+    if "head_dist" in params:
+        out["head_dist.weight"] = _kernel_to_torch(params["head_dist"]["kernel"])
+        out["head_dist.bias"] = _np(params["head_dist"]["bias"])
     blocks = params["blocks"]
 
     def layer(tree, i):

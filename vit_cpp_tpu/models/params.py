@@ -111,6 +111,25 @@ def load_params(
 
             hp = dataclasses.replace(hp, mlp_hidden=int(fc1.shape[0]))
 
+    # Family extensions declared by tensor presence (hparams.py): the
+    # distillation token (DeiT) and the pre-blocks LayerNorm (CLIP-style).
+    # The legacy hparam block cannot carry them, so like in_chans /
+    # mlp_hidden they are re-inferred wherever the file is opened.
+    if "dist_token" in mf.tensors and hp.num_prefix_tokens == 1:
+        import dataclasses
+
+        hp = dataclasses.replace(hp, num_prefix_tokens=2)
+    if "norm_pre.weight" in mf.tensors and not hp.norm_pre:
+        import dataclasses
+
+        hp = dataclasses.replace(hp, norm_pre=True)
+    if hp.num_prefix_tokens == 2 and hp.seq_len is not None:
+        raise ValueError(
+            "distilled checkpoints (dist_token) cannot carry a ViTSTR "
+            "sequence head — the distillation token would shift the "
+            "seq_len readout window"
+        )
+
     rs = _RecordSet(mf.tensors, dtype)
 
     pe_w = rs.rec("patch_embed.proj.weight")
@@ -134,6 +153,13 @@ def load_params(
             "bias": rs.dense("patch_embed.proj.bias", (h,)),
         },
     }
+    if hp.num_prefix_tokens == 2:
+        params["dist_token"] = rs.dense("dist_token", (h,))
+    if hp.norm_pre:
+        params["norm_pre"] = {
+            "scale": rs.dense("norm_pre.weight", (h,)),
+            "bias": rs.dense("norm_pre.bias", (h,)),
+        }
 
     blocks = []
     for i in range(L):
@@ -179,6 +205,14 @@ def load_params(
         "kernel": rs.kernel("head.weight", hp.num_classes, h),
         "bias": rs.dense("head.bias", (hp.num_classes,)),
     }
+    if hp.num_prefix_tokens == 2:
+        # the distilled head pairs with dist_token; rs.rec raises the
+        # loader's fail-fast ValueError if the checkpoint has one without
+        # the other
+        params["head_dist"] = {
+            "kernel": rs.kernel("head_dist.weight", hp.num_classes, h),
+            "bias": rs.dense("head_dist.bias", (hp.num_classes,)),
+        }
     rs.check_all_used()
     return params
 

@@ -44,18 +44,37 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
 
 
 def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Array:
-    """Patch-embed + CLS token + positional embeddings -> (B, T, h)."""
+    """Patch-embed + prefix token(s) + positional embeddings -> (B, T, h).
+
+    Prefix is the CLS token (vit.cpp:794-795), plus the distillation token
+    for DeiT-distilled checkpoints (params carry 'dist_token'; timm orders
+    it [cls, dist, patches...])."""
     dtype = params["patch_embed"]["kernel"].dtype
     patches = patchify(images.astype(dtype), hp.patch_size)
     x = linear(patches, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
     b = x.shape[0]
-    cls = jnp.broadcast_to(
-        params["cls_token"].astype(dtype), (b, 1, hp.hidden_size)
-    )
-    x = jnp.concatenate([cls, x], axis=1)  # CLS in front (vit.cpp:794-795)
+    prefix = [
+        jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, hp.hidden_size))
+    ]
+    if "dist_token" in params:
+        prefix.append(
+            jnp.broadcast_to(
+                params["dist_token"].astype(dtype), (b, 1, hp.hidden_size)
+            )
+        )
+    x = jnp.concatenate(prefix + [x], axis=1)
     # pos_embed is stored f32 in the checkpoint (converter rule); add in the
     # activation dtype.
-    return x + params["pos_embed"].astype(dtype)[None]
+    x = x + params["pos_embed"].astype(dtype)[None]
+    if "norm_pre" in params:
+        # CLIP-style pre-norm between embeddings and the first block — the
+        # tensors the reference converter drops (convert-pth-to-ggml.py:
+        # 117-120); supporting them is a deliberate fix of that quirk
+        # (SURVEY.md §2.5).
+        x = layernorm(
+            x, params["norm_pre"]["scale"], params["norm_pre"]["bias"], hp.eps
+        )
+    return x
 
 
 # NOTE (kernels research record): two opt-in block variants were built,
@@ -225,6 +244,27 @@ def forward(
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
 
+    if "head_dist" in params and hp.seq_len is None:
+        # DeiT distilled: final LN over both prefix tokens; inference
+        # averages the two heads' outputs (timm
+        # VisionTransformerDistilled.forward_head — pre_logits averages the
+        # token representations, logits average the two classifiers).
+        pooled = layernorm(
+            x[:, :2], params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
+        if features:
+            return (pooled[:, 0] + pooled[:, 1]) * 0.5
+        logits = linear(
+            pooled[:, 0], params["head"]["kernel"], params["head"]["bias"],
+            impl=mm_impl,
+        )
+        logits_dist = linear(
+            pooled[:, 1],
+            params["head_dist"]["kernel"],
+            params["head_dist"]["bias"],
+            impl=mm_impl,
+        )
+        return (logits + logits_dist) * 0.5
     if hp.seq_len is None:
         pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)
     else:
@@ -296,12 +336,25 @@ def forward_debug(
             mm_impl=kw.get("mm_impl", "xla"),
         )
         acts[f"block_{i}"] = x
-    pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
-    pooled = layernorm(
-        pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
-    )
+    if "head_dist" in params and hp.seq_len is None:
+        pooled = layernorm(
+            x[:, :2], params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
+        logits = (
+            linear(pooled[:, 0], params["head"]["kernel"], params["head"]["bias"])
+            + linear(
+                pooled[:, 1],
+                params["head_dist"]["kernel"],
+                params["head_dist"]["bias"],
+            )
+        ) * 0.5
+    else:
+        pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+        pooled = layernorm(
+            pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
+        logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"])
     acts["pooled"] = pooled
-    logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"])
     acts["logits"] = logits
     acts["probs"] = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return acts

@@ -67,7 +67,7 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     def _ln(node):
         return {k: None if node[k] is None else P() for k in ("scale", "bias")}
 
-    return {
+    specs: Dict[str, Any] = {
         "cls_token": P(),
         "pos_embed": P(),
         "patch_embed": {"kernel": P(), "bias": P()},
@@ -99,6 +99,21 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             "bias": P("model"),
         },
     }
+    # Optional family extensions (DeiT distilled / pre-norm, models/params):
+    # the distillation token and pre-norm LN replicate like their CLS /
+    # final-norm counterparts; head_dist is column-parallel like head.
+    if "dist_token" in params:
+        specs["dist_token"] = P()
+    if "norm_pre" in params:
+        specs["norm_pre"] = _ln(params["norm_pre"])
+    if "head_dist" in params:
+        specs["head_dist"] = {
+            "kernel": _kernel_spec(
+                params["head_dist"]["kernel"], col_parallel=True, stacked=False
+            ),
+            "bias": P("model"),
+        }
+    return specs
 
 
 def batch_pspec() -> P:

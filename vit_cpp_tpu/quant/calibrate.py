@@ -65,7 +65,12 @@ def collect_act_maxima(
         )
         for name in _GEMMS:
             maxima[name].append(per_layer[name])
-    pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+    if "head_dist" in params and hp.seq_len is None:
+        pooled = x[:, :2]  # both prefix tokens feed the two heads
+    elif hp.seq_len is None:
+        pooled = x[:, 0]
+    else:
+        pooled = x[:, : hp.seq_len]
     pooled = layernorm(
         pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
     )
@@ -106,10 +111,14 @@ def calibrate_act_scales(
         leaf["kernel"] = attach(leaf["kernel"], maxima[name])
         blocks[name] = leaf
     out["blocks"] = blocks
-    head = dict(params["head"])
-    if isinstance(head["kernel"], Int8Linear):
-        head["kernel"] = attach(head["kernel"], maxima["head"])
-    out["head"] = head
+    # Both classifier heads read the same final-LN pooled activations, so
+    # they share one measured scale (collect_act_maxima pools both prefix
+    # tokens for distilled trees).
+    for name in ("head", "head_dist") if "head_dist" in params else ("head",):
+        head = dict(params[name])
+        if isinstance(head["kernel"], Int8Linear):
+            head["kernel"] = attach(head["kernel"], maxima["head"])
+        out[name] = head
     return out
 
 

@@ -97,13 +97,15 @@ def convert_params_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
             leaf["kernel"] = channelwise_int8(k)
         blocks[name] = leaf
     out["blocks"] = blocks
-    head = dict(params["head"])
-    hk = head["kernel"]
-    if isinstance(hk, QuantLinear):
-        head["kernel"] = from_quant_linear(hk)
-    elif not isinstance(hk, Int8Linear):
-        head["kernel"] = channelwise_int8(hk)
-    out["head"] = head
+    heads = ("head", "head_dist") if "head_dist" in params else ("head",)
+    for name in heads:
+        head = dict(params[name])
+        hk = head["kernel"]
+        if isinstance(hk, QuantLinear):
+            head["kernel"] = from_quant_linear(hk)
+        elif not isinstance(hk, Int8Linear):
+            head["kernel"] = channelwise_int8(hk)
+        out[name] = head
     return out
 
 

@@ -46,9 +46,13 @@ def forward_numpy(
     pe_w = f("patch_embed.proj.weight").reshape(h, -1)
     x = patches @ pe_w.T + f("patch_embed.proj.bias").reshape(h)
 
-    cls = np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))
-    x = np.concatenate([cls, x], axis=1)
-    x = x + f("pos_embed").reshape(1, hp.n_tokens, h)
+    prefix = [np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))]
+    if "dist_token" in state:
+        prefix.append(np.broadcast_to(f("dist_token").reshape(1, 1, h), (b, 1, h)))
+    x = np.concatenate(prefix + [x], axis=1)
+    x = x + f("pos_embed").reshape(1, -1, h)
+    if "norm_pre.weight" in state:
+        x = _ln(x, f("norm_pre.weight"), f("norm_pre.bias"), hp.eps)
 
     nh, hd = hp.num_attention_heads, hp.head_dim
     for i in range(hp.num_hidden_layers):
@@ -70,6 +74,14 @@ def forward_numpy(
         y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
         x = x + y
 
+    if "head_dist.weight" in state and hp.seq_len is None:
+        pooled = _ln(x[:, :2], f("norm.weight"), f("norm.bias"), hp.eps)
+        return (
+            pooled[:, 0] @ f("head.weight").T
+            + f("head.bias")
+            + pooled[:, 1] @ f("head_dist.weight").T
+            + f("head_dist.bias")
+        ) * 0.5
     if hp.seq_len is None:
         pooled = x[:, 0]
     else:
@@ -98,9 +110,13 @@ def forward_numpy_debug(
     patches = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
     pe_w = f("patch_embed.proj.weight").reshape(h, -1)
     x = patches @ pe_w.T + f("patch_embed.proj.bias").reshape(h)
-    cls = np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))
-    x = np.concatenate([cls, x], axis=1)
-    x = x + f("pos_embed").reshape(1, hp.n_tokens, h)
+    prefix = [np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))]
+    if "dist_token" in state:
+        prefix.append(np.broadcast_to(f("dist_token").reshape(1, 1, h), (b, 1, h)))
+    x = np.concatenate(prefix + [x], axis=1)
+    x = x + f("pos_embed").reshape(1, -1, h)
+    if "norm_pre.weight" in state:
+        x = _ln(x, f("norm_pre.weight"), f("norm_pre.bias"), hp.eps)
     acts["embed"] = x
 
     nh, hd = hp.num_attention_heads, hp.head_dim
@@ -123,9 +139,19 @@ def forward_numpy_debug(
         x = x + y
         acts[f"block_{i}"] = x
 
-    pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
-    pooled = _ln(pooled, f("norm.weight"), f("norm.bias"), hp.eps)
-    acts["pooled"] = pooled
-    acts["logits"] = pooled @ f("head.weight").T + f("head.bias")
+    if "head_dist.weight" in state and hp.seq_len is None:
+        pooled = _ln(x[:, :2], f("norm.weight"), f("norm.bias"), hp.eps)
+        acts["pooled"] = pooled
+        acts["logits"] = (
+            pooled[:, 0] @ f("head.weight").T
+            + f("head.bias")
+            + pooled[:, 1] @ f("head_dist.weight").T
+            + f("head_dist.bias")
+        ) * 0.5
+    else:
+        pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+        pooled = _ln(pooled, f("norm.weight"), f("norm.bias"), hp.eps)
+        acts["pooled"] = pooled
+        acts["logits"] = pooled @ f("head.weight").T + f("head.bias")
     acts["probs"] = _softmax(acts["logits"])
     return acts

@@ -17,8 +17,9 @@ from vit_cpp_tpu.gguf.writer import write_model
 from vit_cpp_tpu.hparams import VitHParams
 
 # Reference converter dtype rule (convert-pth-to-ggml.py:141-148): at ftype=1
-# every tensor with ndim != 1 is f16 except pos_embed/cls_token (kept f32).
-_KEEP_F32 = ("pos_embed", "cls_token")
+# every tensor with ndim != 1 is f16 except pos_embed/cls_token (kept f32);
+# dist_token (our DeiT-distilled extension) follows the cls_token rule.
+_KEEP_F32 = ("pos_embed", "cls_token", "dist_token")
 
 
 def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
@@ -32,6 +33,11 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
         # (convert-pth-to-ggml.py:150-151).
         "patch_embed.proj.bias": (1, h, 1, 1),
     }
+    if hp.num_prefix_tokens == 2:
+        shapes["dist_token"] = (1, 1, h)
+    if hp.norm_pre:
+        shapes["norm_pre.weight"] = (h,)
+        shapes["norm_pre.bias"] = (h,)
     for i in range(L):
         p = f"blocks.{i}."
         shapes.update(
@@ -58,6 +64,9 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
             "head.bias": (c,),
         }
     )
+    if hp.num_prefix_tokens == 2:
+        shapes["head_dist.weight"] = (c, h)
+        shapes["head_dist.bias"] = (c,)
     return shapes
 
 
@@ -66,11 +75,11 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     out: Dict[str, np.ndarray] = {}
     for name, shape in state_dict_shapes(hp).items():
-        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name == "norm.weight":
+        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight"):
             v = 1.0 + 0.02 * rng.standard_normal(shape)
         elif name.endswith(".bias"):
             v = 0.02 * rng.standard_normal(shape)
-        elif name in ("pos_embed", "cls_token"):
+        elif name in ("pos_embed", "cls_token", "dist_token"):
             v = 0.02 * rng.standard_normal(shape)
         else:
             fan_in = shape[-1] if len(shape) >= 2 else shape[0]
