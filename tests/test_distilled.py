@@ -332,6 +332,30 @@ def test_quantize_covers_head_dist(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+def test_aot_vitx_distilled(tmp_path):
+    """The .vitx AOT path is param-pytree generic; pin that it carries the
+    distilled structure: export -> reload -> parity with the live engine."""
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    p = tmp_path / "dist.gguf"
+    write_synthetic_model(str(p), HP_DIST, ftype=1, seed=18)
+    engine = VitEngine(str(p), mm_impl="int8", fold_ln=True, verbose=False)
+    out = str(tmp_path / "dist.vitx")
+    save_engine(engine, out, batch=2)
+    aot = AotEngine(out)
+    assert aot.hp.num_prefix_tokens == 2 and aot.hp.norm_pre
+    x = jnp.asarray(_images(HP_DIST))
+    np.testing.assert_allclose(
+        np.asarray(aot.predict_probs_batch(x)),
+        np.asarray(engine.predict_probs_batch(x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+
 def test_finetune_reinit_covers_head_dist():
     from vit_cpp_tpu.finetune import _reinit_head, _trainable_labels
 
