@@ -76,19 +76,36 @@ def infer_hparams(
 ) -> VitHParams:
     """Derive hparams from tensor shapes (the file format stores them, the
     state dict does not)."""
-    if "norm.weight" not in state or "patch_embed.proj.weight" not in state:
-        raise ValueError("state dict missing norm.weight/patch_embed.proj.weight")
-    hidden = int(state["norm.weight"].shape[0])
+    norm_key = "norm.weight" if "norm.weight" in state else "fc_norm.weight"
+    if norm_key not in state or "patch_embed.proj.weight" not in state:
+        raise ValueError(
+            "state dict missing norm.weight/fc_norm.weight/"
+            "patch_embed.proj.weight"
+        )
+    hidden = int(state[norm_key].shape[0])
     pe = state["patch_embed.proj.weight"]
     patch = int(pe.shape[-1])
     in_chans = int(pe.shape[1])
     n_tokens = int(np.asarray(state["pos_embed"]).shape[-2])
-    n_prefix = 2 if "dist_token" in state else 1
+    if "dist_token" in state:
+        n_prefix = 2
+    elif "cls_token" in state:
+        n_prefix = 1
+    else:
+        n_prefix = 0  # CLS-less avg-pool model (requires fc_norm)
+    # pos_embed rows = grid + prefix, or grid alone for timm
+    # no_embed_class models (prefix concatenated after the positional
+    # add). Squares never differ by 1 or 2 above 1, so this is unambiguous.
     side = int(math.isqrt(n_tokens - n_prefix))
+    no_embed_class = False
     if side * side != n_tokens - n_prefix:
-        raise ValueError(
-            f"pos_embed token count {n_tokens} is not grid+{n_prefix} prefix"
-        )
+        side = int(math.isqrt(n_tokens))
+        no_embed_class = n_prefix > 0 and side * side == n_tokens
+        if not no_embed_class:
+            raise ValueError(
+                f"pos_embed token count {n_tokens} is not grid+{n_prefix} "
+                f"prefix (nor a bare grid)"
+            )
     layer_ids = [
         int(m.group(1))
         for m in (re.match(r"blocks\.(\d+)\.", k) for k in state)
@@ -113,6 +130,10 @@ def infer_hparams(
         raise ValueError(
             "distilled checkpoint has dist_token but no head_dist.weight"
         )
+    if n_prefix == 0 and "fc_norm.weight" not in state:
+        raise ValueError(
+            "checkpoint has no cls_token and no fc_norm — nothing to pool"
+        )
     return VitHParams(
         hidden_size=hidden,
         num_hidden_layers=num_layers,
@@ -124,6 +145,8 @@ def infer_hparams(
         mlp_hidden=mlp_hidden,
         num_prefix_tokens=n_prefix,
         norm_pre="norm_pre.weight" in state,
+        global_pool="avg" if "fc_norm.weight" in state else "token",
+        no_embed_class=no_embed_class,
     )
 
 

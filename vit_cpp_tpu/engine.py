@@ -52,8 +52,17 @@ def detect_hparams(mf) -> VitHParams:
     # way for direct load_params callers).
     if "dist_token" in mf.tensors and hp.num_prefix_tokens == 1:
         hp = dataclasses.replace(hp, num_prefix_tokens=2)
+    if "cls_token" not in mf.tensors and hp.num_prefix_tokens == 1:
+        hp = dataclasses.replace(hp, num_prefix_tokens=0)
     if "norm_pre.weight" in mf.tensors and not hp.norm_pre:
         hp = dataclasses.replace(hp, norm_pre=True)
+    if "fc_norm.weight" in mf.tensors and hp.global_pool != "avg":
+        hp = dataclasses.replace(hp, global_pool="avg")
+    pos = mf.tensors.get("pos_embed")
+    if pos is not None and hp.num_prefix_tokens and not hp.no_embed_class:
+        n_rows = int(np.prod(pos.shape)) // hp.hidden_size
+        if n_rows == hp.n_patches:
+            hp = dataclasses.replace(hp, no_embed_class=True)
     return hp
 
 

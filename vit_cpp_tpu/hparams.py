@@ -50,8 +50,18 @@ class VitHParams:
     #   the embeddings and the first block. The reference converter SKIPS
     #   these tensors (convert-pth-to-ggml.py:117-120) and silently
     #   mis-serves such models; here they are first-class.
+    # - global_pool="avg": MAE/DeiT3-style ViTs mean-pool the patch tokens
+    #   (excluding any prefix) and normalize with `fc_norm` instead of
+    #   pooling CLS through `norm` (timm VisionTransformer global_pool
+    #   semantics; fc_norm loads into the same 'norm' pytree slot).
+    #   num_prefix_tokens=0 marks CLS-less models (avg-pool only).
+    # - no_embed_class=True: pos_embed covers the patch grid only
+    #   (n_patches rows); prefix tokens are concatenated after the
+    #   positional add (timm no_embed_class, e.g. DeiT3).
     num_prefix_tokens: int = 1
     norm_pre: bool = False
+    global_pool: str = "token"
+    no_embed_class: bool = False
 
     @property
     def n_patches_side(self) -> int:
@@ -65,8 +75,16 @@ class VitHParams:
     @property
     def n_tokens(self) -> int:
         """Sequence length including the prefix token(s): CLS
-        (vit.cpp:791-797), plus the distillation token when present."""
+        (vit.cpp:791-797), plus the distillation token when present;
+        CLS-less avg-pool models have no prefix at all."""
         return self.n_patches + self.num_prefix_tokens
+
+    @property
+    def n_pos_tokens(self) -> int:
+        """Rows in pos_embed: n_tokens, or just the patch grid for
+        no_embed_class models (timm adds pos before concatenating the
+        prefix there)."""
+        return self.n_patches if self.no_embed_class else self.n_tokens
 
     @property
     def head_dim(self) -> int:
@@ -89,4 +107,6 @@ class VitHParams:
             n += 2
         if self.num_prefix_tokens == 2:
             n += 3
+        if self.num_prefix_tokens == 0:
+            n -= 1  # no cls_token (avg-pool models; fc_norm replaces norm)
         return n

@@ -43,9 +43,9 @@ def params_to_state_dict(
     pos = _np(params["pos_embed"])
     out: Dict[str, np.ndarray] = {
         # row count from the array itself: hp may predate the loader's
-        # prefix-token inference (distilled models carry n_patches + 2 rows)
+        # prefix-token inference (distilled models carry n_patches + 2
+        # rows; no_embed_class models carry n_patches)
         "pos_embed": pos.reshape(1, pos.shape[-2], h),
-        "cls_token": _np(params["cls_token"]).reshape(1, 1, h),
         # pytree stores the flattened (p*p*c, h) matmul kernel; the file
         # stores the conv layout (h, c, p, p) (vit.cpp:515)
         "patch_embed.proj.weight": _np(params["patch_embed"]["kernel"])
@@ -53,11 +53,15 @@ def params_to_state_dict(
         "patch_embed.proj.bias": _np(params["patch_embed"]["bias"]).reshape(
             1, h, 1, 1
         ),
-        "norm.weight": _np(params["norm"]["scale"]),
-        "norm.bias": _np(params["norm"]["bias"]),
         "head.weight": _kernel_to_torch(params["head"]["kernel"]),
         "head.bias": _np(params["head"]["bias"]),
     }
+    if "cls_token" in params:
+        out["cls_token"] = _np(params["cls_token"]).reshape(1, 1, h)
+    # avg-pool pytrees hold fc_norm in the 'norm' slot (models/params.py)
+    norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
+    out[norm_name + ".weight"] = _np(params["norm"]["scale"])
+    out[norm_name + ".bias"] = _np(params["norm"]["bias"])
     # Optional family extensions (models/params.py): pre-norm LN,
     # distillation token + head. Folded pytrees (scale=None) cannot be
     # exported — save_params callers always hold unfolded params.

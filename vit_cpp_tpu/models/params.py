@@ -115,19 +115,49 @@ def load_params(
     # distillation token (DeiT) and the pre-blocks LayerNorm (CLIP-style).
     # The legacy hparam block cannot carry them, so like in_chans /
     # mlp_hidden they are re-inferred wherever the file is opened.
+    import dataclasses
+
     if "dist_token" in mf.tensors and hp.num_prefix_tokens == 1:
-        import dataclasses
-
         hp = dataclasses.replace(hp, num_prefix_tokens=2)
+    if "cls_token" not in mf.tensors and hp.num_prefix_tokens == 1:
+        # CLS-less avg-pool models (timm class_token=False, e.g. some
+        # MAE/SigLIP-style encoders)
+        hp = dataclasses.replace(hp, num_prefix_tokens=0)
     if "norm_pre.weight" in mf.tensors and not hp.norm_pre:
-        import dataclasses
-
         hp = dataclasses.replace(hp, norm_pre=True)
+    if "fc_norm.weight" in mf.tensors:
+        if "norm.weight" in mf.tensors:
+            raise ValueError(
+                "checkpoint has both norm.weight and fc_norm.weight — "
+                "timm ViTs carry exactly one (the other is Identity)"
+            )
+        if hp.global_pool != "avg":
+            hp = dataclasses.replace(hp, global_pool="avg")
+    pos = mf.tensors.get("pos_embed")
+    if pos is not None and hp.num_prefix_tokens and not hp.no_embed_class:
+        n_rows = int(np.prod(pos.shape)) // h
+        if n_rows == hp.n_patches:
+            # pos_embed covers the patch grid only (timm no_embed_class)
+            hp = dataclasses.replace(hp, no_embed_class=True)
     if hp.num_prefix_tokens == 2 and hp.seq_len is not None:
         raise ValueError(
             "distilled checkpoints (dist_token) cannot carry a ViTSTR "
             "sequence head — the distillation token would shift the "
             "seq_len readout window"
+        )
+    if hp.global_pool == "avg" and hp.seq_len is not None:
+        raise ValueError(
+            "avg-pool checkpoints (fc_norm) cannot carry a ViTSTR "
+            "sequence head — the readout needs per-token rows"
+        )
+    if hp.global_pool == "avg" and hp.num_prefix_tokens == 2:
+        raise ValueError(
+            "distilled checkpoints are token-pooled; fc_norm + dist_token "
+            "is not a timm configuration"
+        )
+    if hp.num_prefix_tokens == 0 and hp.global_pool != "avg":
+        raise ValueError(
+            "checkpoint has no cls_token and no fc_norm — nothing to pool"
         )
 
     rs = _RecordSet(mf.tensors, dtype)
@@ -146,13 +176,14 @@ def load_params(
     )
 
     params: Dict[str, Any] = {
-        "cls_token": rs.dense("cls_token", (h,)),
-        "pos_embed": rs.dense("pos_embed", (hp.n_tokens, h)),
+        "pos_embed": rs.dense("pos_embed", (hp.n_pos_tokens, h)),
         "patch_embed": {
             "kernel": pe_kernel,
             "bias": rs.dense("patch_embed.proj.bias", (h,)),
         },
     }
+    if hp.num_prefix_tokens >= 1:
+        params["cls_token"] = rs.dense("cls_token", (h,))
     if hp.num_prefix_tokens == 2:
         params["dist_token"] = rs.dense("dist_token", (h,))
     if hp.norm_pre:
@@ -197,9 +228,13 @@ def load_params(
         *blocks,
         is_leaf=lambda x: isinstance(x, QuantLinear),
     )
+    # avg-pool models normalize the pooled mean with fc_norm; it plays the
+    # exact role of the final norm (LN after pooling), so it loads into
+    # the same slot and the forward stays single-pathed.
+    norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
     params["norm"] = {
-        "scale": rs.dense("norm.weight", (h,)),
-        "bias": rs.dense("norm.bias", (h,)),
+        "scale": rs.dense(norm_name + ".weight", (h,)),
+        "bias": rs.dense(norm_name + ".bias", (h,)),
     }
     params["head"] = {
         "kernel": rs.kernel("head.weight", hp.num_classes, h),

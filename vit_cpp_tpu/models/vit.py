@@ -53,19 +53,31 @@ def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Arra
     patches = patchify(images.astype(dtype), hp.patch_size)
     x = linear(patches, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
     b = x.shape[0]
-    prefix = [
-        jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, hp.hidden_size))
-    ]
+    prefix = []
+    if "cls_token" in params:  # absent on CLS-less avg-pool models
+        prefix.append(
+            jnp.broadcast_to(
+                params["cls_token"].astype(dtype), (b, 1, hp.hidden_size)
+            )
+        )
     if "dist_token" in params:
         prefix.append(
             jnp.broadcast_to(
                 params["dist_token"].astype(dtype), (b, 1, hp.hidden_size)
             )
         )
-    x = jnp.concatenate(prefix + [x], axis=1)
-    # pos_embed is stored f32 in the checkpoint (converter rule); add in the
-    # activation dtype.
-    x = x + params["pos_embed"].astype(dtype)[None]
+    # pos_embed is stored f32 in the checkpoint (converter rule); add in
+    # the activation dtype. no_embed_class models (timm) position-embed
+    # the patch grid only, BEFORE the prefix concat.
+    pos = params["pos_embed"].astype(dtype)[None]
+    if hp.no_embed_class:
+        x = x + pos
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
+    else:
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
+        x = x + pos
     if "norm_pre" in params:
         # CLIP-style pre-norm between embeddings and the first block — the
         # tensors the reference converter drops (convert-pth-to-ggml.py:
@@ -265,10 +277,17 @@ def forward(
             impl=mm_impl,
         )
         return (logits + logits_dist) * 0.5
-    if hp.seq_len is None:
-        pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)
-    else:
+    if hp.seq_len is not None:
         pooled = x[:, : hp.seq_len]  # ViTSTR 25-token readout
+    elif hp.global_pool == "avg":
+        # mean over the patch tokens (prefix excluded), normalized by
+        # fc_norm — loaded into the 'norm' slot (timm avg-pool semantics);
+        # under pad_tokens, kv is the real token count so the pad rows
+        # never enter the mean
+        end = kv if kv is not None else x.shape[1]
+        pooled = jnp.mean(x[:, hp.num_prefix_tokens : end], axis=1)
+    else:
+        pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)
     pooled = layernorm(pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps)
     if features:
         return pooled
@@ -349,7 +368,12 @@ def forward_debug(
             )
         ) * 0.5
     else:
-        pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
+        if hp.seq_len is not None:
+            pooled = x[:, : hp.seq_len]
+        elif hp.global_pool == "avg":
+            pooled = jnp.mean(x[:, hp.num_prefix_tokens :], axis=1)
+        else:
+            pooled = x[:, 0]
         pooled = layernorm(
             pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
         )

@@ -68,7 +68,6 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         return {k: None if node[k] is None else P() for k in ("scale", "bias")}
 
     specs: Dict[str, Any] = {
-        "cls_token": P(),
         "pos_embed": P(),
         "patch_embed": {"kernel": P(), "bias": P()},
         "blocks": {
@@ -99,9 +98,12 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             "bias": P("model"),
         },
     }
-    # Optional family extensions (DeiT distilled / pre-norm, models/params):
-    # the distillation token and pre-norm LN replicate like their CLS /
-    # final-norm counterparts; head_dist is column-parallel like head.
+    # Optional family extensions (DeiT distilled / pre-norm / CLS-less
+    # avg-pool, models/params): the prefix tokens and pre-norm LN
+    # replicate like their CLS / final-norm counterparts; head_dist is
+    # column-parallel like head.
+    if "cls_token" in params:
+        specs["cls_token"] = P()
     if "dist_token" in params:
         specs["dist_token"] = P()
     if "norm_pre" in params:

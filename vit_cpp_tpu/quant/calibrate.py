@@ -67,10 +67,12 @@ def collect_act_maxima(
             maxima[name].append(per_layer[name])
     if "head_dist" in params and hp.seq_len is None:
         pooled = x[:, :2]  # both prefix tokens feed the two heads
-    elif hp.seq_len is None:
-        pooled = x[:, 0]
-    else:
+    elif hp.seq_len is not None:
         pooled = x[:, : hp.seq_len]
+    elif hp.global_pool == "avg":
+        pooled = jnp.mean(x[:, hp.num_prefix_tokens :], axis=1)
+    else:
+        pooled = x[:, 0]
     pooled = layernorm(
         pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
     )

@@ -31,6 +31,28 @@ def _softmax(x, axis=-1):
     return e / e.sum(axis=axis, keepdims=True)
 
 
+def _embed_np(state, hp, x, b, h):
+    """Prefix tokens + positional embeddings + optional norm_pre — the
+    oracle half of models.vit.embed (incl. timm no_embed_class ordering:
+    pos over the patch grid BEFORE the prefix concat)."""
+    f = lambda n: state[n].astype(np.float64)
+    prefix = []
+    if "cls_token" in state:
+        prefix.append(np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h)))
+    if "dist_token" in state:
+        prefix.append(np.broadcast_to(f("dist_token").reshape(1, 1, h), (b, 1, h)))
+    pos = f("pos_embed").reshape(1, -1, h)
+    if prefix and pos.shape[1] == x.shape[1]:  # no_embed_class layout
+        x = np.concatenate(prefix + [x + pos], axis=1)
+    else:
+        if prefix:
+            x = np.concatenate(prefix + [x], axis=1)
+        x = x + pos
+    if "norm_pre.weight" in state:
+        x = _ln(x, f("norm_pre.weight"), f("norm_pre.bias"), hp.eps)
+    return x
+
+
 def forward_numpy(
     state: Dict[str, np.ndarray], hp: VitHParams, images: np.ndarray
 ) -> np.ndarray:
@@ -46,13 +68,7 @@ def forward_numpy(
     pe_w = f("patch_embed.proj.weight").reshape(h, -1)
     x = patches @ pe_w.T + f("patch_embed.proj.bias").reshape(h)
 
-    prefix = [np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))]
-    if "dist_token" in state:
-        prefix.append(np.broadcast_to(f("dist_token").reshape(1, 1, h), (b, 1, h)))
-    x = np.concatenate(prefix + [x], axis=1)
-    x = x + f("pos_embed").reshape(1, -1, h)
-    if "norm_pre.weight" in state:
-        x = _ln(x, f("norm_pre.weight"), f("norm_pre.bias"), hp.eps)
+    x = _embed_np(state, hp, x, b, h)
 
     nh, hd = hp.num_attention_heads, hp.head_dim
     for i in range(hp.num_hidden_layers):
@@ -74,6 +90,10 @@ def forward_numpy(
         y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
         x = x + y
 
+    if "fc_norm.weight" in state and hp.seq_len is None:
+        pooled = x[:, hp.num_prefix_tokens :].mean(axis=1)
+        pooled = _ln(pooled, f("fc_norm.weight"), f("fc_norm.bias"), hp.eps)
+        return pooled @ f("head.weight").T + f("head.bias")
     if "head_dist.weight" in state and hp.seq_len is None:
         pooled = _ln(x[:, :2], f("norm.weight"), f("norm.bias"), hp.eps)
         return (
@@ -110,13 +130,7 @@ def forward_numpy_debug(
     patches = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
     pe_w = f("patch_embed.proj.weight").reshape(h, -1)
     x = patches @ pe_w.T + f("patch_embed.proj.bias").reshape(h)
-    prefix = [np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h))]
-    if "dist_token" in state:
-        prefix.append(np.broadcast_to(f("dist_token").reshape(1, 1, h), (b, 1, h)))
-    x = np.concatenate(prefix + [x], axis=1)
-    x = x + f("pos_embed").reshape(1, -1, h)
-    if "norm_pre.weight" in state:
-        x = _ln(x, f("norm_pre.weight"), f("norm_pre.bias"), hp.eps)
+    x = _embed_np(state, hp, x, b, h)
     acts["embed"] = x
 
     nh, hd = hp.num_attention_heads, hp.head_dim
@@ -139,7 +153,12 @@ def forward_numpy_debug(
         x = x + y
         acts[f"block_{i}"] = x
 
-    if "head_dist.weight" in state and hp.seq_len is None:
+    if "fc_norm.weight" in state and hp.seq_len is None:
+        pooled = x[:, hp.num_prefix_tokens :].mean(axis=1)
+        pooled = _ln(pooled, f("fc_norm.weight"), f("fc_norm.bias"), hp.eps)
+        acts["pooled"] = pooled
+        acts["logits"] = pooled @ f("head.weight").T + f("head.bias")
+    elif "head_dist.weight" in state and hp.seq_len is None:
         pooled = _ln(x[:, :2], f("norm.weight"), f("norm.bias"), hp.eps)
         acts["pooled"] = pooled
         acts["logits"] = (

@@ -25,14 +25,30 @@ _KEEP_F32 = ("pos_embed", "cls_token", "dist_token")
 def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
     """Torch-order shapes for every tensor of a ViT checkpoint (§2.4)."""
     h, L, c = hp.hidden_size, hp.num_hidden_layers, hp.num_classes
+    # NOTE: insertion order is load-bearing — random_state_dict draws
+    # values sequentially from one rng, so reordering entries silently
+    # changes every seed-keyed synthetic checkpoint (committed
+    # quick-example transcripts, bf16 goldens, w8a8 thresholds). New
+    # optional tensors must append AFTER the standard fields they
+    # interleave with, never displace them.
     shapes = {
-        "pos_embed": (1, hp.n_tokens, h),
-        "cls_token": (1, 1, h),
-        "patch_embed.proj.weight": (h, hp.in_chans, hp.patch_size, hp.patch_size),
-        # The converter reshapes the conv bias to (1, C, 1, 1)
-        # (convert-pth-to-ggml.py:150-151).
-        "patch_embed.proj.bias": (1, h, 1, 1),
+        "pos_embed": (1, hp.n_pos_tokens, h),
     }
+    if hp.num_prefix_tokens >= 1:
+        shapes["cls_token"] = (1, 1, h)
+    shapes.update(
+        {
+            "patch_embed.proj.weight": (
+                h,
+                hp.in_chans,
+                hp.patch_size,
+                hp.patch_size,
+            ),
+            # The converter reshapes the conv bias to (1, C, 1, 1)
+            # (convert-pth-to-ggml.py:150-151).
+            "patch_embed.proj.bias": (1, h, 1, 1),
+        }
+    )
     if hp.num_prefix_tokens == 2:
         shapes["dist_token"] = (1, 1, h)
     if hp.norm_pre:
@@ -56,10 +72,11 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
                 p + "mlp.fc2.bias": (h,),
             }
         )
+    norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
     shapes.update(
         {
-            "norm.weight": (h,),
-            "norm.bias": (h,),
+            norm_name + ".weight": (h,),
+            norm_name + ".bias": (h,),
             "head.weight": (c, h),
             "head.bias": (c,),
         }
@@ -75,7 +92,7 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     out: Dict[str, np.ndarray] = {}
     for name, shape in state_dict_shapes(hp).items():
-        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight"):
+        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight", "fc_norm.weight"):
             v = 1.0 + 0.02 * rng.standard_normal(shape)
         elif name.endswith(".bias"):
             v = 0.02 * rng.standard_normal(shape)
