@@ -310,6 +310,43 @@ def test_resume_cosine_epoch_extension_rejected(model_path, tmp_path):
         finetune(model_path, data, epochs=4, ckpt_dir=ck, **kw)
 
 
+def test_finetune_at_higher_resolution(model_path, tmp_path):
+    """--img-size: the classic low-res-pretrain / high-res-finetune ViT
+    recipe. The 32px checkpoint trains at 48px (pos_embed resampled,
+    models/resample.py); the exported gguf serves 48 natively; the resume
+    guard pins the trained geometry."""
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.finetune import finetune
+    from vit_cpp_tpu.models.export import save_params
+
+    data = _make_dataset(tmp_path / "train", size=48)
+    ck = str(tmp_path / "ckpt")
+    params, hp, classes, losses = finetune(
+        model_path, data, epochs=3, batch=4, lr=1e-3, img_size=48,
+        ckpt_dir=ck, log=lambda m: None,
+    )
+    assert hp.img_size == 48
+    assert params["pos_embed"].shape == (6 * 6 + 1, 64)
+    assert losses[-1] < losses[0]
+    out = tmp_path / "ft48.gguf"
+    save_params(str(out), params, hp, id2label=dict(enumerate(classes)))
+    eng = VitEngine(str(out), verbose=False)
+    assert eng.hp.img_size == 48
+    rng = np.random.default_rng(0)
+    dark = rng.integers(0, 40, (2, 48, 48, 3), dtype=np.uint8)
+    import jax.numpy as jnp
+
+    pix = jnp.stack([eng.preprocess_image(im) for im in dark])
+    probs = np.asarray(eng.predict_probs_batch(pix))
+    assert (probs.argmax(-1) == classes.index("aa_dark")).all()
+    # resuming at a different resolution would restore mismatched shapes
+    with pytest.raises(ValueError, match="would not replay"):
+        finetune(
+            model_path, data, epochs=4, batch=4, lr=1e-3, img_size=56,
+            ckpt_dir=ck, log=lambda m: None,
+        )
+
+
 def test_mesh_finetune_runs(model_path, tmp_path):
     from vit_cpp_tpu.finetune import finetune
     from vit_cpp_tpu.parallel.mesh import make_mesh

@@ -16,6 +16,7 @@ def build_engine(
     attn: str = "pallas-fast",
     fold_ln=None,
     act: str = "dynamic",
+    img_size=None,
 ):
     """gguf checkpoint or .vitx artifact -> (engine, is_vitstr).
 
@@ -34,6 +35,11 @@ def build_engine(
                 "--act static does not apply to a .vitx artifact — its "
                 "activation scales were baked at export (vit-export "
                 "--act static --calib-dir ...)"
+            )
+        if img_size is not None:
+            raise ValueError(
+                "--img-size does not apply to a .vitx artifact — its "
+                "geometry was baked at export (vit-export --img-size ...)"
             )
         engine = AotEngine(path)
         return engine, engine.hp.seq_len is not None
@@ -54,6 +60,7 @@ def build_engine(
         mm_impl=mm,
         fold_ln=fold_ln,
         act_quant=act,
+        img_size=img_size,
         verbose=False,
     )
     return engine, is_vitstr

@@ -49,6 +49,13 @@ def main(argv=None) -> int:
         "fails the export)",
     )
     ap.add_argument(
+        "--img-size", type=int, default=None, metavar="PX",
+        help="bake a non-native serving resolution into the artifact: "
+        "the pos_embed grid is bicubically resampled (timm semantics) "
+        "before the program is lowered; must be a multiple of the "
+        "checkpoint's patch size",
+    )
+    ap.add_argument(
         "--platforms", metavar="P1,P2",
         help="comma-separated lowering targets (cpu,tpu) — export on a CPU "
         "box for TPU serving; Pallas configs (--attn/--mm pallas*) can "
@@ -100,7 +107,7 @@ def main(argv=None) -> int:
     try:
         engine, _ = build_engine(
             args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
-            fold_ln=args.fold_ln, act=args.act,
+            fold_ln=args.fold_ln, act=args.act, img_size=args.img_size,
         )
         if args.act == "static":
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths

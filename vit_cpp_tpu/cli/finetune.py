@@ -91,6 +91,13 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode-threads", type=int, default=0)
     ap.add_argument(
+        "--img-size", type=int, default=None, metavar="PX",
+        help="fine-tune at a non-native resolution (the low-res-pretrain/"
+        "high-res-finetune ViT recipe): the pos_embed grid is bicubically "
+        "resampled before training and the output checkpoint serves PX "
+        "natively; must be a multiple of the patch size",
+    )
+    ap.add_argument(
         "--ftype", type=int, choices=[0, 1], default=1,
         help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
         "block formats)",
@@ -162,6 +169,7 @@ def main(argv=None) -> int:
             seed=args.seed,
             decode_threads=args.decode_threads,
             val_dir=args.val_dir,
+            img_size=args.img_size,
             log=lambda m: print(m, file=sys.stderr),
         )
     except ValueError as e:

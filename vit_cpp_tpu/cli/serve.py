@@ -72,6 +72,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--decode-threads", type=int, default=0)
     ap.add_argument(
+        "--img-size", type=int, default=None, metavar="PX",
+        help="serve at a non-native resolution: bicubically resample the "
+        "pos_embed grid (timm resample_abs_pos_embed semantics) and "
+        "preprocess inputs to PX x PX; must be a multiple of the "
+        "checkpoint's patch size (gguf classifiers only)",
+    )
+    ap.add_argument(
         "--mesh",
         metavar="DPxTP",
         default=None,
@@ -144,6 +151,13 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.img_size is not None:
+            print(
+                "--img-size does not apply to a .vitx artifact — its "
+                "geometry was baked at export (vit-export --img-size)",
+                file=sys.stderr,
+            )
+            return 1
         aot = AotEngine(args.model)
         if args.batch != aot.batch:
             print(
@@ -190,15 +204,20 @@ def main(argv=None) -> int:
     # sequence-head (ViTSTR) checkpoints are served with the greedy decoder
     is_vitstr = detect_hparams(read_model(args.model)).seq_len is not None
     cls = VitstrEngine if is_vitstr else VitEngine
-    engine = cls(
-        args.model,
-        dtype=dtype,
-        attn_impl=args.attn,
-        mm_impl=args.mm,
-        fold_ln=fold_ln,
-        act_quant=args.act,
-        verbose=False,
-    )
+    try:
+        engine = cls(
+            args.model,
+            dtype=dtype,
+            attn_impl=args.attn,
+            mm_impl=args.mm,
+            fold_ln=fold_ln,
+            act_quant=args.act,
+            img_size=args.img_size,
+            verbose=False,
+        )
+    except ValueError as e:  # e.g. --img-size not a patch multiple / ViTSTR
+        print(f"serve: {e}", file=sys.stderr)
+        return 1
     if mesh is not None:
         engine.shard(mesh)
     if args.act == "static" and args.calib_dir:

@@ -52,6 +52,12 @@ def main(argv=None) -> int:
         "--calib-dir", metavar="DIR",
         help="representative images for --act static (up to 16 used)",
     )
+    ap.add_argument(
+        "--img-size", type=int, default=None, metavar="PX",
+        help="serve at a non-native resolution: resample the pos_embed "
+        "grid (timm semantics) and preprocess to PX x PX; applies to "
+        "every gguf model served (multiple of each patch size)",
+    )
     ap.add_argument("--mesh", metavar="DPxTP", default=None)
     ap.add_argument(
         "--request-timeout", type=float, default=30.0,
@@ -133,6 +139,7 @@ def main(argv=None) -> int:
                 engines[name], _ = build_engine(
                     path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                     fold_ln=args.fold_ln, act=args.act,
+                    img_size=args.img_size,
                 )
             except ValueError as e:  # e.g. --act static on a .vitx
                 print(f"vit-server: {name}: {e}", file=sys.stderr)
@@ -212,10 +219,15 @@ def main(argv=None) -> int:
             args.batch = engine.batch
         is_vitstr = engine.hp.seq_len is not None
     else:
-        engine, is_vitstr = build_engine(
-            model_path, dtype=args.dtype, mm=args.mm, attn=args.attn,
-            fold_ln=args.fold_ln, act=args.act,
-        )
+        try:
+            engine, is_vitstr = build_engine(
+                model_path, dtype=args.dtype, mm=args.mm, attn=args.attn,
+                fold_ln=args.fold_ln, act=args.act,
+                img_size=args.img_size,
+            )
+        except ValueError as e:  # e.g. --img-size on ViTSTR / bad multiple
+            print(f"vit-server: {e}", file=sys.stderr)
+            return 1
         if args.act == "static":
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 

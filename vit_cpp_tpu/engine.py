@@ -79,6 +79,7 @@ class VitEngine:
         mm_impl: str = "xla",
         fold_ln: bool = False,
         act_quant: str = "dynamic",
+        img_size: Optional[int] = None,
         verbose: bool = True,
     ):
         t0 = time.perf_counter()
@@ -106,9 +107,22 @@ class VitEngine:
                 f"vit_model_load: model size = {total_bytes / 1024 / 1024:8.2f} MB "
                 f"/ num tensors = {len(mf.tensors)}"
             )
-        self.hp = hp
         self.id2label = mf.id2label
         self.params = load_params(mf, dtype=dtype, hparams=hp)
+        if img_size is not None and img_size != hp.img_size:
+            # serve at a non-native resolution: bicubically resample the
+            # pos_embed grid (timm resample_abs_pos_embed semantics,
+            # models/resample.py). The reference can only serve the
+            # trained size.
+            from vit_cpp_tpu.models.resample import resample_params
+
+            self.params, hp = resample_params(self.params, hp, img_size)
+            if verbose:
+                print(
+                    f"vit_model_load: img_size override      = {img_size} "
+                    f"(pos_embed resampled)"
+                )
+        self.hp = hp
         if mm_impl == "int8":
             # W8A8 serving: requantize block-scaled weights to channelwise
             # int8 once, then every matmul runs on the int8 MXU path

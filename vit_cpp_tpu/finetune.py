@@ -305,6 +305,7 @@ def finetune(
     seed: int = 0,
     decode_threads: int = 0,
     val_dir: Optional[str] = None,
+    img_size: Optional[int] = None,
     log=print,
 ) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
     """Run the fine-tune loop; returns (params, hp, classnames, epoch_losses).
@@ -390,6 +391,18 @@ def finetune(
         )
 
     params = _dense_f32(load_params(mf, jnp.float32, hparams=hp))
+    if img_size is not None and img_size != hp.img_size:
+        # fine-tune at a new resolution (the classic ViT recipe: pretrain
+        # low-res, fine-tune high-res): bicubically resample the pos_embed
+        # grid before training — models/resample.py, timm semantics. The
+        # exported checkpoint then serves the new size natively.
+        from vit_cpp_tpu.models.resample import resample_params
+
+        params, hp = resample_params(params, hp, img_size)
+        log(
+            f"finetune: img_size {img_size} (pos_embed resampled from "
+            f"the checkpoint's native grid)"
+        )
     if not is_vitstr and len(classes) != hp.num_classes:
         log(
             f"finetune: re-initializing head {hp.num_classes} -> "
@@ -470,6 +483,10 @@ def finetune(
         "label_smoothing": label_smoothing,
         "mixup": mixup,
         "ema": ema,
+        # the trained geometry: resuming at a different resolution would
+        # restore pos_embed into mismatched shapes (or worse, silently
+        # retrain a re-resampled grid)
+        "img_size": hp.img_size,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
