@@ -345,6 +345,21 @@ def test_finetune_at_higher_resolution(model_path, tmp_path):
             model_path, data, epochs=4, batch=4, lr=1e-3, img_size=56,
             ckpt_dir=ck, log=lambda m: None,
         )
+    # a LEGACY meta (predates img_size recording) must also reject a
+    # geometry change — the warn-and-adopt path would crash inside orbax
+    # restoring the native-grid pos_embed into a resampled template
+    import json
+
+    with open(ck + ".meta.json") as f:
+        meta = json.load(f)
+    meta.pop("img_size")
+    with open(ck + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="predates --img-size"):
+        finetune(
+            model_path, data, epochs=4, batch=4, lr=1e-3, img_size=56,
+            ckpt_dir=ck, log=lambda m: None,
+        )
 
 
 def test_mesh_finetune_runs(model_path, tmp_path):

@@ -142,6 +142,19 @@ def test_conflicting_norms_rejected(tmp_path):
         load_params(read_model(str(p)))
 
 
+def test_convert_rejects_both_norms():
+    """A checkpoint with both norm.* and fc_norm.* would serialize into a
+    file load_params refuses — the converter must reject it upfront
+    instead of writing an unloadable gguf (review r3)."""
+    from vit_cpp_tpu.cli.convert import infer_hparams
+
+    state = random_state_dict(HP_MAE, seed=40)
+    state["norm.weight"] = state["fc_norm.weight"]
+    state["norm.bias"] = state["fc_norm.bias"]
+    with pytest.raises(ValueError, match="both norm.weight and fc_norm"):
+        infer_hparams(state, heads=HP_MAE.num_attention_heads)
+
+
 def test_no_cls_no_fc_norm_rejected(tmp_path):
     from vit_cpp_tpu.gguf.reader import read_model
     from vit_cpp_tpu.gguf.writer import write_model

@@ -353,6 +353,60 @@ def test_multi_model_daemon(tmp_path):
             b.close()
 
 
+def test_multi_model_img_size_skips_vitx(tmp_path, capsys, monkeypatch):
+    """--img-size on a mixed gguf/.vitx multi-model daemon applies to the
+    gguf and is skipped (with a notice) for the baked artifact instead of
+    aborting the whole server (review r3)."""
+    import vit_cpp_tpu.cli.server as srv_cli
+    from vit_cpp_tpu.cli.common import build_engine
+    from vit_cpp_tpu.aot import save_engine
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    model = str(tmp_path / "m.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=1)
+    vitx = str(tmp_path / "m.vitx")
+    eng, _ = build_engine(model, dtype="f32", mm="xla", attn="xla")
+    save_engine(eng, vitx, batch=[2])
+
+    captured = {}
+
+    class _FakeHttpd:
+        server_port = 0
+
+        def serve_forever(self):
+            raise KeyboardInterrupt  # exit main's serve loop immediately
+
+        def server_close(self):
+            pass
+
+    def _fake_create(engines, **kw):
+        captured["engines"] = engines
+        return _FakeHttpd(), {}
+
+    import vit_cpp_tpu.server as srv_mod
+
+    monkeypatch.setattr(srv_mod, "create_multi_server", _fake_create)
+    rc = srv_cli.main(
+        [
+            "-m", f"g={model}", "-m", f"a={vitx}",
+            "--img-size", "48", "--dtype", "f32", "--mm", "xla",
+            "--attn", "xla", "--no-warmup",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "ignoring --img-size" in err
+    assert captured["engines"]["g"].hp.img_size == 48  # gguf got the override
+    assert captured["engines"]["a"].hp.img_size == 32  # artifact untouched
+
+
 def test_multi_model_cli_parses_specs(tmp_path, capsys):
     """CLI spec errors: bare path in multi mode, duplicate names."""
     from vit_cpp_tpu.cli.server import main

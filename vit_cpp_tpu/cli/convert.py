@@ -76,6 +76,13 @@ def infer_hparams(
 ) -> VitHParams:
     """Derive hparams from tensor shapes (the file format stores them, the
     state dict does not)."""
+    if "norm.weight" in state and "fc_norm.weight" in state:
+        # load_params rejects such files; refuse to WRITE one (timm ViTs
+        # carry exactly one of the two — the other is Identity)
+        raise ValueError(
+            "checkpoint has both norm.weight and fc_norm.weight — "
+            "timm ViTs carry exactly one (the other is Identity)"
+        )
     norm_key = "norm.weight" if "norm.weight" in state else "fc_norm.weight"
     if norm_key not in state or "patch_embed.proj.weight" not in state:
         raise ValueError(
@@ -331,16 +338,20 @@ def main(argv=None) -> int:
     if args.list:
         list_model_names()
         return 1  # reference exits 1 after listing (py:77)
-    convert(
-        model_name=None if args.checkpoint else args.model_name,
-        checkpoint=args.checkpoint,
-        output_dir=args.output_dir,
-        ftype=args.ftype,
-        heads=args.heads,
-        vitstr=args.vitstr,
-        real_gguf=args.gguf,
-        drop_norm_pre=args.drop_norm_pre,
-    )
+    try:
+        convert(
+            model_name=None if args.checkpoint else args.model_name,
+            checkpoint=args.checkpoint,
+            output_dir=args.output_dir,
+            ftype=args.ftype,
+            heads=args.heads,
+            vitstr=args.vitstr,
+            real_gguf=args.gguf,
+            drop_norm_pre=args.drop_norm_pre,
+        )
+    except ValueError as e:  # validation errors get a message, not a trace
+        print(f"vit-convert: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

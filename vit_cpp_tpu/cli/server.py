@@ -136,10 +136,19 @@ def main(argv=None) -> int:
                 print(f"duplicate model name {name!r}", file=sys.stderr)
                 return 1
             try:
+                # --img-size applies per gguf model; .vitx artifacts baked
+                # their geometry at export — skip them with a notice
+                # rather than failing the whole multi-model daemon
+                if args.img_size is not None and is_vitx(path):
+                    print(
+                        f"vit-server: {name}: .vitx geometry is baked at "
+                        f"export; ignoring --img-size {args.img_size}",
+                        file=sys.stderr,
+                    )
                 engines[name], _ = build_engine(
                     path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                     fold_ln=args.fold_ln, act=args.act,
-                    img_size=args.img_size,
+                    img_size=None if is_vitx(path) else args.img_size,
                 )
             except ValueError as e:  # e.g. --act static on a .vitx
                 print(f"vit-server: {name}: {e}", file=sys.stderr)

@@ -391,6 +391,7 @@ def finetune(
         )
 
     params = _dense_f32(load_params(mf, jnp.float32, hparams=hp))
+    native_img_size = hp.img_size  # pre-resample: what legacy runs trained at
     if img_size is not None and img_size != hp.img_size:
         # fine-tune at a new resolution (the classic ViT recipe: pretrain
         # low-res, fine-tune high-res): bicubically resample the pos_embed
@@ -512,6 +513,18 @@ def finetune(
         # recorded) cannot be validated — warn and accept the requested
         # value instead of hard-rejecting a resume with identical flags
         missing = [k for k in strict if k not in saved]
+        # geometry cannot take the warn-and-adopt path: a meta that
+        # predates 'img_size' was trained at the checkpoint's native
+        # size, and restoring a (native-grid) pos_embed + moments into a
+        # resampled template would crash deep inside orbax — reject with
+        # the same clean error a recorded mismatch gets
+        if "img_size" in missing and hp.img_size != native_img_size:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --img-size recording "
+                f"(trained at the native {native_img_size}); resuming at "
+                f"{hp.img_size} would not replay the original run — drop "
+                "--img-size or use a fresh --ckpt-dir"
+            )
         if missing:
             log(
                 f"finetune: warning — {meta_path} predates recording of "
