@@ -283,6 +283,41 @@ def check_geometries():
         )
 
 
+def check_gap_and_resample():
+    """GAP head path + resampled pos_embed on the real kernels: a CLS-less
+    avg-pool ViT-B/16 resampled 224 -> 384 (T=576, sublane-aligned) runs
+    the fused attention and matches the XLA path."""
+    import dataclasses
+
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.models.resample import resample_params
+    from vit_cpp_tpu.models.vit import forward
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = VitHParams(hidden_size=768, num_hidden_layers=12,
+                    num_attention_heads=12, num_classes=1000,
+                    patch_size=16, img_size=224,
+                    num_prefix_tokens=0, global_pool="avg")
+    params = params_from_state_dict(
+        random_state_dict(hp, seed=0), hp, dtype=jnp.bfloat16
+    )
+    params, hp384 = resample_params(params, hp, 384)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.standard_normal((8, 3, 384, 384)), dtype=jnp.bfloat16
+    )
+    t0 = time.time()
+    a = forward(params, x, hp384, attn_impl="pallas").astype(jnp.float32)
+    b = forward(params, x, hp384, attn_impl="xla").astype(jnp.float32)
+    err = float(jnp.max(jnp.abs(a - b)))
+    print(
+        f"GAP ViT-B/16 resampled 224->384: tokens={hp384.n_tokens} "
+        f"pallas-vs-xla max err {err:.4f} ({time.time() - t0:.0f}s)"
+    )
+    assert err < 0.05, f"GAP/resample parity off: {err}"
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     check_attention()
@@ -290,4 +325,5 @@ if __name__ == "__main__":
     check_attention_vjp()
     check_quant_matmuls()
     check_geometries()
+    check_gap_and_resample()
     print("ALL CHECKS DONE")
