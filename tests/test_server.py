@@ -236,6 +236,101 @@ def test_microbatcher_overload_rejects_fast():
     b.close()
 
 
+def test_microbatcher_buckets_pad_to_next_power_of_two():
+    """buckets=True: a lone request runs the batch-1 program, a burst of
+    3 runs batch-4, a full batch runs the full program — each waiter gets
+    its own (correct) row."""
+    import threading
+
+    from vit_cpp_tpu.server import MicroBatcher
+
+    shapes = []
+    lock = threading.Lock()
+    gate = threading.Event()
+    gate.set()
+
+    def predict(x):
+        gate.wait(10.0)
+        with lock:
+            shapes.append(x.shape[0])
+        return np.asarray(x)[:, :, 0, 0]  # row-identifying reduction
+
+    # max_wait 0: each flush takes exactly what is already queued, so the
+    # gate choreography below is deterministic
+    b = MicroBatcher(predict, batch=8, max_wait_ms=0.0, buckets=True)
+    assert b.bucket_sizes() == [1, 2, 4, 8]
+    px = [np.full((3, 4, 4), i, np.float32) for i in range(8)]
+    assert b.submit(px[0]).result(timeout=10.0)[0] == 0.0
+    assert shapes == [1]
+    # hold the worker inside a sacrificial flush while all 3 land in the
+    # queue, so they deterministically coalesce into one bucket-4 flush
+    gate.clear()
+    sacrificial = b.submit(px[7])
+    futs = [b.submit(p) for p in px[:3]]
+    gate.set()
+    assert sacrificial.result(timeout=10.0)[0] == 7.0
+    out = [f.result(timeout=10.0) for f in futs]
+    assert shapes[-1] == 4 and [o[0] for o in out] == [0.0, 1.0, 2.0]
+    b.close()
+    # non-power-of-2 batch keeps the true batch as the last bucket
+    b12 = MicroBatcher(predict, batch=12, max_wait_ms=0.0, buckets=True)
+    assert b12.bucket_sizes() == [1, 2, 4, 8, 12]
+    b12.close()
+    # explicit size lists (multi-batch .vitx) are validated
+    blist = MicroBatcher(predict, batch=8, max_wait_ms=0.0, buckets=[1, 8])
+    assert blist.bucket_sizes() == [1, 8]
+    blist.close()
+    with pytest.raises(ValueError, match="end at batch"):
+        MicroBatcher(predict, batch=8, buckets=[1, 4])
+
+
+def test_bucketed_daemon_serves_and_warms_all_buckets(tmp_path):
+    """End-to-end: create_server(buckets=True) warms every bucket program
+    before binding, /healthz reports the bucket set, and a single request
+    is served by the smallest bucket."""
+    import urllib.request
+
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=5,
+        patch_size=8,
+        img_size=32,
+    )
+    path = str(tmp_path / "m.gguf")
+    write_synthetic_model(path, hp, ftype=1, seed=3)
+    engine = VitEngine(path, verbose=False)
+    seen = []
+    real = engine.predict_probs_batch
+    engine.predict_probs_batch = lambda x: (seen.append(x.shape[0]), real(x))[1]
+    httpd, batcher = create_server(
+        engine, port=0, batch=4, max_wait_ms=1.0, buckets=True
+    )
+    assert sorted(set(seen)) == [1, 2, 4]  # every bucket warmed
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["buckets"] == [1, 2, 4]
+        img = _png_bytes(0)
+        req = urllib.request.Request(
+            f"{base}/v1/classify?topk=1", data=img, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+        assert seen[-1] == 1  # lone request rode the batch-1 bucket
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
 def test_vitstr_recognize_route(tmp_path):
     from vit_cpp_tpu.engine import VitstrEngine
     from vit_cpp_tpu.models.vitstr import vitstr_id2label

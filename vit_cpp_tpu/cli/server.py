@@ -74,6 +74,15 @@ def main(argv=None) -> int:
         help="skip the pre-bind warmup batch (first request pays the compile)",
     )
     ap.add_argument(
+        "--bucket", action="store_true",
+        help="pad coalesced requests to the next power-of-2 bucket instead "
+        "of the full batch: a lone request at light load runs the batch-1 "
+        "program (~batch-x less compute) at the cost of one compiled "
+        "program per bucket, all warmed before the port binds. Multi-batch "
+        ".vitx artifacts (vit-export -b 1,64) bucket over their baked "
+        "sizes; single-batch artifacts ignore the flag",
+    )
+    ap.add_argument(
         "--compile-cache", nargs="?", const="", default=None, metavar="DIR"
     )
     args = ap.parse_args(argv)
@@ -121,7 +130,7 @@ def main(argv=None) -> int:
         if args.mesh:
             print("--mesh is not supported with multiple models", file=sys.stderr)
             return 1
-        engines, batches = {}, {}
+        engines, batches, bucket_map = {}, {}, {}
         for spec in args.model:
             parsed = model_spec(spec)
             if parsed is None:
@@ -174,6 +183,18 @@ def main(argv=None) -> int:
                 if is_vitx(path)
                 else args.batch
             )
+            bucket_map[name] = args.bucket
+            if args.bucket and is_vitx(path):
+                baked = engines[name].batches
+                if len(baked) > 1:  # bucket over the artifact's baked sizes
+                    bucket_map[name] = baked
+                else:
+                    print(
+                        f"vit-server: {name}: .vitx artifact bakes a "
+                        "single batch; ignoring --bucket",
+                        file=sys.stderr,
+                    )
+                    bucket_map[name] = False
         httpd, batchers = create_multi_server(
             engines,
             host=args.host,
@@ -183,6 +204,7 @@ def main(argv=None) -> int:
             warmup=not args.no_warmup,
             request_timeout_s=args.request_timeout,
             max_queue=args.max_queue,
+            buckets=bucket_map,
         )
         print(
             f"vit-server: {len(engines)} models on "
@@ -226,6 +248,18 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             args.batch = engine.batch
+        if args.bucket:
+            if len(engine.batches) > 1:
+                # multi-batch artifact (vit-export -b 1,64): bucket over
+                # exactly the baked sizes
+                args.bucket = engine.batches
+            else:
+                print(
+                    "vit-server: .vitx artifact bakes a single batch; "
+                    "ignoring --bucket (export with -b 1,.. to bucket)",
+                    file=sys.stderr,
+                )
+                args.bucket = False
         is_vitstr = engine.hp.seq_len is not None
     else:
         try:
@@ -277,6 +311,7 @@ def main(argv=None) -> int:
         warmup=not args.no_warmup,
         request_timeout_s=args.request_timeout,
         max_queue=args.max_queue,
+        buckets=args.bucket,
     )
     kind = "vitstr" if is_vitstr else "vit"
     print(

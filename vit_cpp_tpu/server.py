@@ -82,6 +82,15 @@ class MicroBatcher:
     `max_queue` > 0 bounds the backlog: a submit() that would exceed it
     fails fast with OverloadedError (-> 503) instead of letting every
     request wait out the full timeout under overload. 0 = unbounded.
+
+    `buckets=True` pads to the next power of two >= the coalesced count
+    (capped at `batch`) instead of always the full batch, so a lone
+    request at light load runs the batch-1 program (~30x less compute at
+    ViT-B/16 batch 64) instead of paying for `batch` rows. Costs one
+    compiled program per bucket (warmed up front by create_server);
+    off by default to keep the one-program contract. An explicit list of
+    sizes (e.g. a multi-batch .vitx artifact's baked `batches`) buckets
+    over exactly those shapes; it must contain `batch`.
     """
 
     _SENTINEL = object()
@@ -92,9 +101,20 @@ class MicroBatcher:
         batch: int = 8,
         max_wait_ms: float = 5.0,
         max_queue: int = 0,
+        buckets=False,
     ):
         self._predict = predict
         self.batch = int(batch)
+        if isinstance(buckets, (list, tuple)):
+            sizes = sorted(int(b) for b in buckets)
+            if not sizes or sizes[-1] != self.batch:
+                raise ValueError(
+                    f"bucket sizes {sizes} must be non-empty and end at "
+                    f"batch {self.batch}"
+                )
+            self.buckets = sizes
+        else:
+            self.buckets = bool(buckets)
         self.max_queue = int(max_queue)
         self.max_wait = float(max_wait_ms) / 1000.0
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
@@ -188,11 +208,27 @@ class MicroBatcher:
                 items.append(nxt)
             self._flush(items)
 
+    def bucket_sizes(self):
+        """The padded batch shapes this batcher can run: an explicit size
+        list, powers of two up to `batch`, or just `batch` when off."""
+        if isinstance(self.buckets, list):
+            return self.buckets
+        if not self.buckets:
+            return [self.batch]
+        sizes, b = [], 1
+        while b < self.batch:
+            sizes.append(b)
+            b <<= 1
+        return sizes + [self.batch]
+
     def _flush(self, items) -> None:
         import jax.numpy as jnp
 
         pixels = [p for p, _ in items]
-        pad = self.batch - len(pixels)
+        target = self.batch
+        if self.buckets:
+            target = next(b for b in self.bucket_sizes() if b >= len(pixels))
+        pad = target - len(pixels)
         stacked = jnp.stack(pixels + [pixels[0]] * pad)
         try:
             out = np.asarray(self._predict(stacked))
@@ -225,6 +261,7 @@ class _Model:
                 batch=batcher.batch,
                 max_wait_ms=batcher.max_wait * 1000.0,
                 max_queue=batcher.max_queue,
+                buckets=batcher.buckets,
             )
             batcher.child = self.embed_batcher  # closed with the main one
         # hp-based so AotEngine (aot.py) routes the same as VitstrEngine:
@@ -249,12 +286,15 @@ class _Model:
 
     def health(self):
         hp = self.engine.hp
-        return {
+        h = {
             "model": "vitstr" if self.is_vitstr else "vit",
             "hidden_size": hp.hidden_size,
             "img_size": hp.img_size,
             "batch": self.batcher.batch,
         }
+        if self.batcher.buckets:
+            h["buckets"] = self.batcher.bucket_sizes()
+        return h
 
 
 def make_handler(
@@ -430,6 +470,27 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
     return Handler
 
 
+def _warm(engine, batcher: MicroBatcher) -> None:
+    """Compile every program the batcher can dispatch before serving: one
+    dummy request through the batcher (verifies the whole pipeline), then
+    the remaining bucket shapes via direct predict calls."""
+    import jax.numpy as jnp
+
+    hp = engine.hp
+    dummy = jnp.zeros((hp.in_chans, hp.img_size, hp.img_size), jnp.float32)
+    batcher.submit(dummy).result()  # blocks through compile + 1 step
+    # the batcher path above warmed the bucket a 1-item flush selects
+    # (bucket 1, or the full batch when bucketing is off)
+    for b in batcher.bucket_sizes()[1:]:
+        np.asarray(
+            batcher._predict(
+                jnp.zeros((b, hp.in_chans, hp.img_size, hp.img_size), jnp.float32)
+            )
+        )
+    batcher.n_requests = 0
+    batcher.n_batches = 0
+
+
 def create_server(
     engine,
     host: str = "127.0.0.1",
@@ -440,6 +501,7 @@ def create_server(
     request_timeout_s: float = 30.0,
     max_body_bytes: int = 32 * 1024 * 1024,
     max_queue: int = 0,
+    buckets: bool = False,
 ):
     """Build (ThreadingHTTPServer, MicroBatcher); caller runs
     serve_forever() (or .handle_request() in tests) and closes both.
@@ -447,21 +509,18 @@ def create_server(
     warmup=True runs one dummy batch through the jitted forward BEFORE
     the server is returned, so the first real request never pays the
     XLA compile (minutes on TPU for the big serving programs — pair with
-    --compile-cache to make it a one-time cost per machine)."""
+    --compile-cache to make it a one-time cost per machine). With
+    buckets=True EVERY bucket program is warmed — a light-load request
+    hitting a cold bucket would otherwise pay a compile."""
     batcher = MicroBatcher(
         engine.predict_probs_batch,
         batch=batch,
         max_wait_ms=max_wait_ms,
         max_queue=max_queue,
+        buckets=buckets,
     )
     if warmup:
-        import jax.numpy as jnp
-
-        hp = engine.hp
-        dummy = jnp.zeros((hp.in_chans, hp.img_size, hp.img_size), jnp.float32)
-        batcher.submit(dummy).result()  # blocks through compile + 1 step
-        batcher.n_requests = 0
-        batcher.n_batches = 0
+        _warm(engine, batcher)
     httpd = ThreadingHTTPServer(
         (host, port),
         make_handler(
@@ -484,12 +543,15 @@ def create_multi_server(
     request_timeout_s: float = 30.0,
     max_body_bytes: int = 32 * 1024 * 1024,
     max_queue: int = 0,
+    buckets=False,
 ):
     """Serve several models from one daemon: `engines` is {name: engine}
     (classifier and ViTSTR mixed freely), each with its own MicroBatcher
     and route /v1/<name>/classify|recognize. Returns (httpd, {name:
     batcher}); the caller closes all batchers. `batch` may be an int or a
-    {name: int} per-model map (an AotEngine's fixed batch must match)."""
+    {name: int} per-model map (an AotEngine's fixed batch must match);
+    `buckets` likewise a bool or {name: bool} (baked-batch artifacts
+    cannot bucket)."""
     if not engines:
         raise ValueError("create_multi_server needs at least one engine")
     models = []
@@ -497,6 +559,7 @@ def create_multi_server(
         if not name or "/" in name:
             raise ValueError(f"bad model name {name!r} (non-empty, no '/')")
         b = batch[name] if isinstance(batch, dict) else batch
+        bk = buckets[name] if isinstance(buckets, dict) else buckets
         models.append(
             _Model(
                 name,
@@ -506,18 +569,13 @@ def create_multi_server(
                     batch=b,
                     max_wait_ms=max_wait_ms,
                     max_queue=max_queue,
+                    buckets=bk,
                 ),
             )
         )
     if warmup:
-        import jax.numpy as jnp
-
         for m in models:
-            hp = m.engine.hp
-            dummy = jnp.zeros((hp.in_chans, hp.img_size, hp.img_size), jnp.float32)
-            m.batcher.submit(dummy).result()
-            m.batcher.n_requests = 0
-            m.batcher.n_batches = 0
+            _warm(m.engine, m.batcher)
     httpd = ThreadingHTTPServer(
         (host, port),
         make_multi_handler(
