@@ -309,6 +309,36 @@ class VitEngine:
         pixels = self.preprocess_image(img)
         return np.asarray(self.features_batch(pixels[None])[0])
 
+    def attention_maps_batch(self, images: jax.Array) -> np.ndarray:
+        """images: (B, C, S, S) preprocessed -> (B, L, H, T, T) f32
+        attention probabilities (models/attention_maps.py). A debug/
+        analysis path on the XLA attention (the production kernels never
+        materialize probabilities); engine quantization and fold-ln
+        apply. Jitted lazily on first use."""
+        fn = getattr(self, "_attn_maps", None)
+        if fn is None:
+            from vit_cpp_tpu.models.attention_maps import attention_maps
+
+            def _maps(params, images):
+                with jax.default_matmul_precision(self.matmul_precision):
+                    return attention_maps(params, images, self.hp)[0]
+
+            self._attn_maps = fn = jax.jit(_maps)
+        return np.asarray(fn(self.params, images))
+
+    def attention_rollout_file(
+        self, path: str, head_fuse: str = "mean"
+    ) -> np.ndarray:
+        """Decode, preprocess, extract: one image -> (side, side) [0, 1]
+        attention-rollout saliency over the patch grid (Abnar & Zuidema
+        2020; models/attention_maps.py)."""
+        from vit_cpp_tpu.models.attention_maps import attention_rollout
+
+        img = load_image_rgb(path)
+        pixels = self.preprocess_image(img)
+        maps = self.attention_maps_batch(pixels[None])
+        return attention_rollout(maps, self.hp, head_fuse=head_fuse)[0]
+
     def classify_file(
         self, path: str, topk: int = 5, verbose: bool = True
     ) -> List[Tuple[int, float, str]]:

@@ -1,0 +1,125 @@
+"""Attention-map extraction and attention rollout (interpretability).
+
+The production forward never materializes attention probabilities (the
+fused kernels keep scores in VMEM — ops/flash_attention.py), so this
+module re-runs the encoder on the XLA path capturing every layer's
+softmax weights, and computes the classic attention-rollout saliency
+(Abnar & Zuidema, "Quantifying Attention Flow in Transformers", 2020):
+per layer A = normalize(0.5 * mean_heads(P) + 0.5 * I), rolled out as
+R = A_L @ ... @ A_1; the readout row's patch columns, reshaped to the
+patch grid, are the input-attribution heatmap.
+
+The reference has no equivalent surface (its graph emits logits only,
+vit.cpp:718-941). This is a debug/analysis path: correctness over
+throughput — it shares the block math with models/vit.py through the
+same layernorm/linear/gelu ops and is tested for logit-equivalence
+against the production forward (tests/test_attention_maps.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cpp_tpu.hparams import VitHParams
+from vit_cpp_tpu.models.vit import embed, slice_block_params
+from vit_cpp_tpu.ops.core import gelu_tanh, layernorm, linear
+
+
+def _block_with_probs(
+    x: jax.Array, bp: Dict[str, Any], hp: VitHParams
+) -> Tuple[jax.Array, jax.Array]:
+    """transformer_block (models/vit.py) with the attention probabilities
+    returned instead of kept internal. XLA attention only — f32 softmax."""
+    b, t, h = x.shape
+    nh, hd = hp.num_attention_heads, hp.head_dim
+    y = layernorm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
+    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"])
+    qkv = qkv.reshape(b, t, 3, nh, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    probs = jax.nn.softmax(scores * (1.0 / np.sqrt(hd)), axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
+    x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"])
+    y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"])
+    y = gelu_tanh(y)
+    y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"])
+    return x + y, probs
+
+
+def attention_maps(
+    params: Dict[str, Any], images: jax.Array, hp: VitHParams
+) -> Tuple[jax.Array, jax.Array]:
+    """(B, C, S, S) images -> ((B, L, H, T, T) f32 attention probabilities,
+    (B, T, h) final block output). Python-unrolled over layers (a debug
+    path; the maps dominate memory anyway: L*H*T*T f32)."""
+    x = embed(params, images, hp)
+    probs_all = []
+    for i in range(hp.num_hidden_layers):
+        bp = slice_block_params(params["blocks"], i)
+        x, probs = _block_with_probs(x, bp, hp)
+        probs_all.append(probs)
+    return jnp.stack(probs_all, axis=1), x
+
+
+def attention_rollout(
+    probs: jax.Array | np.ndarray,
+    hp: VitHParams,
+    head_fuse: str = "mean",
+) -> np.ndarray:
+    """(B, L, H, T, T) attention probabilities -> (B, side, side) f32
+    saliency over the patch grid, normalized to max 1 per image.
+
+    Rollout composes per-layer attention with the residual identity
+    (0.5 P + 0.5 I, row-renormalized) across depth; the readout row is
+    the CLS query (token-pooled models; distilled readouts average the
+    CLS and dist rows) or the patch-query mean for avg-pool models.
+    """
+    p = np.asarray(probs, dtype=np.float32)
+    if head_fuse == "mean":
+        a = p.mean(axis=2)
+    elif head_fuse == "max":
+        a = p.max(axis=2)
+    elif head_fuse == "min":
+        a = p.min(axis=2)
+    else:
+        raise ValueError(f"head_fuse must be mean|max|min, got {head_fuse!r}")
+    b, n_layers, t, _ = a.shape
+    eye = np.eye(t, dtype=np.float32)
+    a = 0.5 * a + 0.5 * eye
+    a = a / a.sum(axis=-1, keepdims=True)
+    roll = np.broadcast_to(eye, (b, t, t)).copy()
+    for layer in range(n_layers):
+        roll = a[:, layer] @ roll
+    n_prefix = hp.num_prefix_tokens
+    if n_prefix:
+        # average the prefix query rows (CLS, or CLS+dist for distilled)
+        readout = roll[:, :n_prefix].mean(axis=1)
+    else:
+        # CLS-less avg-pool model: the head pools patch tokens uniformly
+        readout = roll[:, n_prefix:].mean(axis=1)
+    grid = readout[:, n_prefix:]
+    side = hp.n_patches_side
+    grid = grid.reshape(b, side, side)
+    peak = grid.max(axis=(1, 2), keepdims=True)
+    return grid / np.maximum(peak, 1e-12)
+
+
+def saliency_to_png(
+    grid: np.ndarray, path: str, upscale_to: int | None = None
+) -> None:
+    """One (side, side) [0,1] saliency -> grayscale PNG (optionally
+    nearest-upscaled to the input resolution for overlaying)."""
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.clip(np.asarray(grid) * 255.0, 0, 255).astype(np.uint8), mode="L"
+    )
+    if upscale_to:
+        img = img.resize((upscale_to, upscale_to), Image.NEAREST)
+    img.save(path)
