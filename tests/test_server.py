@@ -159,6 +159,24 @@ class TestVitServer:
         _, base, _ = vit_server
         code, body = _get(f"{base}/stats")
         assert code == 200 and body["requests"] >= 1
+        assert body["predict_seconds"] > 0 and "padded_rows" in body
+
+    def test_metrics_prometheus_format(self, vit_server):
+        import urllib.request
+
+        _, base, _ = vit_server
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE vit_requests_total counter" in text
+        assert "# TYPE vit_queue_depth gauge" in text
+        line = next(
+            ln for ln in text.splitlines()
+            if ln.startswith('vit_requests_total{model="default",route="classify"}')
+        )
+        assert float(line.rsplit(" ", 1)[1]) >= 1
+        assert 'vit_predict_seconds_total{model="default",route="classify"}' in text
 
 
 def test_embed_route_on_sharded_engine(tmp_path):

@@ -11,7 +11,12 @@ threads, so host work overlaps device compute exactly as in serve.py.
 
 Endpoints (single model, create_server):
   GET  /healthz               -> {"ok": true, "model": ..., ...}
-  GET  /stats                 -> request/batch counters
+  GET  /stats                 -> request/batch counters (JSON)
+  GET  /metrics               -> the same counters in Prometheus text
+                                 format (scrape endpoint): requests/
+                                 batches/rejected/padded-rows/predict-
+                                 seconds counters + queue-depth gauge,
+                                 labeled by model and route
   POST /v1/classify[?topk=K]  -> {"topk": [{"id", "label", "prob"}, ...]}
   POST /v1/recognize          -> {"text", "confidence"}   (ViTSTR models)
   POST /v1/embed              -> {"shape": [...], "embedding": [floats]}
@@ -121,6 +126,8 @@ class MicroBatcher:
         self.n_requests = 0
         self.n_batches = 0
         self.n_rejected = 0
+        self.n_padded_rows = 0  # rows computed but not requested
+        self.predict_seconds = 0.0  # wall time inside the device call
         # optional companion batcher (the embed route's) closed with this
         # one, so callers keep the one-close() contract
         self.child: Optional["MicroBatcher"] = None
@@ -222,6 +229,8 @@ class MicroBatcher:
         return sizes + [self.batch]
 
     def _flush(self, items) -> None:
+        import time
+
         import jax.numpy as jnp
 
         pixels = [p for p, _ in items]
@@ -230,15 +239,19 @@ class MicroBatcher:
             target = next(b for b in self.bucket_sizes() if b >= len(pixels))
         pad = target - len(pixels)
         stacked = jnp.stack(pixels + [pixels[0]] * pad)
+        t0 = time.perf_counter()
         try:
             out = np.asarray(self._predict(stacked))
         except Exception as e:  # resolve every waiter, don't hang clients
             for _, fut in items:
                 fut.set_exception(e)
             return
+        dt = time.perf_counter() - t0
         with self._stats_lock:  # handler threads read /stats concurrently
             self.n_requests += len(items)
             self.n_batches += 1
+            self.n_padded_rows += pad
+            self.predict_seconds += dt
         for i, (_, fut) in enumerate(items):
             fut.set_result(out[i])
 
@@ -295,6 +308,44 @@ class _Model:
         if self.batcher.buckets:
             h["buckets"] = self.batcher.bucket_sizes()
         return h
+
+
+def _prometheus_metrics(models) -> str:
+    """The /stats counters in Prometheus text exposition format, labeled
+    by model and route (classify|recognize|embed)."""
+    metrics = [
+        ("vit_requests_total", "counter", "requests served",
+         lambda b: b.n_requests),
+        ("vit_batches_total", "counter", "device batches executed",
+         lambda b: b.n_batches),
+        ("vit_rejected_total", "counter",
+         "requests rejected by the admission bound (503)",
+         lambda b: b.n_rejected),
+        ("vit_padded_rows_total", "counter",
+         "batch rows computed as padding", lambda b: b.n_padded_rows),
+        ("vit_predict_seconds_total", "counter",
+         "wall seconds inside device predict calls",
+         lambda b: round(b.predict_seconds, 6)),
+        ("vit_queue_depth", "gauge", "requests waiting for the device",
+         lambda b: b._q.qsize()),
+    ]
+    rows, seen = [], set()
+    for m in models:
+        if id(m) in seen:  # a model backs several routes in the dict
+            continue
+        seen.add(id(m))
+        name = m.name or "default"
+        route = "recognize" if m.is_vitstr else "classify"
+        rows.append((name, route, m.batcher))
+        if m.embed_batcher is not None:
+            rows.append((name, "embed", m.embed_batcher))
+    out = []
+    for metric, typ, help_, get in metrics:
+        out.append(f"# HELP {metric} {help_}")
+        out.append(f"# TYPE {metric} {typ}")
+        for name, route, b in rows:
+            out.append(f'{metric}{{model="{name}",route="{route}"}} {get(b)}')
+    return "\n".join(out) + "\n"
 
 
 def make_handler(
@@ -360,21 +411,20 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                     )
             elif self.path == "/stats":
 
-                def _stats(m):
-                    s = {
-                        "requests": m.batcher.n_requests,
-                        "batches": m.batcher.n_batches,
-                        "rejected": m.batcher.n_rejected,
-                        "queued": m.batcher._q.qsize(),
+                def _counters(b):
+                    return {
+                        "requests": b.n_requests,
+                        "batches": b.n_batches,
+                        "rejected": b.n_rejected,
+                        "queued": b._q.qsize(),
+                        "padded_rows": b.n_padded_rows,
+                        "predict_seconds": round(b.predict_seconds, 6),
                     }
+
+                def _stats(m):
+                    s = _counters(m.batcher)
                     if m.embed_batcher is not None:
-                        eb = m.embed_batcher
-                        s["embed"] = {
-                            "requests": eb.n_requests,
-                            "batches": eb.n_batches,
-                            "rejected": eb.n_rejected,
-                            "queued": eb._q.qsize(),
-                        }
+                        s["embed"] = _counters(m.embed_batcher)
                     return s
 
                 if single is not None:
@@ -383,6 +433,22 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
                     self._json(
                         200, {m.name: _stats(m) for m, _ in routes.values()}
                     )
+            elif self.path == "/metrics":
+                # Prometheus text exposition format (scrape endpoint); the
+                # same counters as /stats, labeled by model and route
+                models = (
+                    [single]
+                    if single is not None
+                    else [m for m, _ in routes.values()]
+                )
+                body = _prometheus_metrics(models).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
@@ -489,6 +555,8 @@ def _warm(engine, batcher: MicroBatcher) -> None:
         )
     batcher.n_requests = 0
     batcher.n_batches = 0
+    batcher.n_padded_rows = 0
+    batcher.predict_seconds = 0.0
 
 
 def create_server(
