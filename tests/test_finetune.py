@@ -362,6 +362,43 @@ def test_finetune_at_higher_resolution(model_path, tmp_path):
         )
 
 
+def test_stream_matches_preloaded_bit_identically(model_path, tmp_path):
+    """--stream decodes per batch on a prefetch thread; batch composition
+    derives from indices either way, so the trained parameters must be
+    BIT-identical to the preloaded run (same seed, same data)."""
+    import jax
+
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    kw = dict(epochs=2, batch=4, lr=1e-3, seed=3, log=lambda m: None)
+    p_pre, _, _, l_pre = finetune(model_path, data, **kw)
+    p_str, _, _, l_str = finetune(model_path, data, stream=True, **kw)
+    assert l_pre == l_str
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        p_pre,
+        p_str,
+    )
+
+
+def test_stream_surfaces_decode_errors(model_path, tmp_path):
+    """A corrupt training file must fail the run with the offending path,
+    not hang the prefetch pipeline."""
+    from vit_cpp_tpu.finetune import finetune
+
+    data = _make_dataset(tmp_path / "train")
+    bad = tmp_path / "train" / "aa_dark" / "zz_corrupt.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot really a png")
+    with pytest.raises(ValueError, match="undecodable"):
+        finetune(
+            model_path, data, epochs=1, batch=4, stream=True,
+            log=lambda m: None,
+        )
+
+
 def test_mesh_finetune_runs(model_path, tmp_path):
     from vit_cpp_tpu.finetune import finetune
     from vit_cpp_tpu.parallel.mesh import make_mesh

@@ -91,6 +91,13 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode-threads", type=int, default=0)
     ap.add_argument(
+        "--stream", action="store_true",
+        help="decode + preprocess per batch on a prefetch thread instead "
+        "of preloading the whole dataset into host RAM (~600 KB per 224px "
+        "image preloaded); streamed runs replay/resume bit-identically — "
+        "use for datasets beyond a few tens of thousands of images",
+    )
+    ap.add_argument(
         "--img-size", type=int, default=None, metavar="PX",
         help="fine-tune at a non-native resolution (the low-res-pretrain/"
         "high-res-finetune ViT recipe): the pos_embed grid is bicubically "
@@ -170,6 +177,7 @@ def main(argv=None) -> int:
             decode_threads=args.decode_threads,
             val_dir=args.val_dir,
             img_size=args.img_size,
+            stream=args.stream,
             log=lambda m: print(m, file=sys.stderr),
         )
     except ValueError as e:

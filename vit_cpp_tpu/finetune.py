@@ -182,33 +182,71 @@ def _trainable_labels(params, freeze_backbone: bool):
     return jtu.tree_map_with_path(label, params)
 
 
-def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
-    """Decode + canvas-preprocess every file -> (N, C, S, S) f32 host array
-    (grayscale pipeline for sequence-head models). Failed decodes raise
-    (training data must be clean, unlike the serving skip-markers)."""
+def _preprocess_chunk(paths, hp, decode_threads: int) -> np.ndarray:
+    """Decode + canvas-preprocess a chunk of files -> (n, C, S, S) f32
+    host array (grayscale pipeline for sequence-head models). Failed
+    decodes raise (training data must be clean, unlike the serving
+    skip-markers)."""
     from vit_cpp_tpu.serve import _decode_many
 
-    out = []
+    imgs = _decode_many(paths, decode_threads or (os.cpu_count() or 1))
+    for p, im in zip(paths, imgs):
+        if im is None:
+            raise ValueError(f"undecodable training image: {p}")
+    if hp.seq_len is not None:
+        from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
+
+        return np.asarray(preprocess_grayscale_batch(imgs, hp.img_size))
+    from vit_cpp_tpu.ops.preprocess import preprocess_batch
+
+    return np.asarray(
+        preprocess_batch(imgs, hp.img_size, mode=hp.interpolation)
+    )
+
+
+def _preprocess_all(paths, hp, decode_threads: int) -> np.ndarray:
+    """Decode + canvas-preprocess every file -> (N, C, S, S) f32 host
+    array. ~600 KB per 224px image: fine up to tens of thousands of
+    images, use stream=True beyond that."""
     chunk = 64
-    for i in range(0, len(paths), chunk):
-        batch_paths = paths[i : i + chunk]
-        imgs = _decode_many(batch_paths, decode_threads or (os.cpu_count() or 1))
-        for p, im in zip(batch_paths, imgs):
-            if im is None:
-                raise ValueError(f"undecodable training image: {p}")
-        if hp.seq_len is not None:
-            from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
+    return np.concatenate(
+        [
+            _preprocess_chunk(paths[i : i + chunk], hp, decode_threads)
+            for i in range(0, len(paths), chunk)
+        ],
+        axis=0,
+    )
 
-            out.append(np.asarray(preprocess_grayscale_batch(imgs, hp.img_size)))
-        else:
-            from vit_cpp_tpu.ops.preprocess import preprocess_batch
 
-            out.append(
-                np.asarray(
-                    preprocess_batch(imgs, hp.img_size, mode=hp.interpolation)
-                )
-            )
-    return np.concatenate(out, axis=0)
+def _prefetch_batches(fetch, idx_seq, depth: int = 2):
+    """Run `fetch(idx)` for each index array on a background thread,
+    `depth` batches ahead of the consumer — decode + preprocess of batch
+    s+1 overlaps the device step on batch s (the training-loop analogue
+    of serve.py's double-buffered pipeline). Worker exceptions re-raise
+    at the consuming iteration."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for idx in idx_seq:
+                q.put(fetch(idx))
+        except BaseException as e:  # surface decode errors to the loop
+            q.put(e)
+            return
+        q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 _EVAL_FWD = None  # persistent jitted fns: per-epoch eval must not retrace
@@ -306,6 +344,7 @@ def finetune(
     decode_threads: int = 0,
     val_dir: Optional[str] = None,
     img_size: Optional[int] = None,
+    stream: bool = False,
     log=print,
 ) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
     """Run the fine-tune loop; returns (params, hp, classnames, epoch_losses).
@@ -557,10 +596,28 @@ def finetune(
             state = restore_train_state(ckpt_dir, state)
         log(f"finetune: resumed from {ckpt_dir} at step {int(state.step)}")
 
-    log(f"finetune: preprocessing {len(paths)} images ...")
-    pixels = _preprocess_all(paths, hp, decode_threads)
+    pixels = None
+    if stream:
+        # decode + preprocess per batch on a prefetch thread instead of
+        # holding the whole (N, C, S, S) f32 set in host RAM (~600 KB per
+        # 224px image — preloading caps practical dataset size); batch
+        # composition derives from indices either way, so streamed runs
+        # replay (and resume) bit-identically to preloaded ones
+        log(f"finetune: streaming {len(paths)} images per epoch")
+    else:
+        est = len(paths) * hp.in_chans * hp.img_size * hp.img_size * 4
+        if est > 8 << 30:
+            log(
+                f"finetune: preloading ~{est >> 30} GB of pixels — "
+                "consider --stream for datasets this size"
+            )
+        log(f"finetune: preprocessing {len(paths)} images ...")
+        pixels = _preprocess_all(paths, hp, decode_threads)
     val = None
     if val_dir:
+        # val sets are preloaded even under --stream (per-epoch eval
+        # re-reads them every epoch; they are typically a fraction of the
+        # train set)
         val = (
             _preprocess_all(vpaths, hp, decode_threads),
             vtexts if is_vitstr else vlabels,
@@ -591,10 +648,21 @@ def finetune(
     for epoch in range(start_epoch, epochs):
         # deterministic per-epoch shuffle: the same order replays on resume
         order = np.random.default_rng(seed + epoch).permutation(len(paths))
+        idx_seq = [
+            order[s * samples_per_update : (s + 1) * samples_per_update]
+            for s in range(updates_per_epoch)
+        ]
+        if stream:
+            fetch = lambda idx: _preprocess_chunk(  # noqa: E731
+                [paths[i] for i in idx], hp, decode_threads
+            )
+            batch_iter = _prefetch_batches(fetch, idx_seq)
+        else:
+            batch_iter = (pixels[idx] for idx in idx_seq)
         epoch_losses = []
-        for s in range(updates_per_epoch):
-            idx = order[s * samples_per_update : (s + 1) * samples_per_update]
-            bx = jnp.asarray(pixels[idx])
+        for s, bx_host in enumerate(batch_iter):
+            idx = idx_seq[s]
+            bx = jnp.asarray(bx_host)
             by = jnp.asarray(labels[idx])
             if mesh is not None:
                 bx, by = shard_batch(bx, by, mesh)
