@@ -67,6 +67,51 @@ def test_maps_path_matches_production_forward():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_head_logits_matches_forward_on_bf16():
+    """The maps path keeps f32 attention logits like ops/core.attention
+    (review r3: a bf16 score einsum would round before the softmax) —
+    head_logits over the maps final output tracks the bf16 production
+    forward within bf16 tolerance, for the plain and distilled heads."""
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.models.attention_maps import head_logits
+
+    for hp in (HP, dataclasses.replace(HP, num_prefix_tokens=2)):
+        state = random_state_dict(hp, seed=7)
+        params = params_from_state_dict(state, hp, dtype=jnp.bfloat16)
+        x = jnp.asarray(_images(hp), dtype=jnp.bfloat16)
+        want = np.asarray(
+            forward(params, x, hp, attn_impl="xla"), dtype=np.float32
+        )
+        _, final = attention_maps(params, x, hp)
+        got = np.asarray(head_logits(params, final, hp), dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+def test_explain_file_single_pass_matches_classify(tmp_path):
+    """explain_file's top-k (one encoder pass) matches classify_file's."""
+    from PIL import Image
+
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.testing.synthetic import write_synthetic_model as _w
+
+    p = tmp_path / "m.gguf"
+    _w(str(p), HP, ftype=1, seed=8)
+    rng = np.random.default_rng(9)
+    img = tmp_path / "x.png"
+    Image.fromarray(
+        rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    ).save(img)
+    eng = VitEngine(str(p), verbose=False)
+    top, grid = eng.explain_file(str(img), topk=3)
+    ref = eng.classify_file(str(img), topk=3, verbose=False)
+    assert [t[0] for t in top] == [r[0] for r in ref]
+    np.testing.assert_allclose(
+        [t[1] for t in top], [r[1] for r in ref], atol=1e-5
+    )
+    assert grid.shape == (4, 4)
+
+
 def test_rollout_matches_numpy_oracle():
     """Direct re-expression of Abnar & Zuidema rollout on random maps."""
     rng = np.random.default_rng(3)

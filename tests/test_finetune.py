@@ -399,6 +399,36 @@ def test_stream_surfaces_decode_errors(model_path, tmp_path):
         )
 
 
+def test_prefetch_worker_stops_when_consumer_abandons():
+    """Abandoning the prefetch generator mid-epoch (train step raised)
+    must not leave the worker thread blocked in put() holding chunks."""
+    import threading
+    import time
+
+    from vit_cpp_tpu.finetune import _prefetch_batches
+
+    fetched = []
+
+    def fetch(idx):
+        fetched.append(idx)
+        return np.zeros((2, 2), np.float32)
+
+    gen = _prefetch_batches(fetch, list(range(50)), depth=2)
+    next(gen)  # worker now prefetching ahead / blocked on the full queue
+    gen.close()  # consumer abandons (GeneratorExit -> finally drains)
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if not any(
+            t.name == "vit-finetune-prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("prefetch worker still alive after close()")
+    assert len(fetched) < 50  # it stopped early, not after the full epoch
+
+
 def test_mesh_finetune_runs(model_path, tmp_path):
     from vit_cpp_tpu.finetune import finetune
     from vit_cpp_tpu.parallel.mesh import make_mesh

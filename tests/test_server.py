@@ -349,6 +349,64 @@ def test_bucketed_daemon_serves_and_warms_all_buckets(tmp_path):
         batcher.close()
 
 
+def test_bucketed_sharded_engine_constrains_to_data_axis(tmp_path):
+    """buckets=True on a mesh-sharded engine must not emit bucket sizes
+    the data axis cannot split (review r3): dp=4, batch 8 -> [4, 8], and
+    warmup + a lone request run without sharding errors."""
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.parallel.mesh import make_mesh
+    from vit_cpp_tpu.server import create_server
+
+    hp = VitHParams(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=16,
+        patch_size=8,
+        img_size=32,
+    )
+    path = str(tmp_path / "m.gguf")
+    write_synthetic_model(path, hp, ftype=1, seed=4)
+    engine = VitEngine(path, verbose=False).shard(make_mesh(dp=4, tp=2))
+    httpd, batcher = create_server(engine, port=0, batch=8, buckets=True)
+    try:
+        assert batcher.bucket_sizes() == [4, 8]
+        fut = batcher.submit(np.zeros((3, 32, 32), np.float32))
+        assert fut.result(timeout=60.0).shape == (16,)
+    finally:
+        httpd.server_close()
+        batcher.close()
+    # dp with no power-of-2 multiple below batch -> unbucketed, no crash
+    engine3 = VitEngine(path, verbose=False).shard(make_mesh(dp=8, tp=1))
+    httpd3, b3 = create_server(engine3, port=0, batch=8, buckets=True)
+    try:
+        assert b3.bucket_sizes() == [8]
+    finally:
+        httpd3.server_close()
+        b3.close()
+    # explicit non-divisible bucket lists are rejected, not crashed later
+    with pytest.raises(ValueError, match="data axis"):
+        create_server(engine3, port=0, batch=8, buckets=[1, 8])
+
+
+def test_prometheus_label_escaping():
+    from vit_cpp_tpu.server import MicroBatcher, _Model, _prometheus_metrics
+
+    class _Eng:
+        class hp:
+            seq_len = None
+            hidden_size = 4
+            img_size = 8
+
+    b = MicroBatcher(lambda x: np.zeros((1, 4)), batch=1, max_wait_ms=0.0)
+    try:
+        m = _Model('evil"name\\x', _Eng(), b)
+        text = _prometheus_metrics([m])
+    finally:
+        b.close()
+    assert 'model="evil\\"name\\\\x"' in text
+
+
 def test_vitstr_recognize_route(tmp_path):
     from vit_cpp_tpu.engine import VitstrEngine
     from vit_cpp_tpu.models.vitstr import vitstr_id2label

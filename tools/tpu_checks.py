@@ -287,8 +287,6 @@ def check_gap_and_resample():
     """GAP head path + resampled pos_embed on the real kernels: a CLS-less
     avg-pool ViT-B/16 resampled 224 -> 384 (T=576, sublane-aligned) runs
     the fused attention and matches the XLA path."""
-    import dataclasses
-
     from vit_cpp_tpu.hparams import VitHParams
     from vit_cpp_tpu.models import params_from_state_dict
     from vit_cpp_tpu.models.resample import resample_params

@@ -54,11 +54,12 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
-        for cid, prob, label in engine.classify_file(
-            args.inp, topk=args.topk, verbose=False
-        ):
+        # one encoder pass serves both the top-k and the rollout
+        top, grid = engine.explain_file(
+            args.inp, topk=args.topk, head_fuse=args.fuse
+        )
+        for cid, prob, label in top:
             print(f" > {label} : {prob:.2f}")
-        grid = engine.attention_rollout_file(args.inp, head_fuse=args.fuse)
     except (OSError, ValueError) as e:
         print(f"vit-explain: {e}", file=sys.stderr)
         return 1

@@ -301,7 +301,6 @@ def main(argv=None) -> int:
         except ValueError as e:  # dp*tp != visible devices
             print(f"--mesh {args.mesh}: {e}", file=sys.stderr)
             return 1
-
     httpd, batcher = create_server(
         engine,
         host=args.host,
@@ -313,6 +312,14 @@ def main(argv=None) -> int:
         max_queue=args.max_queue,
         buckets=args.bucket,
     )
+    if args.bucket and batcher.bucket_sizes() == [args.batch]:
+        # a sharded engine constrains buckets to dp-divisible sizes
+        # (server.create_server); none below the full batch survived
+        print(
+            "vit-server: no usable bucket below the full batch "
+            "(sharded engines need dp-divisible sizes); serving unbucketed",
+            file=sys.stderr,
+        )
     kind = "vitstr" if is_vitstr else "vit"
     print(
         f"vit-server: {kind} model on http://{args.host}:{httpd.server_port} "

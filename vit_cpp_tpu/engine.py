@@ -332,12 +332,45 @@ class VitEngine:
         """Decode, preprocess, extract: one image -> (side, side) [0, 1]
         attention-rollout saliency over the patch grid (Abnar & Zuidema
         2020; models/attention_maps.py)."""
+        return self.explain_file(path, head_fuse=head_fuse)[1]
+
+    def explain_file(
+        self, path: str, topk: int = 5, head_fuse: str = "mean"
+    ) -> Tuple[List[Tuple[int, float, str]], np.ndarray]:
+        """One encoder pass -> ([(class_id, prob, label)] top-k, the
+        (side, side) rollout saliency). The maps forward's final block
+        output feeds the same pooling/norm/head as the production path
+        (models/attention_maps.py head_logits), so vit-explain never runs
+        the encoder twice."""
+        fn = getattr(self, "_explain", None)
+        if fn is None:
+            from vit_cpp_tpu.models.attention_maps import (
+                attention_maps,
+                head_logits,
+            )
+
+            def _explain(params, images):
+                with jax.default_matmul_precision(self.matmul_precision):
+                    maps, final = attention_maps(params, images, self.hp)
+                    logits = head_logits(params, final, self.hp)
+                return maps, jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
+
+            self._explain = fn = jax.jit(_explain)
         from vit_cpp_tpu.models.attention_maps import attention_rollout
 
         img = load_image_rgb(path)
         pixels = self.preprocess_image(img)
-        maps = self.attention_maps_batch(pixels[None])
-        return attention_rollout(maps, self.hp, head_fuse=head_fuse)[0]
+        maps, probs = fn(self.params, pixels[None])
+        grid = attention_rollout(maps, self.hp, head_fuse=head_fuse)[0]
+        p = np.asarray(probs[0])
+        order = np.argsort(-p, kind="stable")[:topk]
+        top = [
+            (int(i), float(p[i]), self.id2label.get(int(i), f"LABEL_{i}"))
+            for i in order
+        ]
+        return top, grid
 
     def classify_file(
         self, path: str, topk: int = 5, verbose: bool = True

@@ -223,30 +223,48 @@ def _prefetch_batches(fetch, idx_seq, depth: int = 2):
     `depth` batches ahead of the consumer — decode + preprocess of batch
     s+1 overlaps the device step on batch s (the training-loop analogue
     of serve.py's double-buffered pipeline). Worker exceptions re-raise
-    at the consuming iteration."""
+    at the consuming iteration. If the consumer abandons the generator
+    (a train step raised, KeyboardInterrupt), the finally block signals
+    the worker to stop and drains the queue so it cannot stay blocked in
+    put() holding preprocessed chunks (review r3)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for idx in idx_seq:
+                if stop.is_set():
+                    return
                 q.put(fetch(idx))
         except BaseException as e:  # surface decode errors to the loop
             q.put(e)
             return
         q.put(_END)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    threading.Thread(
+        target=worker, name="vit-finetune-prefetch", daemon=True
+    ).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # unblock a worker waiting in put(); it checks `stop` before the
+        # next fetch and exits (at most one more item lands and is dropped)
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 _EVAL_FWD = None  # persistent jitted fns: per-epoch eval must not retrace

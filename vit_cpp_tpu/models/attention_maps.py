@@ -40,9 +40,18 @@ def _block_with_probs(
     qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"])
     qkv = qkv.reshape(b, t, 3, nh, hd)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    # f32 logits like ops/core.attention — a bf16 einsum would round the
+    # scores to 8 mantissa bits before the softmax (review r3)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
     probs = jax.nn.softmax(scores * (1.0 / np.sqrt(hd)), axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
     x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"])
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
@@ -65,6 +74,36 @@ def attention_maps(
         x, probs = _block_with_probs(x, bp, hp)
         probs_all.append(probs)
     return jnp.stack(probs_all, axis=1), x
+
+
+def head_logits(
+    params: Dict[str, Any], final: jax.Array, hp: VitHParams
+) -> jax.Array:
+    """The classifier-head section of models/vit.py::forward applied to a
+    final block output — lets one maps forward serve both the rollout and
+    the top-k print (vit-explain runs the encoder once). Classification
+    heads only (vit-explain rejects sequence heads)."""
+    if "head_dist" in params and hp.seq_len is None:
+        pooled = layernorm(
+            final[:, :2], params["norm"]["scale"], params["norm"]["bias"],
+            hp.eps,
+        )
+        return 0.5 * (
+            linear(pooled[:, 0], params["head"]["kernel"], params["head"]["bias"])
+            + linear(
+                pooled[:, 1],
+                params["head_dist"]["kernel"],
+                params["head_dist"]["bias"],
+            )
+        )
+    if hp.global_pool == "avg":
+        pooled = jnp.mean(final[:, hp.num_prefix_tokens :], axis=1)
+    else:
+        pooled = final[:, 0]
+    pooled = layernorm(
+        pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+    )
+    return linear(pooled, params["head"]["kernel"], params["head"]["bias"])
 
 
 def attention_rollout(

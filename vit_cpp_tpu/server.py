@@ -269,12 +269,16 @@ class _Model:
         # compiles if the route is ever hit (first /v1/embed pays it).
         self.embed_batcher: Optional[MicroBatcher] = None
         if hasattr(engine, "features_batch"):
+            # deliberately NOT bucketed: the features program is lazy (only
+            # compiles if /v1/embed is ever hit), so bucketing would turn
+            # that one cold compile into one per bucket mid-traffic —
+            # breaking the "every bucket warmed pre-bind" guarantee that
+            # only covers the classify program (review r3)
             self.embed_batcher = MicroBatcher(
                 engine.features_batch,
                 batch=batcher.batch,
                 max_wait_ms=batcher.max_wait * 1000.0,
                 max_queue=batcher.max_queue,
-                buckets=batcher.buckets,
             )
             batcher.child = self.embed_batcher  # closed with the main one
         # hp-based so AotEngine (aot.py) routes the same as VitstrEngine:
@@ -329,12 +333,18 @@ def _prometheus_metrics(models) -> str:
         ("vit_queue_depth", "gauge", "requests waiting for the device",
          lambda b: b._q.qsize()),
     ]
+    def esc(label: str) -> str:
+        # exposition-format label escaping: backslash, quote, newline
+        return (
+            label.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        )
+
     rows, seen = [], set()
     for m in models:
         if id(m) in seen:  # a model backs several routes in the dict
             continue
         seen.add(id(m))
-        name = m.name or "default"
+        name = esc(m.name or "default")
         route = "recognize" if m.is_vitstr else "classify"
         rows.append((name, route, m.batcher))
         if m.embed_batcher is not None:
@@ -536,6 +546,34 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
     return Handler
 
 
+def _shardable_buckets(engine, batch: int, buckets):
+    """Constrain bucket sizes to multiples of a sharded engine's data
+    axis — a (1, ...) batch cannot be split dp ways, so unconstrained
+    buckets would crash the warmup (review r3). No-op for unsharded
+    engines or buckets=False."""
+    sharding = getattr(engine, "_batch_sharding", None)
+    if not buckets or sharding is None:
+        return buckets
+    dp = int(sharding.mesh.shape.get("data", 1))
+    if dp <= 1:
+        return buckets
+    if isinstance(buckets, (list, tuple)):
+        bad = [b for b in buckets if int(b) % dp]
+        if bad:
+            raise ValueError(
+                f"bucket sizes {bad} do not divide the mesh data axis "
+                f"(dp={dp}) — a sharded engine cannot run them"
+            )
+        return buckets
+    sizes, b = [], 1
+    while b < batch:
+        if b % dp == 0:
+            sizes.append(b)
+        b <<= 1
+    sizes.append(batch)  # callers validate batch % dp when sharding
+    return sizes if len(sizes) > 1 else False
+
+
 def _warm(engine, batcher: MicroBatcher) -> None:
     """Compile every program the batcher can dispatch before serving: one
     dummy request through the batcher (verifies the whole pipeline), then
@@ -578,14 +616,17 @@ def create_server(
     the server is returned, so the first real request never pays the
     XLA compile (minutes on TPU for the big serving programs — pair with
     --compile-cache to make it a one-time cost per machine). With
-    buckets=True EVERY bucket program is warmed — a light-load request
-    hitting a cold bucket would otherwise pay a compile."""
+    buckets=True EVERY bucket (classify-program) shape is warmed — a
+    light-load request hitting a cold bucket would otherwise pay a
+    compile. On a mesh-sharded engine, bucket sizes are constrained to
+    multiples of the data axis (anything else cannot be sharded); when
+    no smaller bucket qualifies, the batcher runs unbucketed."""
     batcher = MicroBatcher(
         engine.predict_probs_batch,
         batch=batch,
         max_wait_ms=max_wait_ms,
         max_queue=max_queue,
-        buckets=buckets,
+        buckets=_shardable_buckets(engine, batch, buckets),
     )
     if warmup:
         _warm(engine, batcher)
@@ -637,7 +678,7 @@ def create_multi_server(
                     batch=b,
                     max_wait_ms=max_wait_ms,
                     max_queue=max_queue,
-                    buckets=bk,
+                    buckets=_shardable_buckets(engine, b, bk),
                 ),
             )
         )
