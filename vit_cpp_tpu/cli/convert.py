@@ -54,7 +54,7 @@ from vit_cpp_tpu.hparams import VitHParams
 # README.md model table).
 _DEFAULT_HEADS = {192: 3, 384: 6, 768: 12, 1024: 16, 1280: 16, 1408: 16}
 
-_KEEP_F32 = ("pos_embed", "cls_token", "dist_token")
+_KEEP_F32 = ("pos_embed", "cls_token", "dist_token", "reg_token")
 
 
 def serialize_state_dict(
@@ -100,18 +100,27 @@ def infer_hparams(
         n_prefix = 1
     else:
         n_prefix = 0  # CLS-less avg-pool model (requires fc_norm)
+    # DINOv2-style register tokens ride after CLS; they count toward the
+    # pos_embed prefix rows (when embedded) and toward nothing else here
+    n_reg = (
+        int(np.asarray(state["reg_token"]).shape[-2])
+        if "reg_token" in state
+        else 0
+    )
     # pos_embed rows = grid + prefix, or grid alone for timm
     # no_embed_class models (prefix concatenated after the positional
-    # add). Squares never differ by 1 or 2 above 1, so this is unambiguous.
-    side = int(math.isqrt(n_tokens - n_prefix))
+    # add). Squares never differ by a small prefix above 1, so this is
+    # unambiguous.
+    total_prefix = n_prefix + n_reg
+    side = int(math.isqrt(n_tokens - total_prefix))
     no_embed_class = False
-    if side * side != n_tokens - n_prefix:
+    if side * side != n_tokens - total_prefix:
         side = int(math.isqrt(n_tokens))
-        no_embed_class = n_prefix > 0 and side * side == n_tokens
+        no_embed_class = total_prefix > 0 and side * side == n_tokens
         if not no_embed_class:
             raise ValueError(
-                f"pos_embed token count {n_tokens} is not grid+{n_prefix} "
-                f"prefix (nor a bare grid)"
+                f"pos_embed token count {n_tokens} is not grid+"
+                f"{total_prefix} prefix (nor a bare grid)"
             )
     layer_ids = [
         int(m.group(1))
@@ -119,7 +128,10 @@ def infer_hparams(
         if m
     ]
     num_layers = max(layer_ids) + 1 if layer_ids else 0
-    num_classes = int(state["head.weight"].shape[0])
+    # headless encoders (MAE/DINO pretrained) have no classifier at all
+    num_classes = (
+        int(state["head.weight"].shape[0]) if "head.weight" in state else 0
+    )
     # Non-4x MLP families (ViT-g: 6144 on hidden 1408) declare their width
     # through the fc1 shape; the loader re-infers it the same way at read.
     mlp_hidden = None
@@ -154,6 +166,7 @@ def infer_hparams(
         norm_pre="norm_pre.weight" in state,
         global_pool="avg" if "fc_norm.weight" in state else "token",
         no_embed_class=no_embed_class,
+        num_reg_tokens=n_reg,
     )
 
 

@@ -58,6 +58,12 @@ def main(argv=None) -> int:
         top, grid = engine.explain_file(
             args.inp, topk=args.topk, head_fuse=args.fuse
         )
+        if not top:
+            print(
+                "vit-explain: headless encoder — rollout only (no "
+                "classifier to print)",
+                file=sys.stderr,
+            )
         for cid, prob, label in top:
             print(f" > {label} : {prob:.2f}")
     except (OSError, ValueError) as e:

@@ -34,6 +34,10 @@ def _family_traits(hp) -> list:
         traits.append("avg-pool (fc_norm)")
     if hp.no_embed_class:
         traits.append("no_embed_class (grid-only pos_embed)")
+    if hp.num_reg_tokens:
+        traits.append(f"registers (reg_token x{hp.num_reg_tokens})")
+    if hp.num_classes == 0:
+        traits.append("headless encoder (embeddings only)")
     return traits
 
 

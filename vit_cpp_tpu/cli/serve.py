@@ -218,6 +218,14 @@ def main(argv=None) -> int:
     except ValueError as e:  # e.g. --img-size not a patch multiple / ViTSTR
         print(f"serve: {e}", file=sys.stderr)
         return 1
+    if engine.hp.num_classes == 0 and not args.embed:
+        print(
+            "serve: checkpoint is a headless encoder (no classifier) — "
+            "use --embed OUT.npy for bulk feature extraction, or "
+            "vit-finetune to attach a head",
+            file=sys.stderr,
+        )
+        return 1
     if mesh is not None:
         engine.shard(mesh)
     if args.act == "static" and args.calib_dir:

@@ -132,6 +132,9 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
+    except ValueError as exc:  # e.g. a headless encoder / ViTSTR head
+        print(f"main: {exc}", file=sys.stderr)
+        return 1
 
     print("", file=sys.stderr)
     for _idx, prob, label in results:

@@ -56,10 +56,17 @@ def detect_hparams(mf) -> VitHParams:
         hp = dataclasses.replace(hp, num_prefix_tokens=0)
     if "norm_pre.weight" in mf.tensors and not hp.norm_pre:
         hp = dataclasses.replace(hp, norm_pre=True)
+    reg = mf.tensors.get("reg_token")
+    if reg is not None and not hp.num_reg_tokens:
+        n_reg = int(np.prod(reg.shape)) // hp.hidden_size
+        hp = dataclasses.replace(hp, num_reg_tokens=n_reg)
+    if "head.weight" not in mf.tensors and hp.num_classes:
+        # headless encoder (MAE/DINO pretrained): embeddings only
+        hp = dataclasses.replace(hp, num_classes=0)
     if "fc_norm.weight" in mf.tensors and hp.global_pool != "avg":
         hp = dataclasses.replace(hp, global_pool="avg")
     pos = mf.tensors.get("pos_embed")
-    if pos is not None and hp.num_prefix_tokens and not hp.no_embed_class:
+    if pos is not None and hp.n_prefix and not hp.no_embed_class:
         n_rows = int(np.prod(pos.shape)) // hp.hidden_size
         if n_rows == hp.n_patches:
             hp = dataclasses.replace(hp, no_embed_class=True)
@@ -342,6 +349,7 @@ class VitEngine:
         output feeds the same pooling/norm/head as the production path
         (models/attention_maps.py head_logits), so vit-explain never runs
         the encoder twice."""
+        headless = self.hp.num_classes == 0
         fn = getattr(self, "_explain", None)
         if fn is None:
             from vit_cpp_tpu.models.attention_maps import (
@@ -352,6 +360,8 @@ class VitEngine:
             def _explain(params, images):
                 with jax.default_matmul_precision(self.matmul_precision):
                     maps, final = attention_maps(params, images, self.hp)
+                    if headless:  # no classifier — rollout only
+                        return maps, None
                     logits = head_logits(params, final, self.hp)
                 return maps, jax.nn.softmax(
                     logits.astype(jnp.float32), axis=-1
@@ -364,6 +374,8 @@ class VitEngine:
         pixels = self.preprocess_image(img)
         maps, probs = fn(self.params, pixels[None])
         grid = attention_rollout(maps, self.hp, head_fuse=head_fuse)[0]
+        if headless:
+            return [], grid
         p = np.asarray(probs[0])
         order = np.argsort(-p, kind="stable")[:topk]
         top = [

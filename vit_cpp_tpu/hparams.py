@@ -58,10 +58,18 @@ class VitHParams:
     # - no_embed_class=True: pos_embed covers the patch grid only
     #   (n_patches rows); prefix tokens are concatenated after the
     #   positional add (timm no_embed_class, e.g. DeiT3).
+    # - num_reg_tokens=R: DINOv2-style register tokens ("Vision
+    #   Transformers Need Registers", Darcet et al.) — R learned tokens
+    #   concatenated after CLS and excluded from every pooling readout
+    #   (timm reg_token semantics). Inferred from the reg_token tensor.
+    # - num_classes=0: headless encoder (no head.weight — MAE/DINO
+    #   pretrained checkpoints): serves embeddings only; fine-tuning
+    #   attaches a fresh head.
     num_prefix_tokens: int = 1
     norm_pre: bool = False
     global_pool: str = "token"
     no_embed_class: bool = False
+    num_reg_tokens: int = 0
 
     @property
     def n_patches_side(self) -> int:
@@ -73,11 +81,18 @@ class VitHParams:
         return s * s
 
     @property
+    def n_prefix(self) -> int:
+        """Total non-patch leading tokens: CLS (+ dist) + registers.
+        Pooling readouts exclude all of them; num_prefix_tokens alone
+        counts only the CLS/dist tokens that carry head semantics."""
+        return self.num_prefix_tokens + self.num_reg_tokens
+
+    @property
     def n_tokens(self) -> int:
         """Sequence length including the prefix token(s): CLS
-        (vit.cpp:791-797), plus the distillation token when present;
-        CLS-less avg-pool models have no prefix at all."""
-        return self.n_patches + self.num_prefix_tokens
+        (vit.cpp:791-797), plus the distillation or register tokens when
+        present; CLS-less avg-pool models may have no prefix at all."""
+        return self.n_patches + self.n_prefix
 
     @property
     def n_pos_tokens(self) -> int:
@@ -109,4 +124,8 @@ class VitHParams:
             n += 3
         if self.num_prefix_tokens == 0:
             n -= 1  # no cls_token (avg-pool models; fc_norm replaces norm)
+        if self.num_reg_tokens:
+            n += 1  # one (R, h) reg_token tensor
+        if self.num_classes == 0:
+            n -= 2  # headless encoder: no head.weight/head.bias
         return n

@@ -97,12 +97,17 @@ def head_logits(
             )
         )
     if hp.global_pool == "avg":
-        pooled = jnp.mean(final[:, hp.num_prefix_tokens :], axis=1)
+        pooled = jnp.mean(final[:, hp.n_prefix :], axis=1)
     else:
         pooled = final[:, 0]
     pooled = layernorm(
         pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
     )
+    if "head" not in params:  # headless encoder: no logits to derive
+        raise ValueError(
+            "checkpoint is a headless encoder — no classifier to explain; "
+            "the rollout saliency is still available (attention_rollout)"
+        )
     return linear(pooled, params["head"]["kernel"], params["head"]["bias"])
 
 
@@ -135,14 +140,17 @@ def attention_rollout(
     roll = np.broadcast_to(eye, (b, t, t)).copy()
     for layer in range(n_layers):
         roll = a[:, layer] @ roll
-    n_prefix = hp.num_prefix_tokens
-    if n_prefix:
-        # average the prefix query rows (CLS, or CLS+dist for distilled)
-        readout = roll[:, :n_prefix].mean(axis=1)
+    # readout rows: the head-semantic prefix tokens (CLS, or CLS+dist) —
+    # register tokens (hp.num_reg_tokens) are never a readout; grid
+    # columns start after ALL prefix tokens incl. registers
+    n_readout = hp.num_prefix_tokens
+    total_prefix = hp.n_prefix
+    if n_readout:
+        readout = roll[:, :n_readout].mean(axis=1)
     else:
         # CLS-less avg-pool model: the head pools patch tokens uniformly
-        readout = roll[:, n_prefix:].mean(axis=1)
-    grid = readout[:, n_prefix:]
+        readout = roll[:, total_prefix:].mean(axis=1)
+    grid = readout[:, total_prefix:]
     side = hp.n_patches_side
     grid = grid.reshape(b, side, side)
     peak = grid.max(axis=(1, 2), keepdims=True)

@@ -53,11 +53,15 @@ def params_to_state_dict(
         "patch_embed.proj.bias": _np(params["patch_embed"]["bias"]).reshape(
             1, h, 1, 1
         ),
-        "head.weight": _kernel_to_torch(params["head"]["kernel"]),
-        "head.bias": _np(params["head"]["bias"]),
     }
+    if "head" in params:  # headless encoders carry no classifier
+        out["head.weight"] = _kernel_to_torch(params["head"]["kernel"])
+        out["head.bias"] = _np(params["head"]["bias"])
     if "cls_token" in params:
         out["cls_token"] = _np(params["cls_token"]).reshape(1, 1, h)
+    if "reg_token" in params:
+        reg = _np(params["reg_token"])
+        out["reg_token"] = reg.reshape(1, reg.shape[-2], h)
     # avg-pool pytrees hold fc_norm in the 'norm' slot (models/params.py)
     norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
     out[norm_name + ".weight"] = _np(params["norm"]["scale"])

@@ -87,17 +87,22 @@ def fold_layernorms(
     # The final norm feeds every classifier reading the pooled tokens:
     # the CLS head, and for DeiT-distilled pytrees also head_dist (both
     # consume the same LN output, models/vit.py forward).
-    for hk in ("head", "head_dist") if "head_dist" in params else ("head",):
-        head = dict(params[hk])
-        head["kernel"], head["bias"] = _fold_into(
-            head["kernel"],
-            head["bias"],
-            params["norm"]["scale"],
-            params["norm"]["bias"],
-            int8=int8,
-        )
-        p[hk] = head
-    p["norm"] = {"scale": None, "bias": None}
+    if "head" in params:
+        for hk in (
+            ("head", "head_dist") if "head_dist" in params else ("head",)
+        ):
+            head = dict(params[hk])
+            head["kernel"], head["bias"] = _fold_into(
+                head["kernel"],
+                head["bias"],
+                params["norm"]["scale"],
+                params["norm"]["bias"],
+                int8=int8,
+            )
+            p[hk] = head
+        p["norm"] = {"scale": None, "bias": None}
+    # headless encoders keep the final norm affine: there is no following
+    # matmul to absorb it into (the pooled features ARE the output)
     # norm_pre (when present) is NOT foldable: its output IS the residual
     # stream entering block 0, so its affine cannot be absorbed into any
     # single downstream matmul. It stays a real LN.

@@ -125,6 +125,14 @@ def load_params(
         hp = dataclasses.replace(hp, num_prefix_tokens=0)
     if "norm_pre.weight" in mf.tensors and not hp.norm_pre:
         hp = dataclasses.replace(hp, norm_pre=True)
+    reg = mf.tensors.get("reg_token")
+    if reg is not None and not hp.num_reg_tokens:
+        # DINOv2-style registers: the (1, R, h) tensor declares R
+        n_reg = int(np.prod(reg.shape)) // h
+        hp = dataclasses.replace(hp, num_reg_tokens=n_reg)
+    if "head.weight" not in mf.tensors and hp.num_classes:
+        # headless encoder (MAE/DINO pretrained): embeddings only
+        hp = dataclasses.replace(hp, num_classes=0)
     if "fc_norm.weight" in mf.tensors:
         if "norm.weight" in mf.tensors:
             raise ValueError(
@@ -134,7 +142,7 @@ def load_params(
         if hp.global_pool != "avg":
             hp = dataclasses.replace(hp, global_pool="avg")
     pos = mf.tensors.get("pos_embed")
-    if pos is not None and hp.num_prefix_tokens and not hp.no_embed_class:
+    if pos is not None and hp.n_prefix and not hp.no_embed_class:
         n_rows = int(np.prod(pos.shape)) // h
         if n_rows == hp.n_patches:
             # pos_embed covers the patch grid only (timm no_embed_class)
@@ -158,6 +166,21 @@ def load_params(
     if hp.num_prefix_tokens == 0 and hp.global_pool != "avg":
         raise ValueError(
             "checkpoint has no cls_token and no fc_norm — nothing to pool"
+        )
+    if hp.num_reg_tokens and hp.num_prefix_tokens == 2:
+        raise ValueError(
+            "reg_token + dist_token is not a timm configuration "
+            "(registers pair with plain or avg-pool ViTs)"
+        )
+    if hp.num_reg_tokens and hp.seq_len is not None:
+        raise ValueError(
+            "register tokens would shift the ViTSTR seq_len readout "
+            "window — not a supported combination"
+        )
+    if hp.num_classes == 0 and hp.seq_len is not None:
+        raise ValueError(
+            "sequence-head checkpoints cannot be headless (the head IS "
+            "the decoder)"
         )
 
     rs = _RecordSet(mf.tensors, dtype)
@@ -186,6 +209,8 @@ def load_params(
         params["cls_token"] = rs.dense("cls_token", (h,))
     if hp.num_prefix_tokens == 2:
         params["dist_token"] = rs.dense("dist_token", (h,))
+    if hp.num_reg_tokens:
+        params["reg_token"] = rs.dense("reg_token", (hp.num_reg_tokens, h))
     if hp.norm_pre:
         params["norm_pre"] = {
             "scale": rs.dense("norm_pre.weight", (h,)),
@@ -236,10 +261,11 @@ def load_params(
         "scale": rs.dense(norm_name + ".weight", (h,)),
         "bias": rs.dense(norm_name + ".bias", (h,)),
     }
-    params["head"] = {
-        "kernel": rs.kernel("head.weight", hp.num_classes, h),
-        "bias": rs.dense("head.bias", (hp.num_classes,)),
-    }
+    if hp.num_classes:
+        params["head"] = {
+            "kernel": rs.kernel("head.weight", hp.num_classes, h),
+            "bias": rs.dense("head.bias", (hp.num_classes,)),
+        }
     if hp.num_prefix_tokens == 2:
         # the distilled head pairs with dist_token; rs.rec raises the
         # loader's fail-fast ValueError if the checkpoint has one without

@@ -110,7 +110,9 @@ def resample_pos_embed(
     pos = np.asarray(pos, dtype=np.float32)
     if pos.ndim != 2:
         raise ValueError(f"pos_embed must be (tokens, hidden), got {pos.shape}")
-    n_prefix = 0 if hp.no_embed_class else hp.num_prefix_tokens
+    # prefix rows in pos_embed: all leading tokens incl. registers
+    # (no_embed_class embeds the bare grid, so zero prefix rows there)
+    n_prefix = 0 if hp.no_embed_class else hp.n_prefix
     prefix, grid = pos[:n_prefix], pos[n_prefix:]
     side = math.isqrt(grid.shape[0])
     if side * side != grid.shape[0]:

@@ -66,6 +66,13 @@ def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Arra
                 params["dist_token"].astype(dtype), (b, 1, hp.hidden_size)
             )
         )
+    if "reg_token" in params:
+        # DINOv2-style registers: after CLS, before the patches (timm
+        # reg_token order); excluded from every pooling readout
+        reg = params["reg_token"].astype(dtype)
+        prefix.append(
+            jnp.broadcast_to(reg[None], (b, reg.shape[0], hp.hidden_size))
+        )
     # pos_embed is stored f32 in the checkpoint (converter rule); add in
     # the activation dtype. no_embed_class models (timm) position-embed
     # the patch grid only, BEFORE the prefix concat.
@@ -280,17 +287,23 @@ def forward(
     if hp.seq_len is not None:
         pooled = x[:, : hp.seq_len]  # ViTSTR 25-token readout
     elif hp.global_pool == "avg":
-        # mean over the patch tokens (prefix excluded), normalized by
-        # fc_norm — loaded into the 'norm' slot (timm avg-pool semantics);
-        # under pad_tokens, kv is the real token count so the pad rows
-        # never enter the mean
+        # mean over the patch tokens (prefix incl. registers excluded),
+        # normalized by fc_norm — loaded into the 'norm' slot (timm
+        # avg-pool semantics); under pad_tokens, kv is the real token
+        # count so the pad rows never enter the mean
         end = kv if kv is not None else x.shape[1]
-        pooled = jnp.mean(x[:, hp.num_prefix_tokens : end], axis=1)
+        pooled = jnp.mean(x[:, hp.n_prefix : end], axis=1)
     else:
         pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)
     pooled = layernorm(pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps)
     if features:
         return pooled
+    if "head" not in params:
+        raise ValueError(
+            "checkpoint is a headless encoder (no classifier head) — "
+            "serve embeddings (features=True / embed surfaces) or "
+            "fine-tune to attach a head"
+        )
     logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"], impl=mm_impl)
     return logits
 
@@ -371,7 +384,7 @@ def forward_debug(
         if hp.seq_len is not None:
             pooled = x[:, : hp.seq_len]
         elif hp.global_pool == "avg":
-            pooled = jnp.mean(x[:, hp.num_prefix_tokens :], axis=1)
+            pooled = jnp.mean(x[:, hp.n_prefix :], axis=1)
         else:
             pooled = x[:, 0]
         pooled = layernorm(

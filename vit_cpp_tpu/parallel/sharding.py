@@ -91,13 +91,14 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             },
         },
         "norm": _ln(params["norm"]),
-        "head": {
+    }
+    if "head" in params:  # absent on headless encoders (num_classes=0)
+        specs["head"] = {
             "kernel": _kernel_spec(
                 params["head"]["kernel"], col_parallel=True, stacked=False
             ),
             "bias": P("model"),
-        },
-    }
+        }
     # Optional family extensions (DeiT distilled / pre-norm / CLS-less
     # avg-pool, models/params): the prefix tokens and pre-norm LN
     # replicate like their CLS / final-norm counterparts; head_dist is
@@ -106,6 +107,8 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         specs["cls_token"] = P()
     if "dist_token" in params:
         specs["dist_token"] = P()
+    if "reg_token" in params:
+        specs["reg_token"] = P()
     if "norm_pre" in params:
         specs["norm_pre"] = _ln(params["norm_pre"])
     if "head_dist" in params:

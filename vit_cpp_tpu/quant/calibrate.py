@@ -70,7 +70,7 @@ def collect_act_maxima(
     elif hp.seq_len is not None:
         pooled = x[:, : hp.seq_len]
     elif hp.global_pool == "avg":
-        pooled = jnp.mean(x[:, hp.num_prefix_tokens :], axis=1)
+        pooled = jnp.mean(x[:, hp.n_prefix :], axis=1)
     else:
         pooled = x[:, 0]
     pooled = layernorm(
@@ -117,6 +117,8 @@ def calibrate_act_scales(
     # they share one measured scale (collect_act_maxima pools both prefix
     # tokens for distilled trees).
     for name in ("head", "head_dist") if "head_dist" in params else ("head",):
+        if name not in params:  # headless encoder
+            continue
         head = dict(params[name])
         if isinstance(head["kernel"], Int8Linear):
             head["kernel"] = attach(head["kernel"], maxima["head"])
@@ -148,8 +150,17 @@ def validate_act_scales(
     """
     from vit_cpp_tpu.models.vit import forward
 
-    dyn = forward(dynamic_params, images, hp, mm_impl="int8", attn_impl=attn_impl)
-    st = forward(static_params, images, hp, mm_impl="int8", attn_impl=attn_impl)
+    # headless encoders have no logits; agreement is over the argmax of
+    # the pooled feature vector instead (same clipping sensitivity)
+    feats = "head" not in dynamic_params
+    dyn = forward(
+        dynamic_params, images, hp, mm_impl="int8", attn_impl=attn_impl,
+        features=feats,
+    )
+    st = forward(
+        static_params, images, hp, mm_impl="int8", attn_impl=attn_impl,
+        features=feats,
+    )
     import numpy as np
 
     agreement = float(

@@ -99,6 +99,8 @@ def convert_params_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
     out["blocks"] = blocks
     heads = ("head", "head_dist") if "head_dist" in params else ("head",)
     for name in heads:
+        if name not in params:  # headless encoder (num_classes=0)
+            continue
         head = dict(params[name])
         hk = head["kernel"]
         if isinstance(hk, QuantLinear):

@@ -263,12 +263,19 @@ class _Model:
         self.name = name
         self.engine = engine
         self.batcher = batcher
+        # headless encoder (num_classes=0, e.g. MAE/DINO pretrained): the
+        # MAIN batcher wraps features_batch (create_server) and /v1/embed
+        # is the only route — no classify program exists to compile
+        self.is_headless = (
+            engine.hp.seq_len is None
+            and getattr(engine.hp, "num_classes", 1) == 0
+        )
         # Embeddings ride their OWN batcher so they share the admission
         # bound / request timeout / single-compile serialization with
         # classify — but it is NOT warmed up: the features program only
         # compiles if the route is ever hit (first /v1/embed pays it).
         self.embed_batcher: Optional[MicroBatcher] = None
-        if hasattr(engine, "features_batch"):
+        if not self.is_headless and hasattr(engine, "features_batch"):
             # deliberately NOT bucketed: the features program is lazy (only
             # compiles if /v1/embed is ever hit), so bucketing would turn
             # that one cold compile into one per bucket mid-traffic —
@@ -303,8 +310,11 @@ class _Model:
 
     def health(self):
         hp = self.engine.hp
+        kind = "vitstr" if self.is_vitstr else "vit"
+        if self.is_headless:
+            kind = "vit-encoder"
         h = {
-            "model": "vitstr" if self.is_vitstr else "vit",
+            "model": kind,
             "hidden_size": hp.hidden_size,
             "img_size": hp.img_size,
             "batch": self.batcher.batch,
@@ -345,7 +355,12 @@ def _prometheus_metrics(models) -> str:
             continue
         seen.add(id(m))
         name = esc(m.name or "default")
-        route = "recognize" if m.is_vitstr else "classify"
+        if m.is_vitstr:
+            route = "recognize"
+        elif getattr(m, "is_headless", False):
+            route = "embed"  # headless: the main batcher serves /v1/embed
+        else:
+            route = "classify"
         rows.append((name, route, m.batcher))
         if m.embed_batcher is not None:
             rows.append((name, "embed", m.embed_batcher))
@@ -366,9 +381,14 @@ def make_handler(
 ):
     """Single-model request handler (legacy routes /v1/classify|recognize)."""
     m = _Model(None, engine, batcher)
-    routes = {("/v1/recognize" if m.is_vitstr else "/v1/classify"): (m, None)}
-    if m.embed_batcher is not None:
-        routes["/v1/embed"] = (m, "embed")
+    if m.is_headless:
+        routes = {"/v1/embed": (m, "embed")}
+    else:
+        routes = {
+            ("/v1/recognize" if m.is_vitstr else "/v1/classify"): (m, None)
+        }
+        if m.embed_batcher is not None:
+            routes["/v1/embed"] = (m, "embed")
     return _make_handler(routes, single=m, timeout_s=timeout_s,
                          max_body_bytes=max_body_bytes)
 
@@ -382,6 +402,9 @@ def make_multi_handler(
     per model."""
     routes = {}
     for m in models:
+        if m.is_headless:
+            routes[f"/v1/{m.name}/embed"] = (m, "embed")
+            continue
         kind = "recognize" if m.is_vitstr else "classify"
         routes[f"/v1/{m.name}/{kind}"] = (m, None)
         if m.embed_batcher is not None:
@@ -498,7 +521,11 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
             # features-program compile inside the worker. Batch padding
             # keeps the mesh 'data' axis divisibility classify relies on.
             batcher = (
-                model.embed_batcher if kind == "embed" else model.batcher
+                # headless models embed through their MAIN batcher (it
+                # wraps features_batch; there is no classify program)
+                (model.embed_batcher or model.batcher)
+                if kind == "embed"
+                else model.batcher
             )
             try:
                 probs = batcher.submit(pixels).result(timeout=timeout_s)
@@ -544,6 +571,18 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
             )
 
     return Handler
+
+
+def _engine_predict(engine):
+    """The device program a daemon batcher runs: the classifier for
+    headful engines, the features program for headless encoders (their
+    only route is /v1/embed)."""
+    if (
+        engine.hp.seq_len is None
+        and getattr(engine.hp, "num_classes", 1) == 0
+    ):
+        return engine.features_batch
+    return engine.predict_probs_batch
 
 
 def _shardable_buckets(engine, batch: int, buckets):
@@ -620,9 +659,11 @@ def create_server(
     light-load request hitting a cold bucket would otherwise pay a
     compile. On a mesh-sharded engine, bucket sizes are constrained to
     multiples of the data axis (anything else cannot be sharded); when
-    no smaller bucket qualifies, the batcher runs unbucketed."""
+    no smaller bucket qualifies, the batcher runs unbucketed. Headless
+    encoders (num_classes=0) serve /v1/embed only — their batcher wraps
+    the features program."""
     batcher = MicroBatcher(
-        engine.predict_probs_batch,
+        _engine_predict(engine),
         batch=batch,
         max_wait_ms=max_wait_ms,
         max_queue=max_queue,
@@ -674,7 +715,7 @@ def create_multi_server(
                 name,
                 engine,
                 MicroBatcher(
-                    engine.predict_probs_batch,
+                    _engine_predict(engine),
                     batch=b,
                     max_wait_ms=max_wait_ms,
                     max_queue=max_queue,

@@ -41,6 +41,9 @@ def _embed_np(state, hp, x, b, h):
         prefix.append(np.broadcast_to(f("cls_token").reshape(1, 1, h), (b, 1, h)))
     if "dist_token" in state:
         prefix.append(np.broadcast_to(f("dist_token").reshape(1, 1, h), (b, 1, h)))
+    if "reg_token" in state:  # DINOv2 registers: after CLS, before patches
+        reg = f("reg_token").reshape(1, -1, h)
+        prefix.append(np.broadcast_to(reg, (b, reg.shape[1], h)))
     pos = f("pos_embed").reshape(1, -1, h)
     if prefix and pos.shape[1] == x.shape[1]:  # no_embed_class layout
         x = np.concatenate(prefix + [x + pos], axis=1)
@@ -91,8 +94,10 @@ def forward_numpy(
         x = x + y
 
     if "fc_norm.weight" in state and hp.seq_len is None:
-        pooled = x[:, hp.num_prefix_tokens :].mean(axis=1)
+        pooled = x[:, hp.n_prefix :].mean(axis=1)
         pooled = _ln(pooled, f("fc_norm.weight"), f("fc_norm.bias"), hp.eps)
+        if "head.weight" not in state:  # headless encoder: features
+            return pooled
         return pooled @ f("head.weight").T + f("head.bias")
     if "head_dist.weight" in state and hp.seq_len is None:
         pooled = _ln(x[:, :2], f("norm.weight"), f("norm.bias"), hp.eps)
@@ -107,6 +112,8 @@ def forward_numpy(
     else:
         pooled = x[:, : hp.seq_len]
     pooled = _ln(pooled, f("norm.weight"), f("norm.bias"), hp.eps)
+    if "head.weight" not in state:  # headless encoder: features
+        return pooled
     return pooled @ f("head.weight").T + f("head.bias")
 
 

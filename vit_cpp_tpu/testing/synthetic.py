@@ -19,7 +19,7 @@ from vit_cpp_tpu.hparams import VitHParams
 # Reference converter dtype rule (convert-pth-to-ggml.py:141-148): at ftype=1
 # every tensor with ndim != 1 is f16 except pos_embed/cls_token (kept f32);
 # dist_token (our DeiT-distilled extension) follows the cls_token rule.
-_KEEP_F32 = ("pos_embed", "cls_token", "dist_token")
+_KEEP_F32 = ("pos_embed", "cls_token", "dist_token", "reg_token")
 
 
 def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
@@ -51,6 +51,8 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
     )
     if hp.num_prefix_tokens == 2:
         shapes["dist_token"] = (1, 1, h)
+    if hp.num_reg_tokens:
+        shapes["reg_token"] = (1, hp.num_reg_tokens, h)
     if hp.norm_pre:
         shapes["norm_pre.weight"] = (h,)
         shapes["norm_pre.bias"] = (h,)
@@ -73,14 +75,11 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
             }
         )
     norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
-    shapes.update(
-        {
-            norm_name + ".weight": (h,),
-            norm_name + ".bias": (h,),
-            "head.weight": (c, h),
-            "head.bias": (c,),
-        }
-    )
+    shapes[norm_name + ".weight"] = (h,)
+    shapes[norm_name + ".bias"] = (h,)
+    if c:  # headless encoders (num_classes=0) carry no classifier
+        shapes["head.weight"] = (c, h)
+        shapes["head.bias"] = (c,)
     if hp.num_prefix_tokens == 2:
         shapes["head_dist.weight"] = (c, h)
         shapes["head_dist.bias"] = (c,)
@@ -96,7 +95,7 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
             v = 1.0 + 0.02 * rng.standard_normal(shape)
         elif name.endswith(".bias"):
             v = 0.02 * rng.standard_normal(shape)
-        elif name in ("pos_embed", "cls_token", "dist_token"):
+        elif name in ("pos_embed", "cls_token", "dist_token", "reg_token"):
             v = 0.02 * rng.standard_normal(shape)
         else:
             fan_in = shape[-1] if len(shape) >= 2 else shape[0]
