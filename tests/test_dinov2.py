@@ -302,6 +302,29 @@ def test_invalid_combinations_rejected(tmp_path):
         load_params(read_model(str(p)))
 
 
+def test_quantize_headless_and_serve(tmp_path):
+    """vit-quantize on a headless register checkpoint (reg_token stays
+    f32 like cls_token; block weights quantize) -> W8A8 embedding serving
+    agrees with the f16 original."""
+    from vit_cpp_tpu.cli.quantize import main as quantize_main
+    from vit_cpp_tpu.engine import VitEngine
+
+    src = tmp_path / "enc.gguf"
+    write_synthetic_model(str(src), HP_HEADLESS, ftype=1, seed=24)
+    dst = tmp_path / "enc-q8.gguf"
+    assert quantize_main([str(src), str(dst), "8"]) == 0
+    x = _images(HP_HEADLESS, n=4)
+    ref = np.asarray(
+        VitEngine(str(src), verbose=False).features_batch(x)
+    )
+    q8 = VitEngine(
+        str(dst), mm_impl="int8", fold_ln=True, verbose=False
+    )
+    got = np.asarray(q8.features_batch(x))
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.99
+
+
 def test_convert_cli_dinov2(tmp_path):
     import torch
 
