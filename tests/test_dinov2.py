@@ -325,6 +325,75 @@ def test_quantize_headless_and_serve(tmp_path):
     assert cos > 0.99
 
 
+def test_aot_headless_artifact(tmp_path):
+    """vit-export on a headless encoder bakes the FEATURES program; the
+    artifact serves embeddings (engine + daemon) and refuses to classify."""
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+
+    p = tmp_path / "enc.gguf"
+    write_synthetic_model(str(p), HP_HEADLESS, ftype=1, seed=25)
+    live = VitEngine(str(p), verbose=False)
+    vitx = tmp_path / "enc.vitx"
+    meta = save_engine(live, str(vitx), batch=[2])
+    assert meta["program"] == "features"
+    aot = AotEngine(str(vitx))
+    assert aot.hp.num_classes == 0
+    x = _images(HP_HEADLESS, n=2)
+    np.testing.assert_allclose(
+        np.asarray(aot.features_batch(x)),
+        np.asarray(live.features_batch(x)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+    with pytest.raises(ValueError, match="headless encoder"):
+        aot.classify_file(str(tmp_path / "nope.png"))
+    # classifier artifacts refuse the features surface
+    cls_gguf = tmp_path / "cls.gguf"
+    write_synthetic_model(
+        str(cls_gguf),
+        dataclasses.replace(HP_REG_EMB, num_classes=8),
+        ftype=1,
+        seed=26,
+    )
+    cls_vitx = tmp_path / "cls.vitx"
+    save_engine(VitEngine(str(cls_gguf), verbose=False), str(cls_vitx), batch=[2])
+    with pytest.raises(ValueError, match="classifier program"):
+        AotEngine(str(cls_vitx)).features_batch(x)
+    # the daemon serves a headless artifact embed-only
+    import json
+    import threading
+    import urllib.request
+
+    httpd, batcher = create_server(aot, port=0, batch=2, max_wait_ms=1.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["model"] == "vit-encoder"
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(27).integers(
+                0, 255, (40, 40, 3), dtype=np.uint8
+            )
+        ).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"{base}/v1/embed", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["shape"] == [64]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
 def test_convert_cli_dinov2(tmp_path):
     import torch
 

@@ -67,15 +67,23 @@ def export_engine(engine, batch, platforms=None) -> bytes:
     import jax.numpy as jnp
     from jax import export as jex
 
-    from vit_cpp_tpu.models.vit import predict_probs
+    from vit_cpp_tpu.models.vit import forward, predict_probs
 
     params, hp = engine.params, engine.hp
     attn_impl, mm_impl = engine._attn_impl, engine._mm_impl
     precision = engine.matmul_precision
     mesh = getattr(engine, "mesh", None)
+    # headless encoders (num_classes=0) export the FEATURES program —
+    # their only serving surface is embeddings
+    headless = hp.seq_len is None and hp.num_classes == 0
 
     def serve_fn(images):
         with jax.default_matmul_precision(precision):
+            if headless:
+                return forward(
+                    params, images, hp, attn_impl=attn_impl,
+                    mm_impl=mm_impl, features=True,
+                )
             return predict_probs(
                 params, images, hp, attn_impl=attn_impl, mm_impl=mm_impl
             )
@@ -134,6 +142,11 @@ def export_engine(engine, batch, platforms=None) -> bytes:
         "platforms": exp_platforms,
         "attn_impl": attn_impl,
         "mm_impl": mm_impl,
+        # what the blobs compute: the classifier softmax, or the pooled
+        # features for headless encoders (readers predating this key
+        # never see it on classifier artifacts — it is only written
+        # non-default here for artifacts they could not serve anyway)
+        **({"program": "features"} if headless else {}),
     }
     if mm_impl == "int8":
         from vit_cpp_tpu.quant.int8 import params_have_static_scales
@@ -338,6 +351,17 @@ class AotEngine:
         stacked = jnp.broadcast_to(pixels[None], (b,) + pixels.shape)
         return np.asarray(self.predict_probs_batch(stacked)[0])
 
+    def features_batch(self, images):
+        """Embedding serving for headless-encoder artifacts (the exported
+        program IS the features program there)."""
+        if self.meta.get("program") != "features":
+            raise ValueError(
+                "this artifact exports the classifier program; embeddings "
+                "need a headless-encoder checkpoint (vit-export one, or "
+                "serve the gguf)"
+            )
+        return self.predict_probs_batch(images)
+
     def classify_file(self, path: str, topk: int = 5, verbose: bool = True):
         """[(class_id, prob, label)] — VitEngine.classify_file's surface;
         preprocessing is the canvas batch path (serving semantics), not
@@ -346,6 +370,12 @@ class AotEngine:
             raise ValueError(
                 "this artifact has a sequence head (ViTSTR); use the "
                 "vitstr CLI / recognize_file instead of the classifier"
+            )
+        if self.meta.get("program") == "features":
+            raise ValueError(
+                "this artifact is a headless encoder (features program) — "
+                "serve embeddings (vit-serve --embed / the daemon's "
+                "/v1/embed route)"
             )
         probs = self._predict_one(path, verbose)
         order = np.argsort(-probs, kind="stable")[:topk]

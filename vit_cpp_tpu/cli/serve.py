@@ -130,10 +130,21 @@ def main(argv=None) -> int:
         # size were baked at export; the program is single-chip by contract
         from vit_cpp_tpu.aot import AotEngine
 
-        if args.embed:
+        from vit_cpp_tpu.aot import read_meta
+
+        headless_aot = read_meta(args.model).get("program") == "features"
+        if args.embed and not headless_aot:
             print(
-                "--embed is not supported for .vitx artifacts (the exported "
-                "program is the classifier); serve the gguf instead",
+                "--embed is not supported for classifier .vitx artifacts "
+                "(the exported program is the classifier); serve the gguf "
+                "or export a headless-encoder artifact",
+                file=sys.stderr,
+            )
+            return 1
+        if headless_aot and not args.embed:
+            print(
+                "this artifact is a headless encoder (features program) — "
+                "use --embed OUT.npy",
                 file=sys.stderr,
             )
             return 1
@@ -171,6 +182,14 @@ def main(argv=None) -> int:
             "flags baked at export",
             file=sys.stderr,
         )
+        if headless_aot:  # --embed (validated above): features program
+            return _embed_loop(
+                aot,
+                paths,
+                out=args.embed,
+                batch=aot.batch,
+                decode_threads=args.decode_threads,
+            )
         return _serve_loop(
             aot,
             aot.hp.seq_len is not None,
