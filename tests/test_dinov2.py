@@ -285,6 +285,112 @@ def test_sharded_and_resampled_reg_model(tmp_path):
     assert out.shape == (2, 16) and np.isfinite(out).all()
 
 
+def test_corrupt_classifier_missing_head_fails_fast(tmp_path):
+    """A header that declares classes while the head tensors are missing
+    is corruption (headless files are written with num_classes=0) —
+    detect/load must raise, not silently serve embeddings (review r3)."""
+    from vit_cpp_tpu.engine import detect_hparams
+    from vit_cpp_tpu.gguf.reader import read_model
+    from vit_cpp_tpu.gguf.writer import write_model
+    from vit_cpp_tpu.models.params import load_params
+    from vit_cpp_tpu.testing.synthetic import state_dict_records
+
+    hp = dataclasses.replace(HP_REG_EMB, num_classes=10)
+    state = random_state_dict(hp, seed=28)
+    state.pop("head.weight")
+    state.pop("head.bias")
+    p = tmp_path / "trunc.gguf"
+    write_model(str(p), hp, {}, state_dict_records(state, 0), 0)
+    mf = read_model(str(p))
+    with pytest.raises(ValueError, match="head.weight is missing"):
+        detect_hparams(mf)
+    with pytest.raises(ValueError, match="head.weight is missing"):
+        load_params(mf)
+
+
+def test_classifier_artifact_has_no_embed_route(tmp_path):
+    """A classifier .vitx has no features program: the daemon must not
+    register /v1/embed for it (404, not a per-request 500) — review r3:
+    AotEngine.features_batch is a guard method, so hasattr alone is not
+    capability."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.server import create_server
+
+    hp = dataclasses.replace(HP_REG_EMB, num_classes=8)
+    p = tmp_path / "cls.gguf"
+    write_synthetic_model(str(p), hp, ftype=1, seed=29)
+    vitx = tmp_path / "cls.vitx"
+    save_engine(VitEngine(str(p), verbose=False), str(vitx), batch=[2])
+    aot = AotEngine(str(vitx))
+    # generic probability surface refuses nothing here (classifier), but
+    # a features artifact refuses IT (tested in test_aot_headless_artifact)
+    httpd, batcher = create_server(aot, port=0, batch=2, max_wait_ms=1.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/v1/embed", data=b"x", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
+def test_headless_artifact_probs_surface_rejected(tmp_path):
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    p = tmp_path / "enc.gguf"
+    write_synthetic_model(str(p), HP_HEADLESS, ftype=1, seed=30)
+    vitx = tmp_path / "enc.vitx"
+    save_engine(VitEngine(str(p), verbose=False), str(vitx), batch=[2])
+    aot = AotEngine(str(vitx))
+    with pytest.raises(ValueError, match="features program"):
+        aot.predict_probs_batch(_images(HP_HEADLESS, n=2))
+
+
+def test_ambiguous_pos_layout_needs_flag():
+    """prefix 5 (CLS + 4 registers) on a 9-row pos_embed reads as BOTH a
+    2x2 embedded grid and a bare 3x3 grid — the converter must demand
+    --pos-layout instead of guessing (review r3)."""
+    from vit_cpp_tpu.cli.convert import infer_hparams
+
+    # 3x3 grid, patch 8 -> img 24; embedded reading would say img 16
+    hp = dataclasses.replace(
+        HP_REG, img_size=24, no_embed_class=True
+    )
+    state = random_state_dict(hp, seed=31)
+    assert state["pos_embed"].shape[1] == 9
+    with pytest.raises(ValueError, match="ambiguous"):
+        infer_hparams(state, heads=4)
+    got = infer_hparams(state, heads=4, pos_layout="grid")
+    assert got.img_size == 24 and got.no_embed_class
+    got2 = infer_hparams(state, heads=4, pos_layout="embedded")
+    assert got2.img_size == 16 and not got2.no_embed_class
+
+
+def test_convert_rejects_reg_plus_dist():
+    from vit_cpp_tpu.cli.convert import infer_hparams
+
+    hp = dataclasses.replace(
+        HP_REG_EMB, num_prefix_tokens=2, num_reg_tokens=2
+    )
+    state = random_state_dict(hp, seed=32)
+    with pytest.raises(ValueError, match="not a timm configuration"):
+        infer_hparams(state, heads=4)
+
+
 def test_invalid_combinations_rejected(tmp_path):
     from vit_cpp_tpu.gguf.reader import read_model
     from vit_cpp_tpu.gguf.writer import write_model

@@ -309,6 +309,17 @@ class AotEngine:
         )[0]
 
     def predict_probs_batch(self, images):
+        if self.meta.get("program") == "features":
+            # the blobs compute pooled features — returning them under a
+            # probability-named surface would feed nonsense to generic
+            # serving code (review r3); features_batch is the entry point
+            raise ValueError(
+                "this artifact is a headless encoder (features program) — "
+                "call features_batch / serve embeddings"
+            )
+        return self._run_batch(images)
+
+    def _run_batch(self, images):
         import jax.numpy as jnp
 
         prog = self._programs.get(int(images.shape[0]))
@@ -360,7 +371,7 @@ class AotEngine:
                 "need a headless-encoder checkpoint (vit-export one, or "
                 "serve the gguf)"
             )
-        return self.predict_probs_batch(images)
+        return self._run_batch(images)
 
     def classify_file(self, path: str, topk: int = 5, verbose: bool = True):
         """[(class_id, prob, label)] — VitEngine.classify_file's surface;

@@ -72,7 +72,9 @@ def serialize_state_dict(
 
 
 def infer_hparams(
-    state: Dict[str, np.ndarray], heads: int | None = None
+    state: Dict[str, np.ndarray],
+    heads: int | None = None,
+    pos_layout: str | None = None,
 ) -> VitHParams:
     """Derive hparams from tensor shapes (the file format stores them, the
     state dict does not)."""
@@ -107,21 +109,51 @@ def infer_hparams(
         if "reg_token" in state
         else 0
     )
-    # pos_embed rows = grid + prefix, or grid alone for timm
-    # no_embed_class models (prefix concatenated after the positional
-    # add). Squares never differ by a small prefix above 1, so this is
-    # unambiguous.
+    # pos_embed rows = grid + prefix (embedded layout), or grid alone for
+    # timm no_embed_class models (prefix concatenated after the positional
+    # add). For prefixes 1-2 this is unambiguous (squares never differ by
+    # 1 or 2 above 1); register prefixes can make BOTH readings square
+    # (e.g. 9 rows with prefix 5: 2x2+5 or a bare 3x3) — then the caller
+    # must disambiguate with --pos-layout (review r3).
     total_prefix = n_prefix + n_reg
-    side = int(math.isqrt(n_tokens - total_prefix))
-    no_embed_class = False
-    if side * side != n_tokens - total_prefix:
-        side = int(math.isqrt(n_tokens))
-        no_embed_class = total_prefix > 0 and side * side == n_tokens
-        if not no_embed_class:
+    emb_side = int(math.isqrt(n_tokens - total_prefix))
+    emb_ok = emb_side * emb_side == n_tokens - total_prefix
+    grid_side = int(math.isqrt(n_tokens))
+    grid_ok = total_prefix > 0 and grid_side * grid_side == n_tokens
+    if pos_layout == "embedded":
+        if not emb_ok:
             raise ValueError(
-                f"pos_embed token count {n_tokens} is not grid+"
-                f"{total_prefix} prefix (nor a bare grid)"
+                f"--pos-layout embedded: pos_embed token count {n_tokens} "
+                f"is not a square grid + {total_prefix} prefix"
             )
+        grid_ok = False
+    elif pos_layout == "grid":
+        if not grid_ok:
+            raise ValueError(
+                f"--pos-layout grid: pos_embed token count {n_tokens} is "
+                "not a bare square grid (or there is no prefix to defer)"
+            )
+        emb_ok = False
+    elif pos_layout is not None:
+        raise ValueError(
+            f"pos_layout must be embedded|grid, got {pos_layout!r}"
+        )
+    elif emb_ok and grid_ok:
+        raise ValueError(
+            f"pos_embed layout is ambiguous: {n_tokens} rows read as both "
+            f"a {emb_side}x{emb_side} grid + {total_prefix} embedded "
+            f"prefix and a bare {grid_side}x{grid_side} grid "
+            "(no_embed_class) — pass --pos-layout embedded|grid"
+        )
+    if emb_ok:
+        side, no_embed_class = emb_side, False
+    elif grid_ok:
+        side, no_embed_class = grid_side, True
+    else:
+        raise ValueError(
+            f"pos_embed token count {n_tokens} is not grid+"
+            f"{total_prefix} prefix (nor a bare grid)"
+        )
     layer_ids = [
         int(m.group(1))
         for m in (re.match(r"blocks\.(\d+)\.", k) for k in state)
@@ -148,6 +180,12 @@ def infer_hparams(
     if "dist_token" in state and "head_dist.weight" not in state:
         raise ValueError(
             "distilled checkpoint has dist_token but no head_dist.weight"
+        )
+    if "reg_token" in state and "dist_token" in state:
+        # load_params rejects such files; refuse to WRITE one
+        raise ValueError(
+            "reg_token + dist_token is not a timm configuration "
+            "(registers pair with plain or avg-pool ViTs)"
         )
     if n_prefix == 0 and "fc_norm.weight" not in state:
         raise ValueError(
@@ -243,6 +281,7 @@ def convert(
     vitstr: bool = False,
     real_gguf: bool = False,
     drop_norm_pre: bool = False,
+    pos_layout: str | None = None,
     verbose: bool = True,
 ) -> str:
     timm_model = None
@@ -272,7 +311,7 @@ def convert(
         state = {
             k: v for k, v in state.items() if not k.startswith("norm_pre")
         }
-    hp = infer_hparams(state, heads=heads)
+    hp = infer_hparams(state, heads=heads, pos_layout=pos_layout)
 
     if vitstr or hp.in_chans == 1:
         from vit_cpp_tpu.models.vitstr import vitstr_id2label
@@ -343,6 +382,12 @@ def main(argv=None) -> int:
         "(byte-parity mode; default is to write and serve them)",
     )
     ap.add_argument(
+        "--pos-layout", choices=["embedded", "grid"], default=None,
+        help="disambiguate the pos_embed layout when register prefixes "
+        "make both readings square: 'embedded' = rows cover prefix+grid, "
+        "'grid' = rows cover the patch grid only (timm no_embed_class)",
+    )
+    ap.add_argument(
         "--list",
         action="store_true",
         help="List some examples of the supported model names.",
@@ -361,6 +406,7 @@ def main(argv=None) -> int:
             vitstr=args.vitstr,
             real_gguf=args.gguf,
             drop_norm_pre=args.drop_norm_pre,
+            pos_layout=args.pos_layout,
         )
     except ValueError as e:  # validation errors get a message, not a trace
         print(f"vit-convert: {e}", file=sys.stderr)

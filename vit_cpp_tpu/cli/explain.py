@@ -58,7 +58,7 @@ def main(argv=None) -> int:
         top, grid = engine.explain_file(
             args.inp, topk=args.topk, head_fuse=args.fuse
         )
-        if not top:
+        if engine.hp.num_classes == 0:
             print(
                 "vit-explain: headless encoder — rollout only (no "
                 "classifier to print)",

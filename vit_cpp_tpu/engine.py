@@ -61,8 +61,14 @@ def detect_hparams(mf) -> VitHParams:
         n_reg = int(np.prod(reg.shape)) // hp.hidden_size
         hp = dataclasses.replace(hp, num_reg_tokens=n_reg)
     if "head.weight" not in mf.tensors and hp.num_classes:
-        # headless encoder (MAE/DINO pretrained): embeddings only
-        hp = dataclasses.replace(hp, num_classes=0)
+        # headless files are written with num_classes=0 (converter /
+        # save_params); classes-in-header with no head tensor is a
+        # truncated or mis-converted checkpoint — fail fast (review r3)
+        raise ValueError(
+            f"header declares {hp.num_classes} classes but head.weight "
+            "is missing — truncated or mis-converted checkpoint "
+            "(headless encoders are written with num_classes=0)"
+        )
     if "fc_norm.weight" in mf.tensors and hp.global_pool != "avg":
         hp = dataclasses.replace(hp, global_pool="avg")
     pos = mf.tensors.get("pos_embed")

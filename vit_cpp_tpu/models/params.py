@@ -131,8 +131,15 @@ def load_params(
         n_reg = int(np.prod(reg.shape)) // h
         hp = dataclasses.replace(hp, num_reg_tokens=n_reg)
     if "head.weight" not in mf.tensors and hp.num_classes:
-        # headless encoder (MAE/DINO pretrained): embeddings only
-        hp = dataclasses.replace(hp, num_classes=0)
+        # genuinely headless files are WRITTEN with num_classes=0 in the
+        # header (converter/save_params); a header that declares classes
+        # while the head tensors are missing is corruption — fail fast
+        # instead of silently serving embeddings (review r3)
+        raise ValueError(
+            f"header declares {hp.num_classes} classes but head.weight "
+            "is missing — truncated or mis-converted checkpoint "
+            "(headless encoders are written with num_classes=0)"
+        )
     if "fc_norm.weight" in mf.tensors:
         if "norm.weight" in mf.tensors:
             raise ValueError(

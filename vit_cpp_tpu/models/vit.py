@@ -390,6 +390,9 @@ def forward_debug(
         pooled = layernorm(
             pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
         )
+        if "head" not in params:  # headless encoder: stop at the features
+            acts["pooled"] = pooled
+            return acts
         logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"])
     acts["pooled"] = pooled
     acts["logits"] = logits

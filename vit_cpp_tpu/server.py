@@ -20,13 +20,15 @@ Endpoints (single model, create_server):
   POST /v1/classify[?topk=K]  -> {"topk": [{"id", "label", "prob"}, ...]}
   POST /v1/recognize          -> {"text", "confidence"}   (ViTSTR models)
   POST /v1/embed              -> {"shape": [...], "embedding": [floats]}
-                                 (final-LN pooled features; live engines
-                                 only — an AotEngine exports one fixed
-                                 program, which is the classifier. Rides
-                                 its own unwarmed MicroBatcher: same
-                                 --max-queue/timeout semantics as
+                                 (final-LN pooled features. Live engines
+                                 ride an unwarmed companion MicroBatcher:
+                                 same --max-queue/timeout semantics as
                                  classify, first request pays the
-                                 features-program compile)
+                                 features-program compile. Headless
+                                 engines/artifacts serve /v1/embed as
+                                 their ONLY route through the warmed main
+                                 batcher; classifier .vitx artifacts have
+                                 no features program and no embed route)
 
 Multi-model (create_multi_server, `vit-server -m name=path` repeated):
 each model gets its own MicroBatcher and POST routes
@@ -266,16 +268,20 @@ class _Model:
         # headless encoder (num_classes=0, e.g. MAE/DINO pretrained): the
         # MAIN batcher wraps features_batch (create_server) and /v1/embed
         # is the only route — no classify program exists to compile
-        self.is_headless = (
-            engine.hp.seq_len is None
-            and getattr(engine.hp, "num_classes", 1) == 0
-        )
+        self.is_headless = _is_headless(engine)
         # Embeddings ride their OWN batcher so they share the admission
         # bound / request timeout / single-compile serialization with
         # classify — but it is NOT warmed up: the features program only
         # compiles if the route is ever hit (first /v1/embed pays it).
+        # Classifier .vitx artifacts have NO features program (AotEngine
+        # carries a guard method, so hasattr alone is not capability —
+        # review r3): their embed route must 404, not 500 per request.
         self.embed_batcher: Optional[MicroBatcher] = None
-        if not self.is_headless and hasattr(engine, "features_batch"):
+        aot_meta = getattr(engine, "meta", None)
+        can_embed = hasattr(engine, "features_batch") and (
+            aot_meta is None or aot_meta.get("program") == "features"
+        )
+        if not self.is_headless and can_embed:
             # deliberately NOT bucketed: the features program is lazy (only
             # compiles if /v1/embed is ever hit), so bucketing would turn
             # that one cold compile into one per bucket mid-traffic —
@@ -573,14 +579,21 @@ def _make_handler(routes, single, timeout_s, max_body_bytes):
     return Handler
 
 
+def _is_headless(engine) -> bool:
+    """Headless encoder (num_classes=0, no sequence head): serves
+    embeddings only. One predicate for routing (_Model) AND program
+    choice (_engine_predict) so the two can never drift."""
+    return (
+        engine.hp.seq_len is None
+        and getattr(engine.hp, "num_classes", 1) == 0
+    )
+
+
 def _engine_predict(engine):
     """The device program a daemon batcher runs: the classifier for
     headful engines, the features program for headless encoders (their
     only route is /v1/embed)."""
-    if (
-        engine.hp.seq_len is None
-        and getattr(engine.hp, "num_classes", 1) == 0
-    ):
+    if _is_headless(engine):
         return engine.features_batch
     return engine.predict_probs_batch
 

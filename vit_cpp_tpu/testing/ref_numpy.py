@@ -161,9 +161,11 @@ def forward_numpy_debug(
         acts[f"block_{i}"] = x
 
     if "fc_norm.weight" in state and hp.seq_len is None:
-        pooled = x[:, hp.num_prefix_tokens :].mean(axis=1)
+        pooled = x[:, hp.n_prefix :].mean(axis=1)
         pooled = _ln(pooled, f("fc_norm.weight"), f("fc_norm.bias"), hp.eps)
         acts["pooled"] = pooled
+        if "head.weight" not in state:  # headless: features are the output
+            return acts
         acts["logits"] = pooled @ f("head.weight").T + f("head.bias")
     elif "head_dist.weight" in state and hp.seq_len is None:
         pooled = _ln(x[:, :2], f("norm.weight"), f("norm.bias"), hp.eps)
@@ -178,6 +180,8 @@ def forward_numpy_debug(
         pooled = x[:, 0] if hp.seq_len is None else x[:, : hp.seq_len]
         pooled = _ln(pooled, f("norm.weight"), f("norm.bias"), hp.eps)
         acts["pooled"] = pooled
+        if "head.weight" not in state:  # headless CLS-pool encoder
+            return acts
         acts["logits"] = pooled @ f("head.weight").T + f("head.bias")
     acts["probs"] = _softmax(acts["logits"])
     return acts
