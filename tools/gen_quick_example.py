@@ -53,7 +53,13 @@ def main() -> int:
         rs = _run_cli(
             "vit_cpp_tpu.cli.vitstr", smodel, "assets/vitstr/demo_1.png", []
         )
-    for rr in (r, rs):
+        re_ = _run_cli(
+            "vit_cpp_tpu.cli.explain",
+            model,
+            "assets/magpie.jpeg",
+            ["-o", os.path.join(d, "heat.png")],
+        )
+    for rr in (r, rs, re_):
         if rr.returncode != 0:
             sys.stderr.write(rr.stderr)
             return 1
@@ -63,6 +69,8 @@ def main() -> int:
     stderr = r.stderr.replace(d, "<tmp>")
     s_stdout = rs.stdout.replace(d, "<tmp>")
     s_stderr = rs.stderr.replace(d, "<tmp>")
+    e_stdout = re_.stdout.replace(d, "<tmp>")
+    e_stderr = re_.stderr.replace(d, "<tmp>")
     display_cmd = (
         "python -m vit_cpp_tpu.cli.vit -m vit-tiny-quick.gguf "
         "-i assets/magpie.jpeg -k 5"
@@ -102,7 +110,17 @@ def main() -> int:
             "vitstr-tiny-quick.gguf -i assets/vitstr/demo_1.png\n"
             "```\n\nstdout (deterministic, asserted by test):\n\n"
             "```text\n" + s_stdout + "```\n\nstderr:\n\n```text\n"
-            + s_stderr + "```\n"
+            + s_stderr + "```\n\n"
+            "## Attention rollout (committed transcript)\n\n"
+            "`vit-explain` on the same quick-example checkpoint: top-5 "
+            "plus the rollout saliency heatmap (Abnar & Zuidema 2020; "
+            "models/attention_maps.py). No reference equivalent — its "
+            "graph emits logits only:\n\n"
+            "```console\n$ python -m vit_cpp_tpu.cli.explain -m "
+            "vit-tiny-quick.gguf -i assets/magpie.jpeg -o heat.png\n"
+            "```\n\nstdout (deterministic, asserted by test):\n\n"
+            "```text\n" + e_stdout + "```\n\nstderr:\n\n```text\n"
+            + e_stderr + "```\n"
         )
     print(f"wrote {out}")
     return 0
