@@ -304,8 +304,12 @@ class AotEngine:
             from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
 
             return preprocess_grayscale_batch([img_u8], self.hp.img_size)[0]
+        from vit_cpp_tpu.ops.preprocess import norm_constants
+
+        mean, std = norm_constants(getattr(self.hp, "pixel_norm", "imagenet"))
         return preprocess_batch(
-            [img_u8], self.hp.img_size, mode=self.hp.interpolation
+            [img_u8], self.hp.img_size, mode=self.hp.interpolation,
+            mean=mean, std=std,
         )[0]
 
     def predict_probs_batch(self, images):

@@ -54,7 +54,7 @@ from vit_cpp_tpu.hparams import VitHParams
 # README.md model table).
 _DEFAULT_HEADS = {192: 3, 384: 6, 768: 12, 1024: 16, 1280: 16, 1408: 16}
 
-_KEEP_F32 = ("pos_embed", "cls_token", "dist_token", "reg_token")
+_KEEP_F32 = ("pos_embed", "cls_token", "dist_token", "reg_token", "attn_pool.probe")
 
 
 def serialize_state_dict(
@@ -187,7 +187,8 @@ def infer_hparams(
             "reg_token + dist_token is not a timm configuration "
             "(registers pair with plain or avg-pool ViTs)"
         )
-    if n_prefix == 0 and "fc_norm.weight" not in state:
+    has_map = "attn_pool.probe" in state
+    if n_prefix == 0 and "fc_norm.weight" not in state and not has_map:
         raise ValueError(
             "checkpoint has no cls_token and no fc_norm — nothing to pool"
         )
@@ -202,10 +203,76 @@ def infer_hparams(
         mlp_hidden=mlp_hidden,
         num_prefix_tokens=n_prefix,
         norm_pre="norm_pre.weight" in state,
-        global_pool="avg" if "fc_norm.weight" in state else "token",
+        global_pool=(
+            "map"
+            if has_map
+            else ("avg" if "fc_norm.weight" in state else "token")
+        ),
         no_embed_class=no_embed_class,
         num_reg_tokens=n_reg,
+        pixel_norm="unit" if has_map else "imagenet",
     )
+
+
+def remap_hf_siglip(state: Dict[str, np.ndarray]):
+    """HF SiglipVisionModel/SiglipModel state dict -> this schema, or
+    None when the dict is not SigLIP-shaped.
+
+    Maps the vision tower: conv patch embedding, per-token position
+    embedding (no CLS), pre-LN encoder layers with separate q/k/v
+    projections (packed into the fused qkv layout), post_layernorm into
+    the final-norm slot, and the attention-pooling head
+    (SiglipMultiheadAttentionPoolingHead: probe, packed in_proj,
+    out_proj, LN, MLP) into attn_pool.* — global_pool='map'. Text-tower
+    tensors of a full SiglipModel are ignored. The MLP activation is
+    gelu_pytorch_tanh (the SigLIP default and this engine's gelu);
+    verified against transformers in tests/test_siglip.py."""
+    pfx = "vision_model."
+    if pfx + "embeddings.patch_embedding.weight" not in state:
+        return None
+    g = lambda k: np.asarray(state[pfx + k], dtype=np.float32)  # noqa: E731
+    out: Dict[str, np.ndarray] = {
+        "patch_embed.proj.weight": g("embeddings.patch_embedding.weight"),
+        "patch_embed.proj.bias": g("embeddings.patch_embedding.bias"),
+        "pos_embed": g("embeddings.position_embedding.weight")[None],
+        "norm.weight": g("post_layernorm.weight"),
+        "norm.bias": g("post_layernorm.bias"),
+    }
+    i = 0
+    while pfx + f"encoder.layers.{i}.layer_norm1.weight" in state:
+        p, q = f"encoder.layers.{i}.", f"blocks.{i}."
+        out[q + "norm1.weight"] = g(p + "layer_norm1.weight")
+        out[q + "norm1.bias"] = g(p + "layer_norm1.bias")
+        out[q + "attn.qkv.weight"] = np.concatenate(
+            [g(p + f"self_attn.{n}_proj.weight") for n in ("q", "k", "v")], 0
+        )
+        out[q + "attn.qkv.bias"] = np.concatenate(
+            [g(p + f"self_attn.{n}_proj.bias") for n in ("q", "k", "v")], 0
+        )
+        out[q + "attn.proj.weight"] = g(p + "self_attn.out_proj.weight")
+        out[q + "attn.proj.bias"] = g(p + "self_attn.out_proj.bias")
+        out[q + "norm2.weight"] = g(p + "layer_norm2.weight")
+        out[q + "norm2.bias"] = g(p + "layer_norm2.bias")
+        out[q + "mlp.fc1.weight"] = g(p + "mlp.fc1.weight")
+        out[q + "mlp.fc1.bias"] = g(p + "mlp.fc1.bias")
+        out[q + "mlp.fc2.weight"] = g(p + "mlp.fc2.weight")
+        out[q + "mlp.fc2.bias"] = g(p + "mlp.fc2.bias")
+        i += 1
+    if i == 0:
+        raise ValueError("SigLIP checkpoint has no encoder layers")
+    if pfx + "head.probe" in state:
+        out["attn_pool.probe"] = g("head.probe")
+        out["attn_pool.qkv.weight"] = g("head.attention.in_proj_weight")
+        out["attn_pool.qkv.bias"] = g("head.attention.in_proj_bias")
+        out["attn_pool.proj.weight"] = g("head.attention.out_proj.weight")
+        out["attn_pool.proj.bias"] = g("head.attention.out_proj.bias")
+        out["attn_pool.norm.weight"] = g("head.layernorm.weight")
+        out["attn_pool.norm.bias"] = g("head.layernorm.bias")
+        out["attn_pool.mlp.fc1.weight"] = g("head.mlp.fc1.weight")
+        out["attn_pool.mlp.fc1.bias"] = g("head.mlp.fc1.bias")
+        out["attn_pool.mlp.fc2.weight"] = g("head.mlp.fc2.weight")
+        out["attn_pool.mlp.fc2.bias"] = g("head.mlp.fc2.bias")
+    return out
 
 
 def normalize_state_dict(raw: Dict[str, "np.ndarray"]) -> Dict[str, np.ndarray]:
@@ -303,6 +370,14 @@ def convert(
     else:
         raise ValueError("either model_name or --checkpoint is required")
 
+    sig = remap_hf_siglip(state)
+    if sig is not None:
+        if verbose:
+            print(
+                "detected HF SigLIP vision tower: remapping "
+                f"{len(sig)} tensors (text-tower tensors ignored)"
+            )
+        state = sig
     if vitstr:
         state = collapse_to_grayscale(state)
     if drop_norm_pre:

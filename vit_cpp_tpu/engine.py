@@ -71,6 +71,9 @@ def detect_hparams(mf) -> VitHParams:
         )
     if "fc_norm.weight" in mf.tensors and hp.global_pool != "avg":
         hp = dataclasses.replace(hp, global_pool="avg")
+    if "attn_pool.probe" in mf.tensors and hp.global_pool != "map":
+        # SigLIP family: attention pooling + [-1,1] pixel normalization
+        hp = dataclasses.replace(hp, global_pool="map", pixel_norm="unit")
     pos = mf.tensors.get("pos_embed")
     if pos is not None and hp.n_prefix and not hp.no_embed_class:
         n_rows = int(np.prod(pos.shape)) // hp.hidden_size
@@ -212,7 +215,13 @@ class VitEngine:
     # -- single image, reference-parity path ---------------------------------
 
     def preprocess_image(self, img_u8: np.ndarray) -> jax.Array:
-        return preprocess(img_u8, self.hp.img_size, mode=self.hp.interpolation)
+        from vit_cpp_tpu.ops.preprocess import norm_constants
+
+        mean, std = norm_constants(self.hp.pixel_norm)
+        return preprocess(
+            img_u8, self.hp.img_size, mode=self.hp.interpolation,
+            mean=mean, std=std,
+        )
 
     def _print_preprocess_scale(self, img_u8: np.ndarray) -> None:
         """Reference console parity: the resampler's scale report —

@@ -199,8 +199,13 @@ def _preprocess_chunk(paths, hp, decode_threads: int) -> np.ndarray:
         return np.asarray(preprocess_grayscale_batch(imgs, hp.img_size))
     from vit_cpp_tpu.ops.preprocess import preprocess_batch
 
+    from vit_cpp_tpu.ops.preprocess import norm_constants
+
+    mean, std = norm_constants(hp.pixel_norm)
     return np.asarray(
-        preprocess_batch(imgs, hp.img_size, mode=hp.interpolation)
+        preprocess_batch(
+            imgs, hp.img_size, mode=hp.interpolation, mean=mean, std=std
+        )
     )
 
 

@@ -65,11 +65,21 @@ class VitHParams:
     # - num_classes=0: headless encoder (no head.weight — MAE/DINO
     #   pretrained checkpoints): serves embeddings only; fine-tuning
     #   attaches a fresh head.
+    # - global_pool="map": SigLIP-style attention pooling — the final
+    #   norm applies to ALL tokens, then a learned probe cross-attends
+    #   over them (attn_pool.* tensors: probe, packed qkv, proj, norm,
+    #   mlp — HF SiglipMultiheadAttentionPoolingHead semantics, verified
+    #   against transformers). CLS-less; usually headless (the pooled
+    #   vector IS the embedding); fine-tuning attaches a head on it.
+    # - pixel_norm="unit": preprocess normalizes to [-1, 1] instead of
+    #   ImageNet mean/std (SigLIP's processor; set for map-pooled models
+    #   at detect/infer time — ops/preprocess.norm_constants).
     num_prefix_tokens: int = 1
     norm_pre: bool = False
     global_pool: str = "token"
     no_embed_class: bool = False
     num_reg_tokens: int = 0
+    pixel_norm: str = "imagenet"
 
     @property
     def n_patches_side(self) -> int:
@@ -128,4 +138,6 @@ class VitHParams:
             n += 1  # one (R, h) reg_token tensor
         if self.num_classes == 0:
             n -= 2  # headless encoder: no head.weight/head.bias
+        if self.global_pool == "map":
+            n += 11  # attn_pool: probe, qkv/proj (w+b), norm, mlp fc1/fc2
         return n

@@ -96,13 +96,23 @@ def head_logits(
                 params["head_dist"]["bias"],
             )
         )
-    if hp.global_pool == "avg":
+    if hp.global_pool == "map":
+        from vit_cpp_tpu.models.vit import attention_pool
+
+        y = layernorm(
+            final, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
+        pooled = attention_pool(params["attn_pool"], y, hp)
+    elif hp.global_pool == "avg":
         pooled = jnp.mean(final[:, hp.n_prefix :], axis=1)
+        pooled = layernorm(
+            pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
     else:
         pooled = final[:, 0]
-    pooled = layernorm(
-        pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
-    )
+        pooled = layernorm(
+            pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
     if "head" not in params:  # headless encoder: no logits to derive
         raise ValueError(
             "checkpoint is a headless encoder — no classifier to explain; "

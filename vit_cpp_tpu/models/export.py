@@ -77,6 +77,19 @@ def params_to_state_dict(
     if "head_dist" in params:
         out["head_dist.weight"] = _kernel_to_torch(params["head_dist"]["kernel"])
         out["head_dist.bias"] = _np(params["head_dist"]["bias"])
+    if "attn_pool" in params:  # SigLIP attention-pooling head
+        ap = params["attn_pool"]
+        out["attn_pool.probe"] = _np(ap["probe"]).reshape(1, 1, h)
+        out["attn_pool.qkv.weight"] = _kernel_to_torch(ap["qkv"]["kernel"])
+        out["attn_pool.qkv.bias"] = _np(ap["qkv"]["bias"])
+        out["attn_pool.proj.weight"] = _kernel_to_torch(ap["proj"]["kernel"])
+        out["attn_pool.proj.bias"] = _np(ap["proj"]["bias"])
+        out["attn_pool.norm.weight"] = _np(ap["norm"]["scale"])
+        out["attn_pool.norm.bias"] = _np(ap["norm"]["bias"])
+        out["attn_pool.mlp.fc1.weight"] = _kernel_to_torch(ap["fc1"]["kernel"])
+        out["attn_pool.mlp.fc1.bias"] = _np(ap["fc1"]["bias"])
+        out["attn_pool.mlp.fc2.weight"] = _kernel_to_torch(ap["fc2"]["kernel"])
+        out["attn_pool.mlp.fc2.bias"] = _np(ap["fc2"]["bias"])
     blocks = params["blocks"]
 
     def layer(tree, i):

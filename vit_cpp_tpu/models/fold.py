@@ -87,7 +87,9 @@ def fold_layernorms(
     # The final norm feeds every classifier reading the pooled tokens:
     # the CLS head, and for DeiT-distilled pytrees also head_dist (both
     # consume the same LN output, models/vit.py forward).
-    if "head" in params:
+    if "head" in params and "attn_pool" not in params:
+        # (map-pooled models' final norm feeds the attention pool's kv —
+        # not the head — so it cannot fold even when a head exists)
         for hk in (
             ("head", "head_dist") if "head_dist" in params else ("head",)
         ):

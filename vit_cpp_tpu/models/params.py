@@ -148,6 +148,10 @@ def load_params(
             )
         if hp.global_pool != "avg":
             hp = dataclasses.replace(hp, global_pool="avg")
+    if "attn_pool.probe" in mf.tensors and hp.global_pool != "map":
+        # SigLIP family: attention pooling (hparams.py global_pool) +
+        # [-1,1] pixel normalization at preprocess
+        hp = dataclasses.replace(hp, global_pool="map", pixel_norm="unit")
     pos = mf.tensors.get("pos_embed")
     if pos is not None and hp.n_prefix and not hp.no_embed_class:
         n_rows = int(np.prod(pos.shape)) // h
@@ -170,9 +174,19 @@ def load_params(
             "distilled checkpoints are token-pooled; fc_norm + dist_token "
             "is not a timm configuration"
         )
-    if hp.num_prefix_tokens == 0 and hp.global_pool != "avg":
+    if hp.num_prefix_tokens == 0 and hp.global_pool not in ("avg", "map"):
         raise ValueError(
             "checkpoint has no cls_token and no fc_norm — nothing to pool"
+        )
+    if hp.global_pool == "map" and hp.seq_len is not None:
+        raise ValueError(
+            "attention-pooled checkpoints (attn_pool) cannot carry a "
+            "ViTSTR sequence head — the probe collapses the token axis"
+        )
+    if hp.global_pool == "map" and hp.num_prefix_tokens == 2:
+        raise ValueError(
+            "distilled checkpoints are token-pooled; attn_pool + "
+            "dist_token is not a supported configuration"
         )
     if hp.num_reg_tokens and hp.num_prefix_tokens == 2:
         raise ValueError(
@@ -268,6 +282,34 @@ def load_params(
         "scale": rs.dense(norm_name + ".weight", (h,)),
         "bias": rs.dense(norm_name + ".bias", (h,)),
     }
+    if hp.global_pool == "map":
+        # SigLIP attention-pooling head (attention_pool, models/vit.py):
+        # probe + packed qkv + out-proj + residual MLP; kernels load like
+        # block kernels so quantized files serve through the same leaves
+        m = hp.mlp_dim
+        params["attn_pool"] = {
+            "probe": rs.dense("attn_pool.probe", (h,)),
+            "qkv": {
+                "kernel": rs.kernel("attn_pool.qkv.weight", 3 * h, h),
+                "bias": rs.dense("attn_pool.qkv.bias", (3 * h,)),
+            },
+            "proj": {
+                "kernel": rs.kernel("attn_pool.proj.weight", h, h),
+                "bias": rs.dense("attn_pool.proj.bias", (h,)),
+            },
+            "norm": {
+                "scale": rs.dense("attn_pool.norm.weight", (h,)),
+                "bias": rs.dense("attn_pool.norm.bias", (h,)),
+            },
+            "fc1": {
+                "kernel": rs.kernel("attn_pool.mlp.fc1.weight", m, h),
+                "bias": rs.dense("attn_pool.mlp.fc1.bias", (m,)),
+            },
+            "fc2": {
+                "kernel": rs.kernel("attn_pool.mlp.fc2.weight", h, m),
+                "bias": rs.dense("attn_pool.mlp.fc2.bias", (h,)),
+            },
+        }
     if hp.num_classes:
         params["head"] = {
             "kernel": rs.kernel("head.weight", hp.num_classes, h),

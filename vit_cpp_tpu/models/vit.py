@@ -174,6 +174,39 @@ def transformer_block(
     return x + y
 
 
+def attention_pool(
+    ap: Dict[str, Any], x: jax.Array, hp: VitHParams, mm_impl: str = "xla"
+) -> jax.Array:
+    """SigLIP-style attention pooling (HF
+    SiglipMultiheadAttentionPoolingHead, verified bit-for-bit-in-f32
+    against transformers in tests/test_siglip.py): a learned probe
+    cross-attends over the (already final-normed) tokens, then a
+    residual MLP. x: (B, T, h) -> (B, h)."""
+    b, t, h = x.shape
+    nh, hd = hp.num_attention_heads, hp.head_dim
+    dtype = x.dtype
+    # packed in_proj [q;k;v]: q from the probe, k/v from the tokens —
+    # both run the FULL packed projection and slice the output (the
+    # kernel may be a QuantLinear/Int8Linear leaf, which cannot be
+    # column-sliced; the extra third on a (T, 3h) GEMM is negligible)
+    kern, bias = ap["qkv"]["kernel"], ap["qkv"]["bias"]
+    probe = jnp.broadcast_to(ap["probe"].astype(dtype), (b, 1, h))
+    q = linear(probe, kern, bias, impl=mm_impl)[:, :, :h]
+    kv = linear(x, kern, bias, impl=mm_impl)
+    k, v = kv[:, :, h : 2 * h], kv[:, :, 2 * h :]
+    q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    o = attention(q, k, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, 1, h)
+    o = linear(o, ap["proj"]["kernel"], ap["proj"]["bias"], impl=mm_impl)
+    y = layernorm(o, ap["norm"]["scale"], ap["norm"]["bias"], hp.eps)
+    y = linear(y, ap["fc1"]["kernel"], ap["fc1"]["bias"], impl=mm_impl)
+    y = gelu_tanh(y)
+    y = linear(y, ap["fc2"]["kernel"], ap["fc2"]["bias"], impl=mm_impl)
+    return (o + y)[:, 0]
+
+
 def forward(
     params: Dict[str, Any],
     images: jax.Array,
@@ -284,6 +317,28 @@ def forward(
             impl=mm_impl,
         )
         return (logits + logits_dist) * 0.5
+    if hp.global_pool == "map" and hp.seq_len is None:
+        # SigLIP attention pooling: the final norm applies to ALL tokens
+        # (HF post_layernorm), THEN the probe cross-attends over them —
+        # the reverse order of every other head (pool first, norm after)
+        end = kv if kv is not None else x.shape[1]
+        y = layernorm(
+            x[:, :end], params["norm"]["scale"], params["norm"]["bias"],
+            hp.eps,
+        )
+        pooled = attention_pool(params["attn_pool"], y, hp, mm_impl=mm_impl)
+        if features:
+            return pooled
+        if "head" not in params:
+            raise ValueError(
+                "checkpoint is a headless encoder (no classifier head) — "
+                "serve embeddings (features=True / embed surfaces) or "
+                "fine-tune to attach a head"
+            )
+        return linear(
+            pooled, params["head"]["kernel"], params["head"]["bias"],
+            impl=mm_impl,
+        )
     if hp.seq_len is not None:
         pooled = x[:, : hp.seq_len]  # ViTSTR 25-token readout
     elif hp.global_pool == "avg":

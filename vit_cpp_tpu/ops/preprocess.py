@@ -27,6 +27,19 @@ import numpy as np
 
 IMAGENET_MEAN = (123.675, 116.280, 103.530)
 IMAGENET_STD = (58.395, 57.120, 57.375)
+# SigLIP-style [-1, 1] normalization: (v/255 - 0.5)/0.5 == (v - 127.5)/127.5
+# (transformers SiglipImageProcessor image_mean/std = 0.5)
+UNIT_MEAN = (127.5, 127.5, 127.5)
+UNIT_STD = (127.5, 127.5, 127.5)
+
+
+def norm_constants(pixel_norm: str):
+    """(mean, std) for an hparams.pixel_norm value."""
+    if pixel_norm == "imagenet":
+        return IMAGENET_MEAN, IMAGENET_STD
+    if pixel_norm == "unit":
+        return UNIT_MEAN, UNIT_STD
+    raise ValueError(f"pixel_norm must be imagenet|unit, got {pixel_norm!r}")
 
 
 def bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:

@@ -109,6 +109,33 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         specs["dist_token"] = P()
     if "reg_token" in params:
         specs["reg_token"] = P()
+    if "attn_pool" in params:
+        # SigLIP attention-pooling head: a single-probe cross-attention
+        # over ~h-wide projections — negligible FLOPs next to the blocks,
+        # so every leaf replicates rather than carrying TP collectives
+
+        def _rep_kernel(kernel):
+            if isinstance(kernel, QuantLinear):
+                return QuantLinear(
+                    codes=P(), scales=P(),
+                    mins=None if kernel.mins is None else P(), qtype=0,
+                )
+            if isinstance(kernel, Int8Linear):
+                return Int8Linear(
+                    codes=P(), scale=P(),
+                    act_scale=None if kernel.act_scale is None else P(),
+                )
+            return P()
+
+        ap = params["attn_pool"]
+        specs["attn_pool"] = {
+            "probe": P(),
+            **{
+                k: {"kernel": _rep_kernel(ap[k]["kernel"]), "bias": P()}
+                for k in ("qkv", "proj", "fc1", "fc2")
+            },
+            "norm": _ln(ap["norm"]),
+        }
     if "norm_pre" in params:
         specs["norm_pre"] = _ln(params["norm_pre"])
     if "head_dist" in params:

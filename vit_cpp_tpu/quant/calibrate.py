@@ -65,17 +65,27 @@ def collect_act_maxima(
         )
         for name in _GEMMS:
             maxima[name].append(per_layer[name])
-    if "head_dist" in params and hp.seq_len is None:
-        pooled = x[:, :2]  # both prefix tokens feed the two heads
-    elif hp.seq_len is not None:
-        pooled = x[:, : hp.seq_len]
-    elif hp.global_pool == "avg":
-        pooled = jnp.mean(x[:, hp.n_prefix :], axis=1)
+    if hp.global_pool == "map" and hp.seq_len is None:
+        # SigLIP attention pooling: norm all tokens, probe cross-attends
+        # (models/vit.py) — the head (when fine-tuned on) reads its output
+        from vit_cpp_tpu.models.vit import attention_pool
+
+        y = layernorm(
+            x, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
+        pooled = attention_pool(params["attn_pool"], y, hp)
     else:
-        pooled = x[:, 0]
-    pooled = layernorm(
-        pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
-    )
+        if "head_dist" in params and hp.seq_len is None:
+            pooled = x[:, :2]  # both prefix tokens feed the two heads
+        elif hp.seq_len is not None:
+            pooled = x[:, : hp.seq_len]
+        elif hp.global_pool == "avg":
+            pooled = jnp.mean(x[:, hp.n_prefix :], axis=1)
+        else:
+            pooled = x[:, 0]
+        pooled = layernorm(
+            pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps
+        )
     out = {name: jnp.stack(maxima[name]) for name in _GEMMS}
     out["head"] = jnp.max(jnp.abs(pooled.astype(jnp.float32)))
     return out

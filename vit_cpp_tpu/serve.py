@@ -140,6 +140,10 @@ def serve_files(
     reference tests/benchmark.cpp:108-125).
     """
 
+    from vit_cpp_tpu.ops.preprocess import norm_constants
+
+    mean, std = norm_constants(engine.hp.pixel_norm)
+
     def compute(pixels, n):
         return np.asarray(engine.predict_probs_batch(pixels))[:n]
 
@@ -149,7 +153,8 @@ def serve_files(
         decode_threads=decode_threads,
         prefetch=prefetch,
         preprocess=lambda imgs: preprocess_batch(
-            imgs, engine.hp.img_size, mode=engine.hp.interpolation
+            imgs, engine.hp.img_size, mode=engine.hp.interpolation,
+            mean=mean, std=std,
         ),
         compute=compute,
     ):
@@ -242,8 +247,12 @@ def embed_files(
             imgs, engine.hp.img_size
         )
     else:
+        from vit_cpp_tpu.ops.preprocess import norm_constants
+
+        mean, std = norm_constants(engine.hp.pixel_norm)
         preprocess = lambda imgs: preprocess_batch(  # noqa: E731
-            imgs, engine.hp.img_size, mode=engine.hp.interpolation
+            imgs, engine.hp.img_size, mode=engine.hp.interpolation,
+            mean=mean, std=std,
         )
 
     def compute(pixels, n):

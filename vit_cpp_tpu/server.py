@@ -308,10 +308,17 @@ class _Model:
             from vit_cpp_tpu.models.vitstr import preprocess_grayscale_batch
 
             return preprocess_grayscale_batch([img], self.engine.hp.img_size)[0]
-        from vit_cpp_tpu.ops.preprocess import preprocess_batch
+        from vit_cpp_tpu.ops.preprocess import norm_constants, preprocess_batch
 
+        mean, std = norm_constants(
+            getattr(self.engine.hp, "pixel_norm", "imagenet")
+        )
         return preprocess_batch(
-            [img], self.engine.hp.img_size, mode=self.engine.hp.interpolation
+            [img],
+            self.engine.hp.img_size,
+            mode=self.engine.hp.interpolation,
+            mean=mean,
+            std=std,
         )[0]
 
     def health(self):

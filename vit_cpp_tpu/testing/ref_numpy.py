@@ -93,6 +93,34 @@ def forward_numpy(
         y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
         x = x + y
 
+    if "attn_pool.probe" in state and hp.seq_len is None:
+        # SigLIP attention pooling: final norm over ALL tokens, then the
+        # probe cross-attends (models/vit.py attention_pool; authority:
+        # transformers SiglipMultiheadAttentionPoolingHead)
+        h_ = hp.hidden_size
+        y = _ln(x, f("norm.weight"), f("norm.bias"), hp.eps)
+        w_in, b_in = f("attn_pool.qkv.weight"), f("attn_pool.qkv.bias")
+        probe = f("attn_pool.probe").reshape(1, 1, h_)
+        q = probe @ w_in[:h_].T + b_in[:h_]
+        k = y @ w_in[h_ : 2 * h_].T + b_in[h_ : 2 * h_]
+        v = y @ w_in[2 * h_ :].T + b_in[2 * h_ :]
+        nh_, hd_ = hp.num_attention_heads, hp.head_dim
+        q = np.broadcast_to(q, (b, 1, h_)).reshape(b, 1, nh_, hd_)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.reshape(b, -1, nh_, hd_).transpose(0, 2, 1, 3)
+        v = v.reshape(b, -1, nh_, hd_).transpose(0, 2, 1, 3)
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd_)
+        o = np.einsum("bhqk,bhkd->bhqd", _softmax(logits), v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, h_)
+        o = o @ f("attn_pool.proj.weight").T + f("attn_pool.proj.bias")
+        z = _ln(o, f("attn_pool.norm.weight"), f("attn_pool.norm.bias"), hp.eps)
+        z = z @ f("attn_pool.mlp.fc1.weight").T + f("attn_pool.mlp.fc1.bias")
+        z = _gelu_tanh(z)
+        z = z @ f("attn_pool.mlp.fc2.weight").T + f("attn_pool.mlp.fc2.bias")
+        pooled = (o + z)[:, 0]
+        if "head.weight" not in state:
+            return pooled
+        return pooled @ f("head.weight").T + f("head.bias")
     if "fc_norm.weight" in state and hp.seq_len is None:
         pooled = x[:, hp.n_prefix :].mean(axis=1)
         pooled = _ln(pooled, f("fc_norm.weight"), f("fc_norm.bias"), hp.eps)

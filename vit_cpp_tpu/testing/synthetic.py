@@ -19,7 +19,7 @@ from vit_cpp_tpu.hparams import VitHParams
 # Reference converter dtype rule (convert-pth-to-ggml.py:141-148): at ftype=1
 # every tensor with ndim != 1 is f16 except pos_embed/cls_token (kept f32);
 # dist_token (our DeiT-distilled extension) follows the cls_token rule.
-_KEEP_F32 = ("pos_embed", "cls_token", "dist_token", "reg_token")
+_KEEP_F32 = ("pos_embed", "cls_token", "dist_token", "reg_token", "attn_pool.probe")
 
 
 def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
@@ -77,6 +77,22 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
     norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
     shapes[norm_name + ".weight"] = (h,)
     shapes[norm_name + ".bias"] = (h,)
+    if hp.global_pool == "map":  # SigLIP attention-pooling head
+        shapes.update(
+            {
+                "attn_pool.probe": (1, 1, h),
+                "attn_pool.qkv.weight": (3 * h, h),
+                "attn_pool.qkv.bias": (3 * h,),
+                "attn_pool.proj.weight": (h, h),
+                "attn_pool.proj.bias": (h,),
+                "attn_pool.norm.weight": (h,),
+                "attn_pool.norm.bias": (h,),
+                "attn_pool.mlp.fc1.weight": (hp.mlp_dim, h),
+                "attn_pool.mlp.fc1.bias": (hp.mlp_dim,),
+                "attn_pool.mlp.fc2.weight": (h, hp.mlp_dim),
+                "attn_pool.mlp.fc2.bias": (h,),
+            }
+        )
     if c:  # headless encoders (num_classes=0) carry no classifier
         shapes["head.weight"] = (c, h)
         shapes["head.bias"] = (c,)
@@ -91,11 +107,11 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     out: Dict[str, np.ndarray] = {}
     for name, shape in state_dict_shapes(hp).items():
-        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight", "fc_norm.weight"):
+        if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight", "fc_norm.weight", "attn_pool.norm.weight"):
             v = 1.0 + 0.02 * rng.standard_normal(shape)
         elif name.endswith(".bias"):
             v = 0.02 * rng.standard_normal(shape)
-        elif name in ("pos_embed", "cls_token", "dist_token", "reg_token"):
+        elif name in ("pos_embed", "cls_token", "dist_token", "reg_token", "attn_pool.probe"):
             v = 0.02 * rng.standard_normal(shape)
         else:
             fan_in = shape[-1] if len(shape) >= 2 else shape[0]
