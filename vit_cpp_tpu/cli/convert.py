@@ -210,7 +210,15 @@ def infer_hparams(
         ),
         no_embed_class=no_embed_class,
         num_reg_tokens=n_reg,
-        pixel_norm="unit" if has_map else "imagenet",
+        pixel_norm=(
+            "clip"
+            if "meta.clip" in state
+            else ("unit" if has_map else "imagenet")
+        ),
+        hidden_act="quick_gelu" if "meta.clip" in state else "gelu_tanh",
+        # CLIP's layer_norm_eps is 1e-5 (transformers CLIPVisionConfig);
+        # everything else keeps the reference's 1e-6 default
+        eps=1e-5 if "meta.clip" in state else 1e-6,
     )
 
 
@@ -230,6 +238,8 @@ def remap_hf_siglip(state: Dict[str, np.ndarray]):
     pfx = "vision_model."
     if pfx + "embeddings.patch_embedding.weight" not in state:
         return None
+    if pfx + "embeddings.class_embedding" in state:
+        return None  # CLIP vision tower (remap_hf_clip), not SigLIP
     g = lambda k: np.asarray(state[pfx + k], dtype=np.float32)  # noqa: E731
     out: Dict[str, np.ndarray] = {
         "patch_embed.proj.weight": g("embeddings.patch_embedding.weight"),
@@ -272,6 +282,61 @@ def remap_hf_siglip(state: Dict[str, np.ndarray]):
         out["attn_pool.mlp.fc1.bias"] = g("head.mlp.fc1.bias")
         out["attn_pool.mlp.fc2.weight"] = g("head.mlp.fc2.weight")
         out["attn_pool.mlp.fc2.bias"] = g("head.mlp.fc2.bias")
+    return out
+
+
+def remap_hf_clip(state: Dict[str, np.ndarray]):
+    """HF CLIPVisionModel/CLIPModel state dict -> this schema, or None.
+
+    CLIP's vision tower maps almost entirely onto existing machinery:
+    class_embedding -> cls_token, pre_layrnorm (sic, HF's spelling) ->
+    norm_pre, separate q/k/v packed into the fused qkv layout,
+    post_layernorm -> the final norm (CLIP pools CLS then norms — the
+    same order as the classic head). Two things no tensor's presence
+    can declare — QuickGELU block MLPs and CLIP's pixel mean/std — ride
+    a scalar `meta.clip` marker tensor. CLIP's patch conv has no bias;
+    a zero bias is synthesized. Text-tower tensors and the projection
+    heads of a full CLIPModel are ignored. Verified against transformers
+    in tests/test_clip.py."""
+    pfx = "vision_model."
+    if pfx + "embeddings.class_embedding" not in state:
+        return None
+    g = lambda k: np.asarray(state[pfx + k], dtype=np.float32)  # noqa: E731
+    h = int(g("embeddings.class_embedding").shape[-1])
+    out: Dict[str, np.ndarray] = {
+        "cls_token": g("embeddings.class_embedding").reshape(1, 1, h),
+        "patch_embed.proj.weight": g("embeddings.patch_embedding.weight"),
+        # CLIP's patch conv is bias-free (Conv2d(..., bias=False))
+        "patch_embed.proj.bias": np.zeros((h,), np.float32),
+        "pos_embed": g("embeddings.position_embedding.weight")[None],
+        "norm_pre.weight": g("pre_layrnorm.weight"),
+        "norm_pre.bias": g("pre_layrnorm.bias"),
+        "norm.weight": g("post_layernorm.weight"),
+        "norm.bias": g("post_layernorm.bias"),
+        "meta.clip": np.ones((1,), np.float32),
+    }
+    i = 0
+    while pfx + f"encoder.layers.{i}.layer_norm1.weight" in state:
+        p, q = f"encoder.layers.{i}.", f"blocks.{i}."
+        out[q + "norm1.weight"] = g(p + "layer_norm1.weight")
+        out[q + "norm1.bias"] = g(p + "layer_norm1.bias")
+        out[q + "attn.qkv.weight"] = np.concatenate(
+            [g(p + f"self_attn.{n}_proj.weight") for n in ("q", "k", "v")], 0
+        )
+        out[q + "attn.qkv.bias"] = np.concatenate(
+            [g(p + f"self_attn.{n}_proj.bias") for n in ("q", "k", "v")], 0
+        )
+        out[q + "attn.proj.weight"] = g(p + "self_attn.out_proj.weight")
+        out[q + "attn.proj.bias"] = g(p + "self_attn.out_proj.bias")
+        out[q + "norm2.weight"] = g(p + "layer_norm2.weight")
+        out[q + "norm2.bias"] = g(p + "layer_norm2.bias")
+        out[q + "mlp.fc1.weight"] = g(p + "mlp.fc1.weight")
+        out[q + "mlp.fc1.bias"] = g(p + "mlp.fc1.bias")
+        out[q + "mlp.fc2.weight"] = g(p + "mlp.fc2.weight")
+        out[q + "mlp.fc2.bias"] = g(p + "mlp.fc2.bias")
+        i += 1
+    if i == 0:
+        raise ValueError("CLIP checkpoint has no encoder layers")
     return out
 
 
@@ -378,6 +443,16 @@ def convert(
                 f"{len(sig)} tensors (text-tower tensors ignored)"
             )
         state = sig
+    else:
+        clip = remap_hf_clip(state)
+        if clip is not None:
+            if verbose:
+                print(
+                    "detected HF CLIP vision tower: remapping "
+                    f"{len(clip)} tensors (QuickGELU + CLIP pixel norm "
+                    "recorded via meta.clip; text tower ignored)"
+                )
+            state = clip
     if vitstr:
         state = collapse_to_grayscale(state)
     if drop_norm_pre:

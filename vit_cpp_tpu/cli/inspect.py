@@ -34,6 +34,8 @@ def _family_traits(hp) -> list:
         traits.append("avg-pool (fc_norm)")
     if hp.global_pool == "map":
         traits.append("attention-pool (SigLIP attn_pool)")
+    if hp.hidden_act == "quick_gelu":
+        traits.append("CLIP (quick_gelu, clip pixel norm)")
     if hp.no_embed_class:
         traits.append("no_embed_class (grid-only pos_embed)")
     if hp.num_reg_tokens:

@@ -74,6 +74,11 @@ def detect_hparams(mf) -> VitHParams:
     if "attn_pool.probe" in mf.tensors and hp.global_pool != "map":
         # SigLIP family: attention pooling + [-1,1] pixel normalization
         hp = dataclasses.replace(hp, global_pool="map", pixel_norm="unit")
+    if "meta.clip" in mf.tensors and hp.hidden_act != "quick_gelu":
+        # CLIP family marker: QuickGELU MLPs + CLIP pixel normalization
+        hp = dataclasses.replace(
+            hp, hidden_act="quick_gelu", pixel_norm="clip", eps=1e-5
+        )
     pos = mf.tensors.get("pos_embed")
     if pos is not None and hp.n_prefix and not hp.no_embed_class:
         n_rows = int(np.prod(pos.shape)) // hp.hidden_size

@@ -73,13 +73,20 @@ class VitHParams:
     #   vector IS the embedding); fine-tuning attaches a head on it.
     # - pixel_norm="unit": preprocess normalizes to [-1, 1] instead of
     #   ImageNet mean/std (SigLIP's processor; set for map-pooled models
-    #   at detect/infer time — ops/preprocess.norm_constants).
+    #   at detect/infer time — ops/preprocess.norm_constants);
+    #   "clip" = OpenAI CLIP's mean/std.
+    # - hidden_act="quick_gelu": CLIP ViTs use x*sigmoid(1.702x) in the
+    #   block MLPs instead of tanh-GELU. NOT tensor-inferable: the
+    #   converter writes a scalar marker tensor `meta.clip` (the one
+    #   extension hparam a tensor's mere presence cannot declare), which
+    #   sets hidden_act + pixel_norm at detect/load.
     num_prefix_tokens: int = 1
     norm_pre: bool = False
     global_pool: str = "token"
     no_embed_class: bool = False
     num_reg_tokens: int = 0
     pixel_norm: str = "imagenet"
+    hidden_act: str = "gelu_tanh"
 
     @property
     def n_patches_side(self) -> int:
@@ -140,4 +147,6 @@ class VitHParams:
             n -= 2  # headless encoder: no head.weight/head.bias
         if self.global_pool == "map":
             n += 11  # attn_pool: probe, qkv/proj (w+b), norm, mlp fc1/fc2
+        if self.hidden_act == "quick_gelu":
+            n += 1  # the scalar meta.clip marker tensor
         return n

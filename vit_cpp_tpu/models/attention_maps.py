@@ -26,7 +26,7 @@ import numpy as np
 
 from vit_cpp_tpu.hparams import VitHParams
 from vit_cpp_tpu.models.vit import embed, slice_block_params
-from vit_cpp_tpu.ops.core import gelu_tanh, layernorm, linear
+from vit_cpp_tpu.ops.core import layernorm, linear, mlp_act
 
 
 def _block_with_probs(
@@ -56,7 +56,7 @@ def _block_with_probs(
     x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"])
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
     y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"])
-    y = gelu_tanh(y)
+    y = mlp_act(hp.hidden_act)(y)
     y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"])
     return x + y, probs
 

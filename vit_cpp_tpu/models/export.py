@@ -77,6 +77,9 @@ def params_to_state_dict(
     if "head_dist" in params:
         out["head_dist.weight"] = _kernel_to_torch(params["head_dist"]["kernel"])
         out["head_dist.bias"] = _np(params["head_dist"]["bias"])
+    if hp.hidden_act == "quick_gelu":
+        # CLIP family marker: hparams no tensor's presence can declare
+        out["meta.clip"] = np.ones((1,), np.float32)
     if "attn_pool" in params:  # SigLIP attention-pooling head
         ap = params["attn_pool"]
         out["attn_pool.probe"] = _np(ap["probe"]).reshape(1, 1, h)

@@ -152,6 +152,13 @@ def load_params(
         # SigLIP family: attention pooling (hparams.py global_pool) +
         # [-1,1] pixel normalization at preprocess
         hp = dataclasses.replace(hp, global_pool="map", pixel_norm="unit")
+    if "meta.clip" in mf.tensors and hp.hidden_act != "quick_gelu":
+        # CLIP family marker (hparams.py hidden_act): QuickGELU block
+        # MLPs + OpenAI CLIP pixel normalization — the one extension
+        # hparam no real tensor's presence can declare
+        hp = dataclasses.replace(
+            hp, hidden_act="quick_gelu", pixel_norm="clip", eps=1e-5
+        )
     pos = mf.tensors.get("pos_embed")
     if pos is not None and hp.n_prefix and not hp.no_embed_class:
         n_rows = int(np.prod(pos.shape)) // h
@@ -205,6 +212,8 @@ def load_params(
         )
 
     rs = _RecordSet(mf.tensors, dtype)
+    if "meta.clip" in mf.tensors:
+        rs.rec("meta.clip")  # consume the marker (value unused)
 
     pe_w = rs.rec("patch_embed.proj.weight")
     expect_pe = (h, hp.in_chans, hp.patch_size, hp.patch_size)

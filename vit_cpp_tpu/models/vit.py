@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from vit_cpp_tpu.hparams import VitHParams
-from vit_cpp_tpu.ops.core import attention, gelu_tanh, layernorm, linear
+from vit_cpp_tpu.ops.core import (
+    attention,
+    gelu_tanh,
+    layernorm,
+    linear,
+    mlp_act,
+)
 
 
 def patchify(images: jax.Array, patch: int) -> jax.Array:
@@ -167,7 +173,7 @@ def transformer_block(
     if tap is not None:
         tap("fc1_in", y)
     y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
-    y = gelu_tanh(y)
+    y = mlp_act(hp.hidden_act)(y)
     if tap is not None:
         tap("fc2_in", y)
     y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)

@@ -42,6 +42,22 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=True)
 
 
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """OpenAI CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp_act(hidden_act: str):
+    """Block-MLP activation for an hparams.hidden_act value."""
+    if hidden_act == "quick_gelu":
+        return quick_gelu
+    if hidden_act == "gelu_tanh":
+        return gelu_tanh
+    raise ValueError(
+        f"hidden_act must be gelu_tanh|quick_gelu, got {hidden_act!r}"
+    )
+
+
 def linear(
     x: jax.Array,
     kernel,

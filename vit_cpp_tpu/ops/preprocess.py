@@ -31,6 +31,10 @@ IMAGENET_STD = (58.395, 57.120, 57.375)
 # (transformers SiglipImageProcessor image_mean/std = 0.5)
 UNIT_MEAN = (127.5, 127.5, 127.5)
 UNIT_STD = (127.5, 127.5, 127.5)
+# OpenAI CLIP's processor constants (transformers CLIPImageProcessor):
+# mean/std * 255
+CLIP_MEAN = (255 * 0.48145466, 255 * 0.4578275, 255 * 0.40821073)
+CLIP_STD = (255 * 0.26862954, 255 * 0.26130258, 255 * 0.27577711)
 
 
 def norm_constants(pixel_norm: str):
@@ -39,7 +43,11 @@ def norm_constants(pixel_norm: str):
         return IMAGENET_MEAN, IMAGENET_STD
     if pixel_norm == "unit":
         return UNIT_MEAN, UNIT_STD
-    raise ValueError(f"pixel_norm must be imagenet|unit, got {pixel_norm!r}")
+    if pixel_norm == "clip":
+        return CLIP_MEAN, CLIP_STD
+    raise ValueError(
+        f"pixel_norm must be imagenet|unit|clip, got {pixel_norm!r}"
+    )
 
 
 def bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:

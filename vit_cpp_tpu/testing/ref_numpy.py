@@ -25,6 +25,14 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
 
 
+def _quick_gelu(x):
+    return x / (1.0 + np.exp(-1.702 * x))
+
+
+def _act(hp):
+    return _quick_gelu if hp.hidden_act == "quick_gelu" else _gelu_tanh
+
+
 def _softmax(x, axis=-1):
     x = x - x.max(axis=axis, keepdims=True)
     e = np.exp(x)
@@ -89,7 +97,7 @@ def forward_numpy(
 
         y = _ln(x, f(pref + "norm2.weight"), f(pref + "norm2.bias"), hp.eps)
         y = y @ f(pref + "mlp.fc1.weight").T + f(pref + "mlp.fc1.bias")
-        y = _gelu_tanh(y)
+        y = _act(hp)(y)
         y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
         x = x + y
 
@@ -183,7 +191,7 @@ def forward_numpy_debug(
         x = x + o @ f(pref + "attn.proj.weight").T + f(pref + "attn.proj.bias")
         y = _ln(x, f(pref + "norm2.weight"), f(pref + "norm2.bias"), hp.eps)
         y = y @ f(pref + "mlp.fc1.weight").T + f(pref + "mlp.fc1.bias")
-        y = _gelu_tanh(y)
+        y = _act(hp)(y)
         y = y @ f(pref + "mlp.fc2.weight").T + f(pref + "mlp.fc2.bias")
         x = x + y
         acts[f"block_{i}"] = x

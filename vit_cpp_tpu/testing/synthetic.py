@@ -99,6 +99,8 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
     if hp.num_prefix_tokens == 2:
         shapes["head_dist.weight"] = (c, h)
         shapes["head_dist.bias"] = (c,)
+    if hp.hidden_act == "quick_gelu":
+        shapes["meta.clip"] = (1,)  # CLIP family marker (hparams.py)
     return shapes
 
 
@@ -107,6 +109,9 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     out: Dict[str, np.ndarray] = {}
     for name, shape in state_dict_shapes(hp).items():
+        if name == "meta.clip":
+            out[name] = np.ones(shape, np.float32)  # constant marker
+            continue
         if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight", "fc_norm.weight", "attn_pool.norm.weight"):
             v = 1.0 + 0.02 * rng.standard_normal(shape)
         elif name.endswith(".bias"):
