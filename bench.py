@@ -99,6 +99,13 @@ def main() -> int:
         "+10%% int8 rate with aligned row groups (probe_int8_shapes)",
     )
     ap.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="ToMe token merging (ops/tome.py): merge R most-similar "
+        "patch-token pairs per layer — attention cost falls "
+        "quadratically, GEMM cost linearly, at the paper's published "
+        "accuracy cost (ViT-B/16 r=8 ~0.3%% top-1 off-the-shelf)",
+    )
+    ap.add_argument(
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler device trace of the timed runs",
     )
@@ -226,6 +233,13 @@ def main() -> int:
         suffix += "_static"
     if args.pad_tokens:
         suffix += "_padtok"
+    if args.tome:
+        if args.train or args.vitstr or args.pad_tokens:
+            raise SystemExit(
+                "--tome is a serving feature (no --train/--vitstr/"
+                "--pad-tokens)"
+            )
+        suffix += f"_tome{args.tome}"
 
     batch = 1 if args.latency else args.batch
     K = args.chain if args.chain is not None else (400 if args.latency else 30)
@@ -309,7 +323,8 @@ def main() -> int:
         def aot_fwd(c, x0):
             p2 = dict(params, cls_token=cls0 + (c * 1e-30).astype(cls0.dtype))
             out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm,
-                          unroll=args.unroll, pad_tokens=args.pad_tokens)
+                          unroll=args.unroll, pad_tokens=args.pad_tokens,
+                          tome=args.tome)
             dep = out[0, 0, 0] if out.ndim == 3 else out[0, 0]
             return dep.astype(cls0.dtype)
 
@@ -346,7 +361,7 @@ def main() -> int:
 
             def step(c, _):
                 p2 = dict(p, cls_token=cls + (c * 1e-30).astype(cls.dtype))
-                out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll, pad_tokens=args.pad_tokens)
+                out = forward(p2, x0, hp, attn_impl=args.attn, mm_impl=args.mm, unroll=args.unroll, pad_tokens=args.pad_tokens, tome=args.tome)
                 dep = out[0, 0, 0] if out.ndim == 3 else out[0, 0]
                 return dep.astype(cls.dtype), ()
 
@@ -373,10 +388,25 @@ def main() -> int:
     # (qkv/proj/fc1/fc2 GEMMs + the two T^2 attention dots) + head.
     t = hp.n_tokens
     h = hp.hidden_size
-    gemm_flops = hp.num_hidden_layers * 2 * t * (
-        h * 3 * h + h * h + 2 * h * hp.mlp_dim
-    )
-    attn_flops = hp.num_hidden_layers * 2 * 2 * t * t * h
+    if args.tome:
+        # per-layer token counts shrink: qkv/proj/attention run on the
+        # pre-merge count, fc1/fc2 post-merge (the merge matmuls are <2%
+        # of a block and excluded) — MFU then measures utilization of
+        # the REDUCED graph, while images/sec carries the speedup
+        from vit_cpp_tpu.ops.tome import tome_schedule
+
+        gemm_flops = attn_flops = 0
+        tl = t
+        for rl in tome_schedule(hp.n_patches, hp.num_hidden_layers, args.tome):
+            gemm_flops += 2 * tl * (h * 3 * h + h * h)
+            attn_flops += 2 * 2 * tl * tl * h
+            tl -= rl
+            gemm_flops += 2 * tl * (2 * h * hp.mlp_dim)
+    else:
+        gemm_flops = hp.num_hidden_layers * 2 * t * (
+            h * 3 * h + h * h + 2 * h * hp.mlp_dim
+        )
+        attn_flops = hp.num_hidden_layers * 2 * 2 * t * t * h
     embed_head = (
         2 * (t - 1) * (hp.in_chans * hp.patch_size**2) * h
         + 2 * h * hp.num_classes * (hp.seq_len or 1)

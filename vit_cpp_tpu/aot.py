@@ -72,6 +72,7 @@ def export_engine(engine, batch, platforms=None) -> bytes:
     params, hp = engine.params, engine.hp
     attn_impl, mm_impl = engine._attn_impl, engine._mm_impl
     precision = engine.matmul_precision
+    tome = getattr(engine, "_tome", 0)
     mesh = getattr(engine, "mesh", None)
     # headless encoders (num_classes=0) export the FEATURES program —
     # their only serving surface is embeddings
@@ -82,10 +83,11 @@ def export_engine(engine, batch, platforms=None) -> bytes:
             if headless:
                 return forward(
                     params, images, hp, attn_impl=attn_impl,
-                    mm_impl=mm_impl, features=True,
+                    mm_impl=mm_impl, features=True, tome=tome,
                 )
             return predict_probs(
-                params, images, hp, attn_impl=attn_impl, mm_impl=mm_impl
+                params, images, hp, attn_impl=attn_impl, mm_impl=mm_impl,
+                tome=tome,
             )
 
     batches = sorted(
@@ -147,6 +149,9 @@ def export_engine(engine, batch, platforms=None) -> bytes:
         # never see it on classifier artifacts — it is only written
         # non-default here for artifacts they could not serve anyway)
         **({"program": "features"} if headless else {}),
+        # ToMe token merging baked into the graph (readers predating
+        # the key serve non-tome artifacts identically)
+        **({"tome": tome} if tome else {}),
     }
     if mm_impl == "int8":
         from vit_cpp_tpu.quant.int8 import params_have_static_scales

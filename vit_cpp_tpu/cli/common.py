@@ -17,6 +17,7 @@ def build_engine(
     fold_ln=None,
     act: str = "dynamic",
     img_size=None,
+    tome: int = 0,
 ):
     """gguf checkpoint or .vitx artifact -> (engine, is_vitstr).
 
@@ -41,6 +42,11 @@ def build_engine(
                 "--img-size does not apply to a .vitx artifact — its "
                 "geometry was baked at export (vit-export --img-size ...)"
             )
+        if tome:
+            raise ValueError(
+                "--tome does not apply to a .vitx artifact — the graph "
+                "was baked at export (vit-export --tome R)"
+            )
         engine = AotEngine(path)
         return engine, engine.hp.seq_len is not None
 
@@ -61,6 +67,7 @@ def build_engine(
         fold_ln=fold_ln,
         act_quant=act,
         img_size=img_size,
+        tome=tome,
         verbose=False,
     )
     return engine, is_vitstr

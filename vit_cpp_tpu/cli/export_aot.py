@@ -56,6 +56,12 @@ def main(argv=None) -> int:
         "checkpoint's patch size",
     )
     ap.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="bake ToMe token merging (ops/tome.py) into the artifact's "
+        "graph: R most-similar patch-token pairs merge per layer "
+        "(throughput at the paper's published accuracy cost)",
+    )
+    ap.add_argument(
         "--platforms", metavar="P1,P2",
         help="comma-separated lowering targets (cpu,tpu) — export on a CPU "
         "box for TPU serving; Pallas configs (--attn/--mm pallas*) can "
@@ -108,6 +114,7 @@ def main(argv=None) -> int:
         engine, _ = build_engine(
             args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
             fold_ln=args.fold_ln, act=args.act, img_size=args.img_size,
+            tome=args.tome,
         )
         if args.act == "static":
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths

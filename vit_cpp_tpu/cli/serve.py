@@ -87,6 +87,12 @@ def main(argv=None) -> int:
         "dp*tp visible devices; dp must divide batch)",
     )
     ap.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="ToMe token merging (ops/tome.py): merge R most-similar "
+        "patch-token pairs per layer for throughput at the paper's "
+        "published accuracy cost (classifier gguf engines only)",
+    )
+    ap.add_argument(
         "--compile-cache",
         nargs="?",
         const="",
@@ -169,6 +175,13 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.tome:
+            print(
+                "--tome does not apply to a .vitx artifact — the graph "
+                "was baked at export (vit-export --tome R)",
+                file=sys.stderr,
+            )
+            return 1
         aot = AotEngine(args.model)
         if args.batch != aot.batch:
             print(
@@ -232,6 +245,7 @@ def main(argv=None) -> int:
             fold_ln=fold_ln,
             act_quant=args.act,
             img_size=args.img_size,
+            tome=args.tome,
             verbose=False,
         )
     except ValueError as e:  # e.g. --img-size not a patch multiple / ViTSTR

@@ -58,6 +58,12 @@ def main(argv=None) -> int:
         "grid (timm semantics) and preprocess to PX x PX; applies to "
         "every gguf model served (multiple of each patch size)",
     )
+    ap.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="ToMe token merging (ops/tome.py) on every gguf classifier "
+        "served: merge R most-similar patch-token pairs per layer "
+        "(throughput at the paper's published accuracy cost)",
+    )
     ap.add_argument("--mesh", metavar="DPxTP", default=None)
     ap.add_argument(
         "--request-timeout", type=float, default=30.0,
@@ -154,10 +160,18 @@ def main(argv=None) -> int:
                         f"export; ignoring --img-size {args.img_size}",
                         file=sys.stderr,
                     )
+                if args.tome and is_vitx(path):
+                    print(
+                        f"vit-server: {name}: .vitx graph is baked at "
+                        f"export; ignoring --tome {args.tome} (use "
+                        "vit-export --tome)",
+                        file=sys.stderr,
+                    )
                 engines[name], _ = build_engine(
                     path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                     fold_ln=args.fold_ln, act=args.act,
                     img_size=None if is_vitx(path) else args.img_size,
+                    tome=0 if is_vitx(path) else args.tome,
                 )
             except ValueError as e:  # e.g. --act static on a .vitx
                 print(f"vit-server: {name}: {e}", file=sys.stderr)

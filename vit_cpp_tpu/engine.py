@@ -101,6 +101,7 @@ class VitEngine:
         fold_ln: bool = False,
         act_quant: str = "dynamic",
         img_size: Optional[int] = None,
+        tome: int = 0,
         verbose: bool = True,
     ):
         t0 = time.perf_counter()
@@ -174,11 +175,27 @@ class VitEngine:
         # served batch (quant/calibrate.py); callers with a representative
         # sample can call .calibrate(images) explicitly instead
         self._needs_calibration = act_quant == "static"
+        if tome and hp.seq_len is not None:
+            raise ValueError(
+                "tome token merging is incompatible with sequence-head "
+                "(ViTSTR) checkpoints"
+            )
+        self._tome = tome
+        if tome and verbose:
+            from vit_cpp_tpu.ops.tome import tome_schedule
+
+            rs = tome_schedule(hp.n_patches, hp.num_hidden_layers, tome)
+            print(
+                f"vit_model_load: tome r={tome} — patch tokens "
+                f"{hp.n_patches} -> {hp.n_patches - sum(rs)} over "
+                f"{hp.num_hidden_layers} layers"
+            )
 
         def _predict(params, images):
             with jax.default_matmul_precision(self.matmul_precision):
                 return predict_probs(
-                    params, images, self.hp, attn_impl=attn_impl, mm_impl=mm_impl
+                    params, images, self.hp, attn_impl=attn_impl,
+                    mm_impl=mm_impl, tome=self._tome,
                 )
 
         self._predict = jax.jit(_predict)
@@ -320,6 +337,7 @@ class VitEngine:
                         attn_impl=self._attn_impl,
                         mm_impl=self._mm_impl,
                         features=True,
+                        tome=self._tome,
                     )
 
             self._features = fn = jax.jit(_feat)

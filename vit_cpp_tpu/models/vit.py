@@ -180,8 +180,60 @@ def transformer_block(
     return x + y
 
 
+def tome_block(
+    x: jax.Array,
+    sizes: jax.Array,
+    bp: Dict[str, Any],
+    hp: VitHParams,
+    r: int,
+    *,
+    attn_impl: str,
+    mm_impl: str,
+) -> tuple[jax.Array, jax.Array]:
+    """One encoder block with ToMe token merging (ops/tome.py): the same
+    op sequence as `transformer_block`, plus (a) proportional attention —
+    softmax weights scaled by each key's merged-token count `sizes` —
+    and (b) a size-weighted bipartite merge of the r most similar token
+    pairs between the attention and MLP halves, using the mean attention
+    key over heads as the similarity metric (Bolya et al., ICLR 2023).
+    Returns (x', sizes') with r fewer tokens."""
+    b, t, h = x.shape
+    nh, hd = hp.num_attention_heads, hp.head_dim
+
+    y = layernorm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
+    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
+    if attn_impl in ("pallas", "pallas-fast"):
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv
+
+        o = attention_qkv(
+            qkv, nh, fast=attn_impl == "pallas-fast", sizes=sizes
+        )
+    else:
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_xla
+
+        o = _attention_qkv_xla(qkv, nh, sizes=sizes)
+    x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
+
+    if r:
+        from vit_cpp_tpu.ops.tome import tome_merge
+
+        # similarity metric: the mean attention key over heads (the
+        # paper's choice — keys already summarize what each token offers)
+        metric = jnp.mean(
+            qkv[:, :, h : 2 * h].reshape(b, t, nh, hd), axis=2
+        )
+        x, sizes = tome_merge(x, metric, sizes, r, hp.n_prefix)
+
+    y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
+    y = mlp_act(hp.hidden_act)(y)
+    y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
+    return x + y, sizes
+
+
 def attention_pool(
-    ap: Dict[str, Any], x: jax.Array, hp: VitHParams, mm_impl: str = "xla"
+    ap: Dict[str, Any], x: jax.Array, hp: VitHParams, mm_impl: str = "xla",
+    sizes: jax.Array | None = None,
 ) -> jax.Array:
     """SigLIP-style attention pooling (HF
     SiglipMultiheadAttentionPoolingHead, verified bit-for-bit-in-f32
@@ -203,7 +255,18 @@ def attention_pool(
     q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    o = attention(q, k, v)
+    if sizes is not None:
+        # ToMe proportional cross-attention: each merged token counts
+        # `sizes` times in the probe's softmax (ops/tome.py)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / (hd**0.5) + jnp.log(sizes.astype(jnp.float32))[:, None, None, :]
+        w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+    else:
+        o = attention(q, k, v)
     o = o.transpose(0, 2, 1, 3).reshape(b, 1, h)
     o = linear(o, ap["proj"]["kernel"], ap["proj"]["bias"], impl=mm_impl)
     y = layernorm(o, ap["norm"]["scale"], ap["norm"]["bias"], hp.eps)
@@ -224,6 +287,7 @@ def forward(
     remat: bool = False,
     pad_tokens: bool = False,
     features: bool = False,
+    tome: int = 0,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
 
@@ -260,7 +324,15 @@ def forward(
     cross-token op — needs to know, via a key mask that zeroes the pad
     tokens' softmax weights. The pad rows carry deterministic garbage
     (LN of zeros = bias) that nothing reads: the head pools row 0 /
-    the first seq_len rows."""
+    the first seq_len rows.
+
+    `tome=r` (serving-only) turns on ToMe token merging (ops/tome.py):
+    each layer merges the r most similar patch-token pairs between its
+    attention and MLP halves, so layer l runs on ~T - l*r tokens —
+    attention cost falls quadratically, GEMM cost linearly. Layers
+    unroll (each has its own static token count); pooling readouts are
+    size-weighted. Accuracy/throughput trade-off per the paper (ViT-B/16
+    r=8 costs ~0.3% ImageNet top-1 off-the-shelf); opt-in everywhere."""
     x = embed(params, images, hp)
     kv = None
     if pad_tokens:
@@ -277,6 +349,31 @@ def forward(
                 [x, jnp.zeros((x.shape[0], tp - t, x.shape[2]), x.dtype)],
                 axis=1,
             )
+
+    sizes = None
+    if tome:
+        if hp.seq_len is not None:
+            raise ValueError(
+                "tome is incompatible with sequence heads (ViTSTR reads "
+                "every token position)"
+            )
+        if pad_tokens:
+            raise ValueError("tome and pad_tokens are exclusive")
+        if attn_impl == "pallas-train" or remat:
+            raise ValueError("tome is a serving feature (inference only)")
+        from vit_cpp_tpu.ops.tome import tome_schedule
+
+        rs = tome_schedule(hp.n_patches, hp.num_hidden_layers, tome)
+        sizes = jnp.ones((x.shape[0], x.shape[1]), jnp.float32)
+        for l, rl in enumerate(rs):
+            bp = {
+                k2: slice_block_params(v2, l)
+                for k2, v2 in params["blocks"].items()
+            }
+            x, sizes = tome_block(
+                x, sizes, bp, hp, rl, attn_impl=attn_impl, mm_impl=mm_impl
+            )
+        return _head(params, x, hp, features, mm_impl, kv, sizes)
 
     def body(carry, bp):
         return (
@@ -301,7 +398,14 @@ def forward(
     elif remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
+    return _head(params, x, hp, features, mm_impl, kv, None)
 
+
+def _head(params, x, hp, features, mm_impl, kv, sizes):
+    """Pooling readout + classifier head, shared by the scan forward and
+    the ToMe unrolled forward. `sizes` (B, T) f32, when given, weights
+    every readout over merged tokens (avg pool becomes a size-weighted
+    mean; the MAP probe runs proportional cross-attention)."""
     if "head_dist" in params and hp.seq_len is None:
         # DeiT distilled: final LN over both prefix tokens; inference
         # averages the two heads' outputs (timm
@@ -332,7 +436,10 @@ def forward(
             x[:, :end], params["norm"]["scale"], params["norm"]["bias"],
             hp.eps,
         )
-        pooled = attention_pool(params["attn_pool"], y, hp, mm_impl=mm_impl)
+        pooled = attention_pool(
+            params["attn_pool"], y, hp, mm_impl=mm_impl,
+            sizes=None if sizes is None else sizes[:, :end],
+        )
         if features:
             return pooled
         if "head" not in params:
@@ -353,7 +460,21 @@ def forward(
         # avg-pool semantics); under pad_tokens, kv is the real token
         # count so the pad rows never enter the mean
         end = kv if kv is not None else x.shape[1]
-        pooled = jnp.mean(x[:, hp.n_prefix : end], axis=1)
+        if sizes is not None:
+            # ToMe: each merged token stands for `sizes` originals, so
+            # the patch mean weights by size (lossless when merged
+            # tokens were identical)
+            s = sizes[:, hp.n_prefix : end]
+            pooled = (
+                jnp.sum(
+                    x[:, hp.n_prefix : end].astype(jnp.float32)
+                    * s[..., None],
+                    axis=1,
+                )
+                / jnp.sum(s, axis=1, keepdims=True)
+            ).astype(x.dtype)
+        else:
+            pooled = jnp.mean(x[:, hp.n_prefix : end], axis=1)
     else:
         pooled = x[:, 0]  # CLS token only (ggml_get_rows, vit.cpp:910-911)
     pooled = layernorm(pooled, params["norm"]["scale"], params["norm"]["bias"], hp.eps)

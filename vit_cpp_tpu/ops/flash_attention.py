@@ -106,11 +106,13 @@ def _key_mask(t: int, kv: int | None):
     return (lanes < kv).astype(jnp.float32)
 
 
-def _attention_qkv_xla(qkv, num_heads: int, kv: int | None = None):
+def _attention_qkv_xla(qkv, num_heads: int, kv: int | None = None,
+                       sizes=None):
     """Composed-XLA fallback for geometries no fused kernel shape fits
     (e.g. f32 safe-softmax at T=785, where even qc=64 lane chunks exceed
     scoped VMEM — ADVICE r2 medium). Token-padded inputs (kv < T) run the
-    real rows and zero-fill the pad rows' outputs."""
+    real rows and zero-fill the pad rows' outputs. `sizes` (B, T) f32
+    turns on ToMe proportional attention (softmax(z + log s))."""
     from vit_cpp_tpu.ops.core import attention
 
     b, t, three_h = qkv.shape
@@ -123,12 +125,22 @@ def _attention_qkv_xla(qkv, num_heads: int, kv: int | None = None):
         )
     qkv_s = qkv.reshape(b, t, 3, num_heads, d)
     q, k, v = (qkv_s[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    o = attention(q, k, v, impl="xla")
+    if sizes is not None:
+        scale = 1.0 / (d**0.5)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale + jnp.log(sizes.astype(jnp.float32))[:, None, None, :]
+        w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+    else:
+        o = attention(q, k, v, impl="xla")
     return o.transpose(0, 2, 1, 3).reshape(b, t, h)
 
 
 def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None,
-          bf16exp: bool = False):
+          bf16exp: bool = False, srow=None):
     """(T, D) f-dim attention math shared by both kernels; f32 softmax.
 
     The 1/sqrt(D) scale is folded into Q (T x D elements) rather than the
@@ -140,6 +152,11 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None,
     activations run at a sublane-aligned T so the GEMMs hit their best
     MXU rate, and attention ignores the pad tokens here — the only
     cross-token op in the network).
+
+    `srow` (1, T) f32 per-key positive weights — ToMe proportional
+    attention (ops/tome.py): softmax(z + log s) realised as p*s before
+    the row-sum, riding the same multiply slot as kmask. Mutually
+    exclusive with kmask (pad_tokens and tome never co-occur).
     """
     scale = 1.4426950408889634 / (q.shape[-1] ** 0.5)  # log2(e)/sqrt(D)
     s = jax.lax.dot_general(
@@ -175,6 +192,8 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None,
     p = jnp.exp2(sc)
     if kmask is not None:
         p = p * kmask.astype(p.dtype)  # pad keys: exactly zero weight
+    if srow is not None:
+        p = p * srow.astype(p.dtype)  # ToMe proportional attention
     l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
     # normalize AFTER the PV matmul: divides (T, D) instead of (T, T)
     o = jax.lax.dot_general(
@@ -187,7 +206,7 @@ def _sdpa(q, k, v, out_dtype, fast: bool = False, kmask=None,
 
 
 def _qkv_kernel(
-    x_ref, o_ref, *, nh: int, group: int, fast: bool = False,
+    x_ref, *rest, nh: int, group: int, fast: bool = False,
     kv: int | None = None, bf16exp: bool = False,
 ):
     """`group` batch elements per grid step: x is (G, T, 3h) — [q|k|v] x
@@ -201,7 +220,10 @@ def _qkv_kernel(
     force the full (T, 3h) trailing block, which also keeps VMEM usage
     flat in H. Grouping several images per step amortizes the per-step
     pipeline overhead of the grid (ViT-B/16 has B*12 small dots to issue).
-    """
+
+    `rest` is (o_ref,) or (sizes_ref, o_ref) — sizes is a (G, 1, T) f32
+    block of ToMe token sizes for proportional attention."""
+    sizes_ref, o_ref = (None, rest[0]) if len(rest) == 1 else rest
     t = x_ref.shape[1]
     h = x_ref.shape[2] // 3
     d = h // nh
@@ -212,6 +234,7 @@ def _qkv_kernel(
     kmask = _key_mask(t, kv)
     for g in range(group):
         x = x_ref[g]
+        srow = None if sizes_ref is None else sizes_ref[g]
         for i in range(nh):
             k = x[:, h + i * d : h + (i + 1) * d]
             v = x[:, 2 * h + i * d : 2 * h + (i + 1) * d]
@@ -220,12 +243,12 @@ def _qkv_kernel(
                 q = x[q0:q1, i * d : (i + 1) * d]
                 o_ref[g, q0:q1, i * d : (i + 1) * d] = _sdpa(
                     q, k, v, o_ref.dtype, fast=fast, kmask=kmask,
-                    bf16exp=bf16exp,
+                    bf16exp=bf16exp, srow=srow,
                 )
 
 
 def _qkv_lane_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, d: int, fast: bool,
+    q_ref, k_ref, v_ref, *rest, d: int, fast: bool,
     qc: int | None = None, pipe: bool = False, kv: int | None = None,
     mxusum: bool = False, bf16exp: bool = False,
 ):
@@ -266,7 +289,12 @@ def _qkv_lane_kernel(
     residue masked off. Denominator and numerator then use the SAME
     p (as cast for the dot) under one f32 MXU accumulation — numerically
     a reassociated sum vs the VPU f32 reduce (not bit-exact; same error
-    scale, tests bound it)."""
+    scale, tests bound it).
+
+    `rest` is (o_ref,) or (sizes_ref, o_ref) — sizes is a (1, 1, T) f32
+    block of ToMe token sizes for proportional attention."""
+    sizes_ref, o_ref = (None, rest[0]) if len(rest) == 1 else rest
+    srow = None if sizes_ref is None else sizes_ref[0]
     t = q_ref.shape[1]
     if qc is None:
         qc = _query_chunk(t)
@@ -329,6 +357,8 @@ def _qkv_lane_kernel(
         p = jnp.exp2(sc)
         if kmask is not None:
             p = p * kmask.astype(p.dtype)
+        if srow is not None:
+            p = p * srow.astype(p.dtype)
         term = jax.lax.dot_general(
             p.astype(vm.dtype), vm,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -367,7 +397,7 @@ def _attention_qkv_lane(
     qkv, num_heads, fast, interpret,
     width: int | None = None, pipe: bool | None = None,
     kv: int | None = None, mxusum: bool | None = None,
-    bf16exp: bool | None = None,
+    bf16exp: bool | None = None, sizes=None,
 ):
     b, t, three_h = qkv.shape
     h = three_h // 3
@@ -456,13 +486,22 @@ def _attention_qkv_lane(
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [sec_spec(0), sec_spec(1), sec_spec(2)]
+    operands = [qkv, qkv, qkv]
+    if sizes is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(sizes.astype(jnp.float32).reshape(b, 1, t))
     return pl.pallas_call(
         functools.partial(
             _qkv_lane_kernel, d=h // num_heads, fast=fast, qc=qc, pipe=pipe,
             kv=kv, mxusum=mxusum, bf16exp=bf16exp,
         ),
         grid=(b, wb),
-        in_specs=[sec_spec(0), sec_spec(1), sec_spec(2)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, t, 128 * width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
@@ -473,7 +512,7 @@ def _attention_qkv_lane(
             transcendentals=b * t * t * num_heads,
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(*operands)
 
 
 @functools.partial(
@@ -495,13 +534,20 @@ def attention_qkv(
     kv: int | None = None,
     mxusum: bool | None = None,
     bf16exp: bool | None = None,
+    sizes: jax.Array | None = None,
 ) -> jax.Array:
     """(B, T, 3h) fused-projection output -> (B, T, h) attention output.
 
     `kv` (static): number of REAL tokens when the caller runs activations
     at a padded, sublane-aligned T (forward(pad_tokens=True)); the
     kernels zero the pad keys' softmax weights, the pad rows' outputs
-    are garbage-but-unread."""
+    are garbage-but-unread.
+
+    `sizes` (B, T) f32: ToMe merged-token counts — turns on proportional
+    attention (softmax weights multiplied by the key's size before
+    normalization, ops/tome.py). Mutually exclusive with `kv`."""
+    if sizes is not None and kv is not None:
+        raise ValueError("sizes (tome) and kv (pad_tokens) are exclusive")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pipe is None:
@@ -552,11 +598,11 @@ def attention_qkv(
     if lane_ok and (group == 0 or big):
         out = _attention_qkv_lane(
             qkv, num_heads, fast, interpret, pipe=pipe, kv=kv,
-            mxusum=mxusum, bf16exp=bf16exp,
+            mxusum=mxusum, bf16exp=bf16exp, sizes=sizes,
         )
         if out is not None:
             return out
-        return _attention_qkv_xla(qkv, num_heads, kv=kv)
+        return _attention_qkv_xla(qkv, num_heads, kv=kv, sizes=sizes)
     if pair:
         kern = functools.partial(
             _qkv_pair_kernel, nh=num_heads, fast=fast, pipe=pipe, kv=kv,
@@ -571,16 +617,25 @@ def attention_qkv(
             _qkv_kernel, nh=num_heads, group=group, fast=fast, kv=kv,
             bf16exp=bf16exp,
         )
+    in_specs = [
+        pl.BlockSpec(
+            (group, t, three_h),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    operands = [qkv]
+    if sizes is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (group, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(sizes.astype(jnp.float32).reshape(b, 1, t))
     out = pl.pallas_call(
         kern,
         grid=(b // group,),
-        in_specs=[
-            pl.BlockSpec(
-                (group, t, three_h),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (group, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -594,12 +649,12 @@ def attention_qkv(
             transcendentals=b * t * t * num_heads,
         ),
         interpret=interpret,
-    )(qkv)
+    )(*operands)
     return out
 
 
 def _qkv_pair_kernel(
-    x_ref, o_ref, *, nh: int, fast: bool, pipe: bool = False,
+    x_ref, *rest, nh: int, fast: bool, pipe: bool = False,
     kv: int | None = None, mxusum: bool = False, bf16exp: bool = False,
 ):
     """Masked head-pair variant of _qkv_kernel for head_dim == 64.
@@ -626,7 +681,12 @@ def _qkv_pair_kernel(
     copy (lane d for the lo head, lane 0 for the hi head) so the PV dot
     carries sum_j p_ij alongside PV, deleting both (qc, T) VPU sum
     reduces; the (qc, 128) result is divided by its dead-lane column
-    and the residue masked off (see _qkv_lane_kernel)."""
+    and the residue masked off (see _qkv_lane_kernel).
+
+    `rest` is (o_ref,) or (sizes_ref, o_ref) — sizes is a (1, 1, T) f32
+    block of ToMe token sizes for proportional attention."""
+    sizes_ref, o_ref = (None, rest[0]) if len(rest) == 1 else rest
+    srow = None if sizes_ref is None else sizes_ref[0]
     t = x_ref.shape[1]
     h = x_ref.shape[2] // 3
     d = h // nh
@@ -688,6 +748,9 @@ def _qkv_pair_kernel(
         if kmask is not None:
             km = kmask.astype(p_lo.dtype)
             p_lo, p_hi = p_lo * km, p_hi * km
+        if srow is not None:
+            sw = srow.astype(p_lo.dtype)
+            p_lo, p_hi = p_lo * sw, p_hi * sw
         # normalize AFTER PV, on (qc, 128) instead of (qc, T); the
         # masked V halves make the two normalized terms disjoint on
         # the lane axis, so the sum assembles the aligned output pair
@@ -735,7 +798,7 @@ def _qkv_pair_kernel(
             q = x[q0:q1, i * d : (i + 1) * d]
             o_ref[0, q0:q1, i * d : (i + 1) * d] = _sdpa(
                 q, k, v, o_ref.dtype, fast=fast, kmask=kmask,
-                bf16exp=bf16exp,
+                bf16exp=bf16exp, srow=srow,
             )
 
 
