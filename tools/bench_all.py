@@ -27,6 +27,19 @@ CONFIGS = [
         ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
          "--act", "static"],
     ),
+    # ToMe token merging (ops/tome.py): r most-similar patch-token pairs
+    # merge per layer — the FLOP-reduction lever orthogonal to the
+    # at-their-floor kernels; accuracy trade per the paper's tables
+    (
+        "q8_0_w8a8_tome8",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--tome", "8"],
+    ),
+    (
+        "q8_0_w8a8_tome16",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--tome", "16"],
+    ),
     # f16/bf16 checkpoint on the W8A8 serving path (dense kernels
     # dynamically quantized at load — the `--quant none` serving default;
     # accuracy cost quantified in tests/test_w8a8_accuracy.py)
@@ -57,6 +70,13 @@ CONFIGS = [
     (
         "vitb8_224_q8_0_w8a8",
         ["--patch", "8", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
+    ),
+    # B/8 with ToMe r=32: token merging attacks the 785-token geometry's
+    # quadratic attention from the FLOP side (the kernels are at floor)
+    (
+        "vitb8_224_q8_0_w8a8_tome32",
+        ["--patch", "8", "--quant", "q8_0", "--mm", "int8", "--attn",
+         "pallas-fast", "--tome", "32"],
     ),
     # ViT-H/14 @224 (d=80 heads -> generic full-block attention kernel;
     # K=1280 contractions run the int8 MXU above the flagship's K=768
