@@ -196,8 +196,10 @@ def test_build_engine_img_size_and_vitx_rejection(tmp_path):
     assert not is_vitstr and eng.hp.img_size == 48
     vitx = tmp_path / "m.vitx"
     save_engine(eng, str(vitx), batch=[2])
-    with _pytest.raises(ValueError, match="img-size does not apply"):
+    with _pytest.raises(ValueError, match="do not apply"):
         build_engine(str(vitx), img_size=48)
+    with _pytest.raises(ValueError, match="do not apply"):
+        build_engine(str(vitx), patch_size=4)
     # exported-with-override artifact bakes the new geometry
     from vit_cpp_tpu.aot import AotEngine
 
@@ -228,6 +230,149 @@ def test_engine_img_size_with_production_path(tmp_path):
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.75
     mesh = make_mesh(dp=4, tp=2)
     sh = VitEngine(str(p), img_size=48, verbose=False).shard(mesh)
+    with mesh:
+        got_sh = np.asarray(sh.predict_probs_batch(x))
+    np.testing.assert_allclose(got_sh, ref, atol=2e-5, rtol=1e-4)
+
+
+# ---- FlexiViT patch-size resampling (pi_resize_factor / --patch-size) ----
+#
+# The patch-embedding kernel is pseudo-inverse-resized (FlexiViT, Beyer
+# et al. 2023; timm resample_patch_embed semantics). Two oracles pin it:
+# the DEFINING property (patch-token inner products are preserved
+# exactly under upsampling, since B has full column rank), and the
+# full-matrix pinv construction timm uses (the separable per-axis
+# factors equal pinv(kron(B, B)) by the Kronecker pseudo-inverse
+# identity).
+
+
+@pytest.mark.parametrize("mode", ["bicubic", "bilinear"])
+@pytest.mark.parametrize("p_new", [12, 16])
+def test_pi_resize_preserves_inner_products(mode, p_new):
+    from vit_cpp_tpu.models.resample import resample_patch_embed
+
+    hp = dataclasses.replace(HP, hidden_size=64, patch_size=8)
+    rng = np.random.default_rng(20)
+    kernel = rng.standard_normal((3 * 8 * 8, 64)).astype(np.float32)
+    new = resample_patch_embed(kernel, hp, p_new, mode=mode)
+    assert new.shape == (3 * p_new * p_new, 64)
+    b1 = torch_resize_matrix(8, p_new, mode=mode, antialias=True)
+    for trial in range(3):
+        x = rng.standard_normal((3, 8, 8)).astype(np.float32)
+        # the input-patch resize the factor inverts: per-axis torch AA
+        xr = np.einsum("Oi,cij,Pj->cOP", b1, x, b1)
+        native = x.reshape(-1) @ kernel
+        resized = xr.reshape(-1) @ new
+        np.testing.assert_allclose(resized, native, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("p_old,p_new", [(8, 16), (8, 4), (6, 10)])
+def test_pi_resize_matches_full_matrix_pinv(p_old, p_new):
+    """Separable per-axis factors == pinv of the full 2-D resize matrix
+    (the timm construction): pinv(kron(A, A)) = kron(pinv(A), pinv(A))."""
+    from vit_cpp_tpu.models.resample import resample_patch_embed
+
+    hp = dataclasses.replace(HP, patch_size=p_old)
+    rng = np.random.default_rng(21)
+    kernel = rng.standard_normal((3 * p_old * p_old, 64)).astype(np.float32)
+    got = resample_patch_embed(kernel, hp, p_new)
+    b1 = torch_resize_matrix(p_old, p_new, antialias=True).astype(np.float64)
+    b_full = np.kron(b1, b1)  # row-major (y, x) flatten
+    p_full = np.linalg.pinv(b_full).T  # (p_new^2, p_old^2)
+    k = kernel.reshape(3, p_old * p_old, 64).astype(np.float64)
+    want = np.einsum("OI,cIh->cOh", p_full, k).reshape(
+        3 * p_new * p_new, 64
+    )
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_patch_resample_identity_and_validation():
+    state = random_state_dict(HP, seed=22)
+    params = params_from_state_dict(state, HP)
+    p2, hp2 = resample_params(params, HP, None, patch_size=HP.patch_size)
+    assert p2 is params and hp2 is HP  # no-op shares everything
+    with pytest.raises(ValueError, match="not a multiple"):
+        resample_params(params, HP, None, patch_size=5)  # 32 % 5 != 0
+    hp_str = dataclasses.replace(HP, seq_len=4, num_classes=8)
+    with pytest.raises(ValueError, match="ViTSTR"):
+        resample_params(params, hp_str, None, patch_size=4)
+
+
+@pytest.mark.parametrize("p_new,img", [(4, None), (16, None), (8, 48)])
+def test_patch_resampled_forward_runs(p_new, img):
+    """Patch override (alone and with an img-size override) produces a
+    working model at the new token geometry, and the resampled
+    patch_embed is really applied (perturbing it changes logits)."""
+    state = random_state_dict(HP, seed=23)
+    params = params_from_state_dict(state, HP)
+    p2, hp2 = resample_params(params, HP, img, patch_size=p_new)
+    assert hp2.patch_size == p_new
+    side = hp2.img_size // p_new
+    assert p2["pos_embed"].shape == (side * side + 1, 64)
+    assert p2["patch_embed"]["kernel"].shape == (3 * p_new * p_new, 64)
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((2, 3, hp2.img_size, hp2.img_size)).astype(
+        np.float32
+    )
+    out = np.asarray(forward(p2, x, hp2))
+    assert out.shape == (2, 10) and np.isfinite(out).all()
+    p3 = dict(p2)
+    pe = dict(p2["patch_embed"])
+    pe["kernel"] = p2["patch_embed"]["kernel"] + 0.3 * np.asarray(
+        rng.standard_normal(p2["patch_embed"]["kernel"].shape),
+        dtype=np.float32,
+    )
+    p3["patch_embed"] = pe
+    assert np.abs(np.asarray(forward(p3, x, hp2)) - out).max() > 1e-3
+
+
+def test_engine_patch_size_override_and_vitx_bake(tmp_path):
+    from vit_cpp_tpu.aot import AotEngine, save_engine
+    from vit_cpp_tpu.cli.common import build_engine
+    from vit_cpp_tpu.engine import VitEngine
+
+    p = tmp_path / "m.gguf"
+    write_synthetic_model(str(p), HP, ftype=1, seed=25)
+    eng = VitEngine(str(p), patch_size=4, verbose=False)
+    assert eng.hp.patch_size == 4 and eng.hp.img_size == 32
+    rng = np.random.default_rng(26)
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    probs = np.asarray(eng.predict_probs_batch(x))
+    assert probs.shape == (2, 10) and np.isfinite(probs).all()
+    # the shared CLI builder threads --patch-size; export bakes it
+    eng2, _ = build_engine(
+        str(p), dtype="f32", mm="xla", attn="xla", patch_size=16
+    )
+    assert eng2.hp.patch_size == 16
+    vitx = tmp_path / "m.vitx"
+    save_engine(eng2, str(vitx), batch=[2])
+    assert AotEngine(str(vitx)).hp.patch_size == 16
+
+
+def test_engine_patch_size_with_production_path(tmp_path):
+    """Patch override composes with the W8A8 + fold-ln serving stack and
+    with sharded serving on the CPU mesh."""
+    import jax.numpy as jnp
+
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.parallel.mesh import make_mesh
+
+    hp = dataclasses.replace(HP, num_classes=16)
+    p = tmp_path / "m.gguf"
+    write_synthetic_model(str(p), hp, ftype=1, seed=27)
+    rng = np.random.default_rng(28)
+    x = jnp.asarray(rng.standard_normal((8, 3, 32, 32)).astype(np.float32))
+    ref = np.asarray(
+        VitEngine(str(p), patch_size=4, verbose=False).predict_probs_batch(x)
+    )
+    w8 = VitEngine(
+        str(p), patch_size=4, mm_impl="int8", fold_ln=True, verbose=False
+    )
+    got = np.asarray(w8.predict_probs_batch(x))
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.75
+    mesh = make_mesh(dp=4, tp=2)
+    sh = VitEngine(str(p), patch_size=4, verbose=False).shard(mesh)
     with mesh:
         got_sh = np.asarray(sh.predict_probs_batch(x))
     np.testing.assert_allclose(got_sh, ref, atol=2e-5, rtol=1e-4)

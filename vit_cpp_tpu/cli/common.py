@@ -17,6 +17,7 @@ def build_engine(
     fold_ln=None,
     act: str = "dynamic",
     img_size=None,
+    patch_size=None,
     tome: int = 0,
 ):
     """gguf checkpoint or .vitx artifact -> (engine, is_vitstr).
@@ -37,10 +38,11 @@ def build_engine(
                 "activation scales were baked at export (vit-export "
                 "--act static --calib-dir ...)"
             )
-        if img_size is not None:
+        if img_size is not None or patch_size is not None:
             raise ValueError(
-                "--img-size does not apply to a .vitx artifact — its "
-                "geometry was baked at export (vit-export --img-size ...)"
+                "--img-size/--patch-size do not apply to a .vitx artifact "
+                "— its geometry was baked at export (vit-export "
+                "--img-size/--patch-size ...)"
             )
         if tome:
             raise ValueError(
@@ -67,6 +69,7 @@ def build_engine(
         fold_ln=fold_ln,
         act_quant=act,
         img_size=img_size,
+        patch_size=patch_size,
         tome=tome,
         verbose=False,
     )

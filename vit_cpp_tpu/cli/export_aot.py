@@ -56,6 +56,12 @@ def main(argv=None) -> int:
         "checkpoint's patch size",
     )
     ap.add_argument(
+        "--patch-size", type=int, default=None, metavar="P",
+        help="bake a non-native patch granularity into the artifact: the "
+        "patch-embedding kernel is PI-resized (FlexiViT semantics) "
+        "before the program is lowered; must divide the image size",
+    )
+    ap.add_argument(
         "--tome", type=int, default=0, metavar="R",
         help="bake ToMe token merging (ops/tome.py) into the artifact's "
         "graph: R most-similar patch-token pairs merge per layer "
@@ -114,7 +120,7 @@ def main(argv=None) -> int:
         engine, _ = build_engine(
             args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
             fold_ln=args.fold_ln, act=args.act, img_size=args.img_size,
-            tome=args.tome,
+            patch_size=args.patch_size, tome=args.tome,
         )
         if args.act == "static":
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths

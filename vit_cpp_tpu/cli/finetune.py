@@ -105,6 +105,13 @@ def main(argv=None) -> int:
         "natively; must be a multiple of the patch size",
     )
     ap.add_argument(
+        "--patch-size", type=int, default=None, metavar="P",
+        help="fine-tune at a non-native patch granularity (the FlexiViT "
+        "transfer recipe): the patch-embedding kernel is PI-resized and "
+        "the pos_embed grid follows; the output checkpoint serves patch "
+        "P natively; must divide the (possibly overridden) image size",
+    )
+    ap.add_argument(
         "--ftype", type=int, choices=[0, 1], default=1,
         help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
         "block formats)",
@@ -177,6 +184,7 @@ def main(argv=None) -> int:
             decode_threads=args.decode_threads,
             val_dir=args.val_dir,
             img_size=args.img_size,
+            patch_size=args.patch_size,
             stream=args.stream,
             log=lambda m: print(m, file=sys.stderr),
         )

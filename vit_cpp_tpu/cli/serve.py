@@ -79,6 +79,14 @@ def main(argv=None) -> int:
         "checkpoint's patch size (gguf classifiers only)",
     )
     ap.add_argument(
+        "--patch-size", type=int, default=None, metavar="P",
+        help="serve at a non-native patch granularity: the patch-embedding "
+        "kernel is PI-resized (FlexiViT / timm resample_patch_embed "
+        "semantics) and the pos_embed grid follows; smaller P = more "
+        "tokens = higher accuracy/cost, larger P = fewer tokens = faster "
+        "(gguf classifiers only)",
+    )
+    ap.add_argument(
         "--mesh",
         metavar="DPxTP",
         default=None,
@@ -168,10 +176,11 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if args.img_size is not None:
+        if args.img_size is not None or args.patch_size is not None:
             print(
-                "--img-size does not apply to a .vitx artifact — its "
-                "geometry was baked at export (vit-export --img-size)",
+                "--img-size/--patch-size do not apply to a .vitx artifact "
+                "— its geometry was baked at export (vit-export "
+                "--img-size/--patch-size)",
                 file=sys.stderr,
             )
             return 1
@@ -245,6 +254,7 @@ def main(argv=None) -> int:
             fold_ln=fold_ln,
             act_quant=args.act,
             img_size=args.img_size,
+            patch_size=args.patch_size,
             tome=args.tome,
             verbose=False,
         )

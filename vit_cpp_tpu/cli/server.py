@@ -59,6 +59,12 @@ def main(argv=None) -> int:
         "every gguf model served (multiple of each patch size)",
     )
     ap.add_argument(
+        "--patch-size", type=int, default=None, metavar="P",
+        help="serve at a non-native patch granularity: PI-resize the "
+        "patch-embedding kernel (FlexiViT semantics) on every gguf "
+        "model served; must divide the (possibly overridden) image size",
+    )
+    ap.add_argument(
         "--tome", type=int, default=0, metavar="R",
         help="ToMe token merging (ops/tome.py) on every gguf classifier "
         "served: merge R most-similar patch-token pairs per layer "
@@ -154,10 +160,12 @@ def main(argv=None) -> int:
                 # --img-size applies per gguf model; .vitx artifacts baked
                 # their geometry at export — skip them with a notice
                 # rather than failing the whole multi-model daemon
-                if args.img_size is not None and is_vitx(path):
+                if (
+                    args.img_size is not None or args.patch_size is not None
+                ) and is_vitx(path):
                     print(
                         f"vit-server: {name}: .vitx geometry is baked at "
-                        f"export; ignoring --img-size {args.img_size}",
+                        f"export; ignoring --img-size/--patch-size",
                         file=sys.stderr,
                     )
                 if args.tome and is_vitx(path):
@@ -171,6 +179,7 @@ def main(argv=None) -> int:
                     path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                     fold_ln=args.fold_ln, act=args.act,
                     img_size=None if is_vitx(path) else args.img_size,
+                    patch_size=None if is_vitx(path) else args.patch_size,
                     tome=0 if is_vitx(path) else args.tome,
                 )
             except ValueError as e:  # e.g. --act static on a .vitx
@@ -280,7 +289,7 @@ def main(argv=None) -> int:
             engine, is_vitstr = build_engine(
                 model_path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                 fold_ln=args.fold_ln, act=args.act,
-                img_size=args.img_size,
+                img_size=args.img_size, patch_size=args.patch_size,
             )
         except ValueError as e:  # e.g. --img-size on ViTSTR / bad multiple
             print(f"vit-server: {e}", file=sys.stderr)

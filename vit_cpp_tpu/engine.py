@@ -101,6 +101,7 @@ class VitEngine:
         fold_ln: bool = False,
         act_quant: str = "dynamic",
         img_size: Optional[int] = None,
+        patch_size: Optional[int] = None,
         tome: int = 0,
         verbose: bool = True,
     ):
@@ -131,18 +132,33 @@ class VitEngine:
             )
         self.id2label = mf.id2label
         self.params = load_params(mf, dtype=dtype, hparams=hp)
-        if img_size is not None and img_size != hp.img_size:
-            # serve at a non-native resolution: bicubically resample the
-            # pos_embed grid (timm resample_abs_pos_embed semantics,
-            # models/resample.py). The reference can only serve the
-            # trained size.
+        if (img_size is not None and img_size != hp.img_size) or (
+            patch_size is not None and patch_size != hp.patch_size
+        ):
+            # serve at a non-native resolution and/or patch granularity:
+            # the pos_embed grid is bicubically resampled (timm
+            # resample_abs_pos_embed semantics) and the patch-embedding
+            # kernel PI-resized (FlexiViT / timm resample_patch_embed
+            # semantics) — models/resample.py. The reference can only
+            # serve the trained geometry.
             from vit_cpp_tpu.models.resample import resample_params
 
-            self.params, hp = resample_params(self.params, hp, img_size)
+            patch_changed = (
+                patch_size is not None and patch_size != hp.patch_size
+            )
+            self.params, hp = resample_params(
+                self.params, hp, img_size, patch_size=patch_size
+            )
             if verbose:
                 print(
-                    f"vit_model_load: img_size override      = {img_size} "
-                    f"(pos_embed resampled)"
+                    f"vit_model_load: geometry override      = "
+                    f"{hp.img_size} px / patch {hp.patch_size} "
+                    f"(pos_embed resampled"
+                    + (
+                        ", patch_embed PI-resized)"
+                        if patch_changed
+                        else ")"
+                    )
                 )
         self.hp = hp
         if mm_impl == "int8":

@@ -367,6 +367,7 @@ def finetune(
     decode_threads: int = 0,
     val_dir: Optional[str] = None,
     img_size: Optional[int] = None,
+    patch_size: Optional[int] = None,
     stream: bool = False,
     log=print,
 ) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
@@ -453,18 +454,26 @@ def finetune(
         )
 
     params = _dense_f32(load_params(mf, jnp.float32, hparams=hp))
-    native_img_size = hp.img_size  # pre-resample: what legacy runs trained at
-    if img_size is not None and img_size != hp.img_size:
+    # pre-resample: what legacy runs trained at
+    native_img_size = hp.img_size
+    native_patch_size = hp.patch_size
+    if (img_size is not None and img_size != hp.img_size) or (
+        patch_size is not None and patch_size != hp.patch_size
+    ):
         # fine-tune at a new resolution (the classic ViT recipe: pretrain
-        # low-res, fine-tune high-res): bicubically resample the pos_embed
-        # grid before training — models/resample.py, timm semantics. The
-        # exported checkpoint then serves the new size natively.
+        # low-res, fine-tune high-res) and/or patch granularity (the
+        # FlexiViT transfer recipe: PI-resized patch_embed + resampled
+        # pos_embed, models/resample.py). The exported checkpoint then
+        # serves the new geometry natively.
         from vit_cpp_tpu.models.resample import resample_params
 
-        params, hp = resample_params(params, hp, img_size)
+        params, hp = resample_params(
+            params, hp, img_size, patch_size=patch_size
+        )
         log(
-            f"finetune: img_size {img_size} (pos_embed resampled from "
-            f"the checkpoint's native grid)"
+            f"finetune: geometry {hp.img_size} px / patch "
+            f"{hp.patch_size} (resampled from the checkpoint's native "
+            f"grid)"
         )
     if not is_vitstr and len(classes) != hp.num_classes:
         log(
@@ -546,10 +555,12 @@ def finetune(
         "label_smoothing": label_smoothing,
         "mixup": mixup,
         "ema": ema,
-        # the trained geometry: resuming at a different resolution would
-        # restore pos_embed into mismatched shapes (or worse, silently
-        # retrain a re-resampled grid)
+        # the trained geometry: resuming at a different resolution or
+        # patch granularity would restore pos_embed/patch_embed into
+        # mismatched shapes (or worse, silently retrain a re-resampled
+        # grid)
         "img_size": hp.img_size,
+        "patch_size": hp.patch_size,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -586,6 +597,14 @@ def finetune(
                 f"(trained at the native {native_img_size}); resuming at "
                 f"{hp.img_size} would not replay the original run — drop "
                 "--img-size or use a fresh --ckpt-dir"
+            )
+        if "patch_size" in missing and hp.patch_size != native_patch_size:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --patch-size "
+                f"recording (trained at the native patch "
+                f"{native_patch_size}); resuming at patch {hp.patch_size} "
+                "would not replay the original run — drop --patch-size "
+                "or use a fresh --ckpt-dir"
             )
         if missing:
             log(

@@ -1,4 +1,4 @@
-"""Positional-embedding resolution resampling.
+"""Checkpoint geometry resampling: resolution and patch granularity.
 
 Serve or fine-tune a checkpoint at a different image size than it was
 trained at: the (side, side, h) grid of `pos_embed` is bicubically
@@ -6,6 +6,14 @@ interpolated to the new patch grid, with timm `resample_abs_pos_embed`
 semantics (timm/layers/pos_embed.py — torch `F.interpolate`,
 align_corners=False, antialias on downscale; prefix rows pass through
 untouched; `no_embed_class` embeddings are all-grid already).
+
+Or at a different PATCH size (FlexiViT, Beyer et al. 2023): the
+patch-embedding kernel is pseudo-inverse-resized (`pi_resize_factor`) so
+patch-token inner products are preserved under the input resize, with
+timm `resample_patch_embed` semantics, and the pos_embed grid follows.
+A /16 checkpoint can then trade accuracy for speed at /32, or tokens
+for accuracy at /8, at load time — no retraining (though `vit-finetune
+--patch-size` refines the resampled weights when labels are available).
 
 The reference has no equivalent: vit.cpp serves only the trained
 resolution (usage() `-i` just resizes the IMAGE, vit.cpp:159-278), so a
@@ -130,36 +138,99 @@ def resample_pos_embed(
     return np.concatenate([prefix, g.reshape(new_side * new_side, -1)], axis=0)
 
 
+def pi_resize_factor(
+    n_in: int, n_out: int, mode: str = "bicubic", antialias: bool = True
+) -> np.ndarray:
+    """(n_out, n_in) one-axis pseudo-inverse patch-resize factor (B+)^T.
+
+    FlexiViT (Beyer et al., 2023): resizing the INPUT patches by the
+    linear map B changes every patch-embedding inner product; the weight
+    that preserves them is w' = (B+)^T w (exactly, for upsampling — B has
+    full column rank; least-squares optimal for downsampling). timm's
+    `resample_patch_embed` builds the full 2-D resize matrix by probing
+    with one-hot images and pinv's it; that matrix is kron(By, Bx), and
+    pinv(kron(A, B)) == kron(pinv(A), pinv(B)), so the per-axis factor
+    below applied to both spatial dims is the same operator (pinned
+    numerically in tests/test_resample.py). B itself is the torch
+    `F.interpolate` weight matrix (`torch_resize_matrix`), matching the
+    timm default (bicubic, antialias=True)."""
+    b = torch_resize_matrix(n_in, n_out, mode=mode, antialias=antialias)
+    return np.linalg.pinv(b.astype(np.float64)).T
+
+
+def resample_patch_embed(
+    kernel: np.ndarray,
+    hp: VitHParams,
+    new_patch: int,
+    mode: str = "bicubic",
+    antialias: bool = True,
+) -> np.ndarray:
+    """PI-resize a flattened (c*p*p, h) patch-embedding kernel (the
+    [c, py, px] matmul layout of models/params.py) to (c*p'*p', h)."""
+    p = hp.patch_size
+    c = hp.in_chans
+    kernel = np.asarray(kernel, dtype=np.float32)
+    if kernel.shape[0] != c * p * p:
+        raise ValueError(
+            f"patch_embed kernel rows {kernel.shape[0]} != "
+            f"in_chans*p*p = {c * p * p}"
+        )
+    if new_patch == p:
+        return kernel
+    f = pi_resize_factor(p, new_patch, mode=mode, antialias=antialias)
+    k = kernel.reshape(c, p, p, -1).astype(np.float64)
+    k = np.einsum("Oi,cijh,Pj->cOPh", f, k, f, optimize=True)
+    return k.reshape(c * new_patch * new_patch, -1).astype(np.float32)
+
+
 def resample_params(
     params: Dict[str, Any],
     hp: VitHParams,
-    img_size: int,
+    img_size: "int | None",
     mode: str = "bicubic",
     antialias: bool = True,
+    patch_size: "int | None" = None,
 ) -> Tuple[Dict[str, Any], VitHParams]:
-    """New (params, hparams) serving `img_size`: pos_embed interpolated,
+    """New (params, hparams) serving `img_size` and/or `patch_size`:
+    pos_embed grid interpolated (timm `resample_abs_pos_embed`
+    semantics), patch_embed PI-resized (FlexiViT / timm
+    `resample_patch_embed` semantics) when the patch size changes;
     everything else shared (no copy). ViTSTR models resample their
     non-square grid separately (models/vitstr.py owns that layout)."""
     if hp.seq_len is not None:
         raise ValueError(
-            "img-size override is not supported for ViTSTR checkpoints: "
-            "the sequence head reads the first seq_len token rows, so the "
-            "decoder is coupled to the trained grid layout"
+            "img-size/patch-size overrides are not supported for ViTSTR "
+            "checkpoints: the sequence head reads the first seq_len token "
+            "rows, so the decoder is coupled to the trained grid layout"
         )
-    if img_size % hp.patch_size:
+    new_img = hp.img_size if img_size is None else img_size
+    new_p = hp.patch_size if patch_size is None else patch_size
+    if new_p < 1:
+        raise ValueError(f"patch_size must be >= 1, got {new_p}")
+    if new_img % new_p:
         raise ValueError(
-            f"img_size {img_size} is not a multiple of patch_size "
-            f"{hp.patch_size}"
+            f"img_size {new_img} is not a multiple of patch_size {new_p}"
         )
-    if img_size == hp.img_size:
+    if new_img == hp.img_size and new_p == hp.patch_size:
         return params, hp
-    new_hp = dataclasses.replace(hp, img_size=img_size)
-    pos = np.asarray(params["pos_embed"], dtype=np.float32)
-    new_pos = resample_pos_embed(
-        pos, hp, img_size // hp.patch_size, mode=mode, antialias=antialias
-    )
-    out = dict(params)
     import jax.numpy as jnp
 
+    out = dict(params)
+    if new_p != hp.patch_size:
+        pe = dict(params["patch_embed"])
+        old_kernel = params["patch_embed"]["kernel"]
+        pe["kernel"] = jnp.asarray(
+            resample_patch_embed(
+                np.asarray(old_kernel, dtype=np.float32), hp, new_p,
+                mode=mode, antialias=antialias,
+            ),
+            dtype=old_kernel.dtype,
+        )
+        out["patch_embed"] = pe
+    new_hp = dataclasses.replace(hp, img_size=new_img, patch_size=new_p)
+    pos = np.asarray(params["pos_embed"], dtype=np.float32)
+    new_pos = resample_pos_embed(
+        pos, hp, new_img // new_p, mode=mode, antialias=antialias
+    )
     out["pos_embed"] = jnp.asarray(new_pos)
     return out, new_hp
