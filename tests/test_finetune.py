@@ -362,6 +362,58 @@ def test_finetune_at_higher_resolution(model_path, tmp_path):
         )
 
 
+def test_finetune_at_new_patch_size(model_path, tmp_path):
+    """--patch-size: the FlexiViT transfer recipe. The p=8 checkpoint
+    trains at p=4 (patch_embed PI-resized + pos_embed resampled,
+    models/resample.py); the exported gguf serves p=4 natively; the
+    resume guard pins the trained patch granularity."""
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.finetune import finetune
+    from vit_cpp_tpu.models.export import save_params
+
+    data = _make_dataset(tmp_path / "train")
+    ck = str(tmp_path / "ckpt")
+    params, hp, classes, losses = finetune(
+        model_path, data, epochs=3, batch=4, lr=1e-3, patch_size=4,
+        ckpt_dir=ck, log=lambda m: None,
+    )
+    assert hp.patch_size == 4 and hp.img_size == 32
+    assert params["pos_embed"].shape == (8 * 8 + 1, 64)
+    assert params["patch_embed"]["kernel"].shape == (3 * 4 * 4, 64)
+    assert losses[-1] < losses[0]
+    out = tmp_path / "ft_p4.gguf"
+    save_params(str(out), params, hp, id2label=dict(enumerate(classes)))
+    eng = VitEngine(str(out), verbose=False)
+    assert eng.hp.patch_size == 4
+    rng = np.random.default_rng(0)
+    dark = rng.integers(0, 40, (2, 32, 32, 3), dtype=np.uint8)
+    import jax.numpy as jnp
+
+    pix = jnp.stack([eng.preprocess_image(im) for im in dark])
+    probs = np.asarray(eng.predict_probs_batch(pix))
+    assert (probs.argmax(-1) == classes.index("aa_dark")).all()
+    # resuming at a different patch granularity would restore mismatched
+    # patch_embed/pos_embed shapes
+    with pytest.raises(ValueError, match="does not match|would not replay"):
+        finetune(
+            model_path, data, epochs=4, batch=4, lr=1e-3, patch_size=16,
+            ckpt_dir=ck, log=lambda m: None,
+        )
+    # a LEGACY meta (predates patch_size recording) must also reject
+    import json
+
+    with open(ck + ".meta.json") as f:
+        meta = json.load(f)
+    meta.pop("patch_size")
+    with open(ck + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="predates --patch-size"):
+        finetune(
+            model_path, data, epochs=4, batch=4, lr=1e-3, patch_size=16,
+            ckpt_dir=ck, log=lambda m: None,
+        )
+
+
 def test_stream_matches_preloaded_bit_identically(model_path, tmp_path):
     """--stream decodes per batch on a prefetch thread; batch composition
     derives from indices either way, so the trained parameters must be
