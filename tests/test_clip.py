@@ -7,6 +7,8 @@ family's 1e-5 LayerNorm eps."""
 import numpy as np
 import pytest
 
+pytest.importorskip("transformers")
+
 from vit_cpp_tpu.cli.convert import infer_hparams, remap_hf_clip, remap_hf_siglip
 from vit_cpp_tpu.models import params_from_state_dict
 from vit_cpp_tpu.models.vit import forward

@@ -67,7 +67,7 @@ def test_pipeline_overlap(monkeypatch):
         stages.append(("decode", time.perf_counter()))
         return [np.zeros((16, 16, 3), np.uint8) for _ in paths]
 
-    def stub_preprocess(imgs, size, mode=None):
+    def stub_preprocess(imgs, size, mode=None, mean=None, std=None):
         return np.zeros((len(imgs), 3, size, size), np.float32)
 
     monkeypatch.setattr(serve_mod, "_decode_many", stub_decode)

@@ -9,6 +9,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytest.importorskip("transformers")
+
 from vit_cpp_tpu.cli.convert import infer_hparams, remap_hf_siglip
 from vit_cpp_tpu.hparams import VitHParams
 from vit_cpp_tpu.models import params_from_state_dict

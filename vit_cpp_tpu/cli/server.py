@@ -163,9 +163,14 @@ def main(argv=None) -> int:
                 if (
                     args.img_size is not None or args.patch_size is not None
                 ) and is_vitx(path):
+                    skipped = []
+                    if args.img_size is not None:
+                        skipped.append(f"--img-size {args.img_size}")
+                    if args.patch_size is not None:
+                        skipped.append(f"--patch-size {args.patch_size}")
                     print(
                         f"vit-server: {name}: .vitx geometry is baked at "
-                        f"export; ignoring --img-size/--patch-size",
+                        f"export; ignoring {' '.join(skipped)}",
                         file=sys.stderr,
                     )
                 if args.tome and is_vitx(path):
