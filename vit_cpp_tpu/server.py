@@ -46,7 +46,20 @@ import json
 import queue
 import threading
 from concurrent.futures import Future
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+from http.server import ThreadingHTTPServer as _StdThreadingHTTPServer
+
+
+class ThreadingHTTPServer(_StdThreadingHTTPServer):
+    """Stdlib server with a production listen backlog: the default
+    request_queue_size of 5 RSTs concurrent connects the moment more
+    than a handful of clients arrive in one scheduling quantum (measured
+    by the 64-client soak, tests/test_server_soak.py — ConnectionReset
+    storms on a 1-core host). 128 matches the micro-batcher's admission
+    bound scale; overload is then handled by the 503 path, not the
+    kernel."""
+
+    request_queue_size = 128
 from typing import Optional
 
 import numpy as np
