@@ -140,6 +140,21 @@ class TestFlashAttention:
         paired = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=True))
         np.testing.assert_array_equal(paired, carve)
 
+    @pytest.mark.parametrize("nh", [2, 4])
+    def test_grad_pair_pipe_bit_exact(self, nh):
+        """The interleaved two-half backward schedule (default since r4:
+        +23% kernel rate, tools/attn_grad_anatomy.py) is a pure
+        instruction reorder — bit-exact vs the sequential order."""
+        from vit_cpp_tpu.ops.flash_attention import _attention_qkv_grad
+
+        b, t, d = 2, 29, 64
+        rng = np.random.default_rng(19)
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * nh * d)), jnp.float32)
+        do = jnp.asarray(rng.standard_normal((b, t, nh * d)), jnp.float32)
+        seq = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=True, pipe=False))
+        pip = np.asarray(_attention_qkv_grad(qkv, do, nh, pair=True, pipe=True))
+        np.testing.assert_array_equal(pip, seq)
+
     @pytest.mark.parametrize("nh,d", [(2, 64), (1, 128)])
     def test_grad_lane_kernel_matches_carve(self, nh, d):
         """The lane-block backward (large T x wide h plan) matches the

@@ -40,6 +40,13 @@ CONFIGS = [
         ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
          "--tome", "16"],
     ),
+    # max-throughput merge point (r-sweep in docs/TUNING.md: MFU is flat
+    # in r, so throughput tracks the FLOP cut; r=26 is 2.7x unmerged)
+    (
+        "q8_0_w8a8_tome26",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--tome", "26"],
+    ),
     # f16/bf16 checkpoint on the W8A8 serving path (dense kernels
     # dynamically quantized at load — the `--quant none` serving default;
     # accuracy cost quantified in tests/test_w8a8_accuracy.py)

@@ -218,9 +218,19 @@ def tome_block(
         from vit_cpp_tpu.ops.tome import tome_merge
 
         # similarity metric: the mean attention key over heads (the
-        # paper's choice — keys already summarize what each token offers)
-        metric = jnp.mean(
-            qkv[:, :, h : 2 * h].reshape(b, t, nh, hd), axis=2
+        # paper's choice — keys already summarize what each token offers).
+        # Computed as one small GEMM (tiled-eye head-sum matrix) instead
+        # of reshape+mean: the reshape form materialized a full f32
+        # (B, T, h) intermediate plus a layout copy per layer (~2 ms/iter
+        # of pure HBM traffic in the r4 profile); the GEMM emits the
+        # (B, T, head_dim) metric directly. The /nh mean scaling is
+        # dropped — cosine similarity is norm-invariant.
+        head_sum = jnp.tile(jnp.eye(hd, dtype=qkv.dtype), (nh, 1))
+        metric = jax.lax.dot_general(
+            qkv[:, :, h : 2 * h],
+            head_sum,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         x, sizes = tome_merge(x, metric, sizes, r, hp.n_prefix)
 

@@ -97,6 +97,19 @@ def _pipe_enabled() -> bool:
     return _env_flag("VIT_ATTN_PIPE")
 
 
+def _grad_pipe_enabled() -> bool:
+    """Backward pair kernel's interleaved two-half schedule — default ON
+    (unlike the forward pipe knob, which measured neutral): the VJP's
+    VPU chain is 2x the forward's and was the one below-issued-rate
+    fusion family (r3 attribution); the stage-toggled anatomy measured
+    the interleave at 0.679 -> 0.552 ms/call at flagship/bs-64 shape
+    (tools/attn_grad_anatomy.py, docs/TUNING.md r4). Bit-exact.
+    VIT_ATTN_GRAD_PIPE=0 restores the sequential order."""
+    import os
+
+    return os.environ.get("VIT_ATTN_GRAD_PIPE", "1") != "0"
+
+
 def _key_mask(t: int, kv: int | None):
     """(1, t) f32 0/1 key-column mask for token-padded serving; None when
     every key is real (the default — zero extra VPU work)."""
@@ -833,7 +846,7 @@ def _qkv_grad_kernel(x_ref, do_ref, dx_ref, *, nh: int):
     for i in range(nh):
         _qkv_grad_head(x, do, dx_ref, i, h, d)
 
-def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int):
+def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, pipe: bool = True):
     """Masked head-pair variant of _qkv_grad_kernel for head_dim == 64.
 
     Per-head d=64 carves at odd 64-lane offsets are cross-lane relayouts
@@ -866,28 +879,62 @@ def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int):
         vp = x[:, 2 * h + i * d : 2 * h + (i + 2) * d]
         dop = do[:, i * d : (i + 2) * d]
         qs = (qp.astype(jnp.float32) * scale).astype(x.dtype)
-        dq_pair = dk_pair = dv_pair = None
-        for m in (m_lo, m_hi):
-            km, qm = kp * m, qp * m
-            dom = dop * m
-            s = dot(qs, km, ((1,), (1,)))  # masked K kills the other head
-            p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
-            pn = p / jnp.sum(p, axis=-1, keepdims=True)
-            pnc = pn.astype(x.dtype)
-            dv = dot(pnc, dom, ((0,), (0,)))  # lanes of the masked half
-            dp = dot(dom, vp, ((1,), (1,)))  # masked dO kills hi-lane terms
-            r = jnp.sum(dp * pn, axis=-1, keepdims=True)
-            ds = (pn * (dp - r)).astype(x.dtype)
-            dq = dot(ds, km, ((1,), (0,))) * nat
-            dk = dot(ds, qm, ((0,), (0,))) * nat
-            if dq_pair is None:
-                dq_pair, dk_pair, dv_pair = dq, dk, dv
-            else:
-                dq_pair, dk_pair, dv_pair = (
-                    dq_pair + dq,
-                    dk_pair + dk,
-                    dv_pair + dv,
-                )
+        if pipe:
+            # interleave the two mask-halves' dependent chains stage by
+            # stage, handing Mosaic independent MXU work during every
+            # VPU pass (softmax, dsoftmax). The forward pipe knob
+            # measured neutral (its VPU chain hides behind the dots)
+            # but the backward's VPU chain is 2x longer and was the one
+            # below-rate fusion family: the stage-toggled anatomy
+            # (tools/attn_grad_anatomy.py, r4) measured 0.679 -> 0.552
+            # ms/call (56.2 -> 69.1 issued TFLOP/s, vs the 5-dot
+            # dotsonly floor at 81.2). Bit-exact: each half's math and
+            # the lo-then-hi accumulation order are unchanged.
+            kms = (kp * m_lo, kp * m_hi)
+            qms = (qp * m_lo, qp * m_hi)
+            doms = (dop * m_lo, dop * m_hi)
+            ss = [dot(qs, km, ((1,), (1,))) for km in kms]
+            pns = []
+            for s in ss:
+                p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+                pns.append(p / jnp.sum(p, axis=-1, keepdims=True))
+            dvs = [
+                dot(pn.astype(x.dtype), dom, ((0,), (0,)))
+                for pn, dom in zip(pns, doms)
+            ]
+            dps = [dot(dom, vp, ((1,), (1,))) for dom in doms]
+            dss = []
+            for pn, dp in zip(pns, dps):
+                r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+                dss.append((pn * (dp - r)).astype(x.dtype))
+            dqs = [dot(ds, km, ((1,), (0,))) * nat for ds, km in zip(dss, kms)]
+            dks = [dot(ds, qm, ((0,), (0,))) * nat for ds, qm in zip(dss, qms)]
+            dq_pair = dqs[0] + dqs[1]
+            dk_pair = dks[0] + dks[1]
+            dv_pair = dvs[0] + dvs[1]
+        else:
+            dq_pair = dk_pair = dv_pair = None
+            for m in (m_lo, m_hi):
+                km, qm = kp * m, qp * m
+                dom = dop * m
+                s = dot(qs, km, ((1,), (1,)))  # masked K kills the other head
+                p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+                pn = p / jnp.sum(p, axis=-1, keepdims=True)
+                pnc = pn.astype(x.dtype)
+                dv = dot(pnc, dom, ((0,), (0,)))  # lanes of the masked half
+                dp = dot(dom, vp, ((1,), (1,)))  # masked dO kills hi-lane terms
+                r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+                ds = (pn * (dp - r)).astype(x.dtype)
+                dq = dot(ds, km, ((1,), (0,))) * nat
+                dk = dot(ds, qm, ((0,), (0,))) * nat
+                if dq_pair is None:
+                    dq_pair, dk_pair, dv_pair = dq, dk, dv
+                else:
+                    dq_pair, dk_pair, dv_pair = (
+                        dq_pair + dq,
+                        dk_pair + dk,
+                        dv_pair + dv,
+                    )
         dx_ref[0, :, i * d : (i + 2) * d] = dq_pair.astype(dx_ref.dtype)
         dx_ref[0, :, h + i * d : h + (i + 2) * d] = dk_pair.astype(dx_ref.dtype)
         dx_ref[0, :, 2 * h + i * d : 2 * h + (i + 2) * d] = dv_pair.astype(
@@ -1076,7 +1123,12 @@ def _grad_plan(t: int, h: int, d: int, itemsize: int):
 
 
 def _attention_qkv_grad(
-    qkv, do, num_heads: int, interpret: bool | None = None, pair: bool | None = None
+    qkv,
+    do,
+    num_heads: int,
+    interpret: bool | None = None,
+    pair: bool | None = None,
+    pipe: bool | None = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1092,7 +1144,13 @@ def _attention_qkv_grad(
             and h // num_heads == 64
             and num_heads >= 2
         )
-    kern = _qkv_grad_pair_kernel if pair else _qkv_grad_kernel
+    if pipe is None:
+        pipe = _grad_pipe_enabled()
+    kern = (
+        functools.partial(_qkv_grad_pair_kernel, pipe=pipe)
+        if pair
+        else _qkv_grad_kernel
+    )
     return pl.pallas_call(
         functools.partial(kern, nh=num_heads),
         grid=(b,),

@@ -57,48 +57,70 @@ def tome_schedule(n_patches: int, num_layers: int, r: int) -> list[int]:
     return rs
 
 
-def _merge_one(x, metric, sizes, r: int):
-    """Single-example bipartite soft matching + size-weighted merge.
+def _merge_matrix(metric, sizes, r: int, n_prefix: int):
+    """Batched bipartite soft matching as a merge MATRIX.
 
-    x: (Tp, h) patch tokens, metric: (Tp, d) similarity features (mean
-    attention key over heads), sizes: (Tp,) f32 merged-token counts.
-    Returns (x', sizes') with Tp - r rows. Set A = even indices,
-    set B = odd indices; each A token matches its most similar B token;
-    the r highest-similarity A tokens merge into their match.
+    Returns (M, sizes') where M is (B, T-r, T) f32 row-normalized merge
+    weights and sizes' = S @ sizes the new per-token counts. Row layout:
+    [prefix identity | kept-A one-hots (original order) | size-weighted
+    B rows]. Applying x' = M @ x is then ONE batched GEMM that never
+    slices, gathers, or concatenates the (B, T, h) activations — the r4
+    profile measured the split/gather/concat formulation spending ~17%
+    of device time in sub-1-TFLOP/s copy/slice/reshape/reduce fusions
+    AND dragging the main GEMM-fusion family to 143 TFLOP/s (vs 176
+    with this form) through fragmentation (docs/TUNING.md "ToMe token
+    merging"); all index machinery here runs on (T, T)-scale arrays.
+
+    metric: (B, T, d) similarity features, sizes: (B, T) f32 counts.
+    Set A = even patch indices, B = odd; each A token matches its most
+    similar B token; the r highest-similarity A tokens merge into their
+    match (the official implementation's matching, prefix-protected).
     """
-    tp = x.shape[0]
+    bsz, t = sizes.shape
+    tp = t - n_prefix
     ta = (tp + 1) // 2
     tb = tp // 2
-    m = metric.astype(jnp.float32)
+    m = metric[:, n_prefix:].astype(jnp.float32)
     m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
-    ma, mb = m[0::2], m[1::2]
-    xa, xb = x[0::2], x[1::2]
-    sa, sb = sizes[0::2], sizes[1::2]
+    ma, mb = m[:, 0::2], m[:, 1::2]
 
-    scores = ma @ mb.T  # (Ta, Tb) cosine similarity
+    scores = jnp.einsum("bad,bcd->bac", ma, mb)  # (B, Ta, Tb) cosine
     node_max = jnp.max(scores, axis=-1)
-    node_idx = jnp.argmax(scores, axis=-1)  # (Ta,) best B partner
+    node_idx = jnp.argmax(scores, axis=-1)  # (B, Ta) best B partner
 
     # r most-similar A tokens are the merge sources
-    _, src = jax.lax.top_k(node_max, r)  # (r,) indices into A
-    merged = jnp.sum(jax.nn.one_hot(src, ta, dtype=jnp.float32), axis=0)
-
-    # size-weighted scatter of the sources into their B destinations,
-    # as one-hot MXU matmuls (static shapes; ~2*Ta*Tb*h FLOPs — <2% of
-    # a block at ViT geometries)
-    assign = jax.nn.one_hot(node_idx, tb, dtype=jnp.float32)  # (Ta, Tb)
-    w = (merged * sa)[:, None] * assign  # (Ta, Tb) source weights
-    num = sb[:, None] * xb.astype(jnp.float32) + w.T @ xa.astype(jnp.float32)
-    den = sb + jnp.sum(w, axis=0)
-    xb_new = (num / den[:, None]).astype(x.dtype)
+    _, src = jax.lax.top_k(node_max, r)  # (B, r) indices into A
+    merged = jnp.sum(jax.nn.one_hot(src, ta, dtype=jnp.float32), axis=1)
 
     # unmerged A tokens, original relative order: rank kept indices first
-    order = jnp.argsort(jnp.where(merged > 0, ta + jnp.arange(ta), jnp.arange(ta)))
-    keep = order[: ta - r]
-    return (
-        jnp.concatenate([xa[keep], xb_new], axis=0),
-        jnp.concatenate([sa[keep], den], axis=0),
+    ar = jnp.arange(ta)
+    order = jnp.argsort(jnp.where(merged > 0, ta + ar, ar), axis=-1)
+    keep = order[:, : ta - r]  # (B, Ta - r)
+
+    # structural one-hot matrix S (B, T-r, T): original column of A_i is
+    # n_prefix + 2i, of B_j is n_prefix + 2j + 1
+    rows_prefix = jnp.broadcast_to(
+        jax.nn.one_hot(jnp.arange(n_prefix), t, dtype=jnp.float32)[None],
+        (bsz, n_prefix, t),
     )
+    rows_keep = jax.nn.one_hot(n_prefix + 2 * keep, t, dtype=jnp.float32)
+    assign = jax.nn.one_hot(node_idx, tb, dtype=jnp.float32)
+    assign = assign * merged[..., None]  # (B, Ta, Tb) merged sources only
+    e_a = jax.nn.one_hot(
+        n_prefix + 2 * jnp.arange(ta), t, dtype=jnp.float32
+    )  # (Ta, T) constant source->column map
+    scatter = jnp.einsum("xab,at->xbt", assign, e_a)  # (B, Tb, T)
+    rows_b = (
+        jax.nn.one_hot(
+            n_prefix + 2 * jnp.arange(tb) + 1, t, dtype=jnp.float32
+        )[None]
+        + scatter
+    )
+    s_mat = jnp.concatenate([rows_prefix, rows_keep, rows_b], axis=1)
+
+    sizes_new = jnp.einsum("bqt,bt->bq", s_mat, sizes)
+    mm = s_mat * sizes[:, None, :] / sizes_new[..., None]
+    return mm, sizes_new
 
 
 @functools.partial(jax.jit, static_argnames=("r", "n_prefix"))
@@ -118,14 +140,21 @@ def tome_merge(
     """
     if r == 0:
         return x, sizes
-    xp, mp, sp = x[:, n_prefix:], metric[:, n_prefix:], sizes[:, n_prefix:]
-    if r > xp.shape[1] // 2:
+    tp = x.shape[1] - n_prefix
+    if r > tp // 2:
         raise ValueError(
-            f"tome r={r} exceeds the {xp.shape[1]} patch tokens' smaller "
+            f"tome r={r} exceeds the {tp} patch tokens' smaller "
             "bipartite set"
         )
-    xn, sn = jax.vmap(lambda a, b, c: _merge_one(a, b, c, r))(xp, mp, sp)
-    return (
-        jnp.concatenate([x[:, :n_prefix], xn], axis=1),
-        jnp.concatenate([sizes[:, :n_prefix], sn], axis=1),
-    )
+    mm, sizes_new = _merge_matrix(metric, sizes, r, n_prefix)
+    # the ONE op that touches the activations: a batched GEMM on the MXU
+    # (f32 accumulate; M cast to the activation dtype so bf16 serving
+    # runs at the bf16 MXU rate — weights 0/1 on prefix+kept rows stay
+    # exact through the cast)
+    x_new = jnp.einsum(
+        "bqt,bth->bqh",
+        mm.astype(x.dtype),
+        x,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return x_new, sizes_new
