@@ -234,11 +234,9 @@ def main() -> int:
     if args.pad_tokens:
         suffix += "_padtok"
     if args.tome:
-        if args.train or args.vitstr or args.pad_tokens:
-            raise SystemExit(
-                "--tome is a serving feature (no --train/--vitstr/"
-                "--pad-tokens)"
-            )
+        if args.vitstr or args.pad_tokens:
+            raise SystemExit("--tome composes with neither --vitstr nor "
+                             "--pad-tokens")
         suffix += f"_tome{args.tome}"
 
     batch = 1 if args.latency else args.batch
@@ -266,6 +264,7 @@ def main() -> int:
                 attn_impl=args.train_attn,
                 remat=remat,
                 unroll=train_unroll,
+                tome=args.tome,
             )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             if logits.ndim == 3:

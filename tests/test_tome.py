@@ -193,8 +193,73 @@ def test_tome_rejects_vitstr_and_pad_tokens():
         forward(
             params2, imgs2, TINY, tome=2, pad_tokens=True, attn_impl="pallas"
         )
-    with pytest.raises(ValueError, match="inference"):
-        forward(params2, imgs2, TINY, tome=2, attn_impl="pallas-train")
+
+
+def test_tome_trains_grads_flow_and_match_xla_path():
+    """ToMe training (r4): the merged graph differentiates — the
+    train-entry config (pallas-train + remat, which the tome path maps
+    to XLA attention + per-block checkpoint) produces the same loss AND
+    gradients as the plain XLA forward, grads reach every block weight,
+    and the matching itself is stop_gradient'd (official no_grad
+    semantics, ops/tome.py)."""
+    params = params_from_state_dict(random_state_dict(TINY, seed=5), TINY)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    labels = jnp.asarray([1, 3])
+
+    def loss(p, **fkw):
+        logits = forward(p, imgs, TINY, tome=2, **fkw)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.mean(-jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    l0, g0 = jax.value_and_grad(loss)(params)
+    l1, g1 = jax.value_and_grad(loss)(
+        params, attn_impl="pallas-train", remat="dots+attn"
+    )
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+    # every block weight receives gradient (the merge GEMM is not a
+    # gradient sink) and nothing is NaN
+    for leaf in jax.tree.leaves(g1):
+        arr = np.asarray(leaf)
+        assert np.isfinite(arr).all()
+    qkv_g = np.asarray(g1["blocks"]["qkv"]["kernel"])
+    assert np.abs(qkv_g).max() > 0
+
+
+def test_finetune_with_tome_learns_and_meta_pins_r(tmp_path):
+    from vit_cpp_tpu.finetune import finetune
+    from vit_cpp_tpu.testing.synthetic import write_synthetic_model
+
+    hp = dataclasses.replace(TINY, num_classes=5)
+    model = str(tmp_path / "m.gguf")
+    write_synthetic_model(model, hp, ftype=1, seed=4)
+
+    from tests.test_finetune import _make_dataset
+
+    data = _make_dataset(tmp_path / "train")
+    ckpt = str(tmp_path / "ckpt")
+    params, hpo, classes, losses = finetune(
+        model, data, epochs=2, batch=4, lr=1e-3, tome=2,
+        ckpt_dir=ckpt, log=lambda m: None,
+    )
+    assert losses[-1] < losses[0]
+    # the trained checkpoint separates the classes THROUGH the merged
+    # graph (what --tome serving will run)
+    from vit_cpp_tpu.finetune import _preprocess_all, evaluate, load_dataset
+
+    paths, labels, _ = load_dataset(data)
+    pixels = _preprocess_all(paths, hpo, 1)
+    assert evaluate(params, hpo, pixels, labels, batch=4, tome=2) >= 0.9
+    # resuming with a different r is a different objective — rejected
+    with pytest.raises(ValueError, match="tome"):
+        finetune(
+            model, data, epochs=3, batch=4, lr=1e-3, tome=4,
+            ckpt_dir=ckpt, log=lambda m: None,
+        )
 
 
 def test_tome_through_quant_and_pallas_paths(tmp_path):

@@ -112,6 +112,15 @@ def main(argv=None) -> int:
         "P natively; must divide the (possibly overridden) image size",
     )
     ap.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="fine-tune THROUGH ToMe token merging (the paper's "
+        "train-with-merging recipe, ops/tome.py): the loss, backward, "
+        "and per-epoch validation all run the merged graph, so the "
+        "checkpoint is trained for exactly what `--tome R` serving "
+        "runs; matching is non-differentiable (official no_grad "
+        "semantics), recorded in the resume meta",
+    )
+    ap.add_argument(
         "--ftype", type=int, choices=[0, 1], default=1,
         help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
         "block formats)",
@@ -185,6 +194,7 @@ def main(argv=None) -> int:
             val_dir=args.val_dir,
             img_size=args.img_size,
             patch_size=args.patch_size,
+            tome=args.tome,
             stream=args.stream,
             log=lambda m: print(m, file=sys.stderr),
         )

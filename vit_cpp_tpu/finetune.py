@@ -303,8 +303,10 @@ def _eval_fwd():
         from vit_cpp_tpu.models.vit import forward
 
         _EVAL_FWD = jax.jit(
-            lambda p, x, hp: jnp.argmax(forward(p, x, hp), axis=-1),
-            static_argnames=("hp",),
+            lambda p, x, hp, tome=0: jnp.argmax(
+                forward(p, x, hp, tome=tome), axis=-1
+            ),
+            static_argnames=("hp", "tome"),
         )
     return _EVAL_FWD
 
@@ -326,9 +328,13 @@ def _eval_fwd_probs():
     return _EVAL_FWD_PROBS
 
 
-def evaluate(params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int) -> float:
+def evaluate(
+    params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int,
+    tome: int = 0,
+) -> float:
     """Top-1 accuracy of `params` on preprocessed pixels (pads the tail so
-    one program serves every chunk)."""
+    one program serves every chunk). `tome` evaluates through the merged
+    graph — a --tome fine-tune validates what it will serve."""
     import jax.numpy as jnp
 
     fwd = _eval_fwd()
@@ -338,7 +344,7 @@ def evaluate(params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int) -> 
         n = len(chunk)
         if n < batch:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
-        pred = np.asarray(fwd(params, jnp.asarray(chunk), hp=hp))[:n]
+        pred = np.asarray(fwd(params, jnp.asarray(chunk), hp=hp, tome=tome))[:n]
         correct += int((pred == labels[i : i + n]).sum())
     return correct / len(pixels)
 
@@ -368,6 +374,7 @@ def finetune(
     val_dir: Optional[str] = None,
     img_size: Optional[int] = None,
     patch_size: Optional[int] = None,
+    tome: int = 0,
     stream: bool = False,
     log=print,
 ) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
@@ -420,7 +427,14 @@ def finetune(
         # the accum scan's loss_fn contract is (params, x, y, hp); mixup
         # threads (y, y2, lam) — unsupported rather than silently wrong
         raise ValueError("--mixup is incompatible with --grad-accum > 1")
+    if tome < 0:
+        raise ValueError(f"tome must be >= 0, got {tome}")
     is_vitstr = hp.seq_len is not None
+    if tome and is_vitstr:
+        raise ValueError(
+            "tome is incompatible with sequence checkpoints (ViTSTR "
+            "reads every token position)"
+        )
     if is_vitstr and (augment != "none" or label_smoothing or mixup):
         # mirrored glyphs / cropped-away characters change the ground
         # truth, and the sequence loss is mask-weighted — reject rather
@@ -561,6 +575,9 @@ def finetune(
         # grid)
         "img_size": hp.img_size,
         "patch_size": hp.patch_size,
+        # the merged-graph loss differs from the unmerged one — resuming
+        # with a different r would silently change the objective
+        "tome": tome,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -605,6 +622,15 @@ def finetune(
                 f"{native_patch_size}); resuming at patch {hp.patch_size} "
                 "would not replay the original run — drop --patch-size "
                 "or use a fresh --ckpt-dir"
+            )
+        if "tome" in missing and tome:
+            # a meta that predates 'tome' was trained on the unmerged
+            # graph; adopting r>0 would silently change the objective
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --tome recording "
+                "(trained unmerged); resuming with --tome would not "
+                "replay the original run — drop --tome or use a fresh "
+                "--ckpt-dir"
             )
         if missing:
             log(
@@ -675,13 +701,13 @@ def finetune(
             from vit_cpp_tpu.parallel.train import vitstr_cross_entropy_loss
 
             accum_loss_fn = vitstr_cross_entropy_loss
-        elif label_smoothing:
+        elif label_smoothing or tome:
             import functools
 
             from vit_cpp_tpu.parallel.train import cross_entropy_loss
 
             accum_loss_fn = functools.partial(
-                cross_entropy_loss, smooth=label_smoothing
+                cross_entropy_loss, smooth=label_smoothing, tome=tome
             )
     aug_key = (
         jax.random.PRNGKey(seed) if augment != "none" or mixup else None
@@ -731,7 +757,7 @@ def finetune(
 
                 state, loss = train_step_mixup(
                     state, bx, by, mix[0], mix[1], hp, optimizer,
-                    smooth=label_smoothing,
+                    smooth=label_smoothing, tome=tome,
                 )
             elif grad_accum > 1:
                 state, loss = train_step_accum(
@@ -744,7 +770,8 @@ def finetune(
                 state, loss = train_step_vitstr(state, bx, by, hp, optimizer)
             else:
                 state, loss = train_step(
-                    state, bx, by, hp, optimizer, smooth=label_smoothing
+                    state, bx, by, hp, optimizer, smooth=label_smoothing,
+                    tome=tome,
                 )
             if ema:
                 ema_params = _ema_update()(ema_params, state.params, ema)
@@ -759,7 +786,9 @@ def finetune(
                 acc = evaluate_vitstr(eval_params, hp, val[0], val[1], batch)
                 msg += f", val word-acc{' (ema)' if ema else ''} {acc:.3f}"
             else:
-                acc = evaluate(eval_params, hp, val[0], val[1], batch)
+                acc = evaluate(
+                    eval_params, hp, val[0], val[1], batch, tome=tome
+                )
                 msg += f", val top-1{' (ema)' if ema else ''} {acc:.3f}"
         log(msg)
         if ckpt_dir:

@@ -336,13 +336,18 @@ def forward(
     (LN of zeros = bias) that nothing reads: the head pools row 0 /
     the first seq_len rows.
 
-    `tome=r` (serving-only) turns on ToMe token merging (ops/tome.py):
-    each layer merges the r most similar patch-token pairs between its
-    attention and MLP halves, so layer l runs on ~T - l*r tokens —
-    attention cost falls quadratically, GEMM cost linearly. Layers
-    unroll (each has its own static token count); pooling readouts are
-    size-weighted. Accuracy/throughput trade-off per the paper (ViT-B/16
-    r=8 costs ~0.3% ImageNet top-1 off-the-shelf); opt-in everywhere."""
+    `tome=r` turns on ToMe token merging (ops/tome.py): each layer
+    merges the r most similar patch-token pairs between its attention
+    and MLP halves, so layer l runs on ~T - l*r tokens — attention cost
+    falls quadratically, GEMM cost linearly. Layers unroll (each has
+    its own static token count); pooling readouts are size-weighted.
+    Measured accuracy/throughput rows: docs/TUNING.md "ToMe token
+    merging". Training composes (vit-finetune --tome — the paper's
+    train-with-merging recipe): matching is stop_gradient'd (official
+    no_grad semantics), attention drops to the differentiable XLA path
+    (the fused train VJP has no sizes support; T shrinks quadratically
+    where the XLA backward's HBM traffic would hurt), and remat wraps
+    each merged block. Opt-in everywhere."""
     x = embed(params, images, hp)
     kv = None
     if pad_tokens:
@@ -369,9 +374,36 @@ def forward(
             )
         if pad_tokens:
             raise ValueError("tome and pad_tokens are exclusive")
-        if attn_impl == "pallas-train" or remat:
-            raise ValueError("tome is a serving feature (inference only)")
         from vit_cpp_tpu.ops.tome import tome_schedule
+
+        # ToMe TRAINS too (vit-finetune --tome; the paper's
+        # train-with-merging recipe): the merge GEMM differentiates
+        # (matching indices are stop_gradient'd, ops/tome.py — official
+        # no_grad semantics), and proportional attention runs the XLA
+        # composed path, which JAX differentiates itself. The fused
+        # custom-VJP train kernel has no `sizes` support, but the merged
+        # graph shrinks T per layer so the XLA backward's (B, nh, T, T)
+        # HBM traffic shrinks quadratically exactly where it would hurt.
+        if attn_impl == "pallas-train":
+            attn_impl = "xla"
+
+        def _tome_layer(x, sizes, bp, rl):
+            return tome_block(
+                x, sizes, bp, hp, rl, attn_impl=attn_impl, mm_impl=mm_impl
+            )
+
+        if remat in ("dots", "dots+attn"):
+            # no "attn_out" checkpoint name on the XLA attention path —
+            # the dots policy already saves the attention GEMM outputs
+            blk = jax.checkpoint(
+                _tome_layer,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                static_argnums=(3,),
+            )
+        elif remat:
+            blk = jax.checkpoint(_tome_layer, static_argnums=(3,))
+        else:
+            blk = _tome_layer
 
         rs = tome_schedule(hp.n_patches, hp.num_hidden_layers, tome)
         sizes = jnp.ones((x.shape[0], x.shape[1]), jnp.float32)
@@ -380,9 +412,7 @@ def forward(
                 k2: slice_block_params(v2, l)
                 for k2, v2 in params["blocks"].items()
             }
-            x, sizes = tome_block(
-                x, sizes, bp, hp, rl, attn_impl=attn_impl, mm_impl=mm_impl
-            )
+            x, sizes = blk(x, sizes, bp, rl)
         return _head(params, x, hp, features, mm_impl, kv, sizes)
 
     def body(carry, bp):

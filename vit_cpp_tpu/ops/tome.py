@@ -80,6 +80,13 @@ def _merge_matrix(metric, sizes, r: int, n_prefix: int):
     tp = t - n_prefix
     ta = (tp + 1) // 2
     tb = tp // 2
+    # matching is non-differentiable by design (the official
+    # implementation runs bipartite_soft_matching under torch.no_grad):
+    # gradients flow through the merge GEMM's weights as constants, not
+    # through the similarity scores — this is what makes tome trainable
+    # (vit-finetune --tome)
+    metric = jax.lax.stop_gradient(metric)
+    sizes = jax.lax.stop_gradient(sizes)
     m = metric[:, n_prefix:].astype(jnp.float32)
     m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
     ma, mb = m[:, 0::2], m[:, 1::2]

@@ -68,7 +68,8 @@ def make_optimizer(
 
 
 def cross_entropy_loss(
-    params, images, labels, hp: VitHParams, smooth: float = 0.0
+    params, images, labels, hp: VitHParams, smooth: float = 0.0,
+    tome: int = 0,
 ) -> jax.Array:
     # remat="dots+attn": keep each block's GEMM outputs AND the fused
     # attention outputs — ViT-B/16 batch-128 training OOMs a 16 GB v5e
@@ -91,6 +92,7 @@ def cross_entropy_loss(
         attn_impl="pallas-train",
         remat="dots+attn",
         unroll=hp.num_hidden_layers,
+        tome=tome,
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
@@ -144,7 +146,9 @@ def train_step_vitstr(
 
 
 @partial(
-    jax.jit, static_argnames=("hp", "optimizer", "smooth"), donate_argnums=(0,)
+    jax.jit,
+    static_argnames=("hp", "optimizer", "smooth", "tome"),
+    donate_argnums=(0,),
 )
 def train_step(
     state: TrainState,
@@ -153,9 +157,10 @@ def train_step(
     hp: VitHParams,
     optimizer,
     smooth: float = 0.0,
+    tome: int = 0,
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        state.params, images, labels, hp, smooth
+        state.params, images, labels, hp, smooth, tome
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -163,7 +168,8 @@ def train_step(
 
 
 def _mixed_cross_entropy_loss(
-    params, images, labels, labels2, lam, hp: VitHParams, smooth: float
+    params, images, labels, labels2, lam, hp: VitHParams, smooth: float,
+    tome: int = 0,
 ) -> jax.Array:
     """Mixup loss: one forward on the pre-mixed batch, CE against both
     label sets weighted by the (traced) mixing coefficient."""
@@ -174,6 +180,7 @@ def _mixed_cross_entropy_loss(
         attn_impl="pallas-train",
         remat="dots+attn",
         unroll=hp.num_hidden_layers,
+        tome=tome,
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -188,7 +195,9 @@ def _mixed_cross_entropy_loss(
 
 
 @partial(
-    jax.jit, static_argnames=("hp", "optimizer", "smooth"), donate_argnums=(0,)
+    jax.jit,
+    static_argnames=("hp", "optimizer", "smooth", "tome"),
+    donate_argnums=(0,),
 )
 def train_step_mixup(
     state: TrainState,
@@ -199,12 +208,13 @@ def train_step_mixup(
     hp: VitHParams,
     optimizer,
     smooth: float = 0.0,
+    tome: int = 0,
 ) -> Tuple[TrainState, jax.Array]:
     """Classifier step on a mixup batch (ops/augment.mixup_batch): images
     are already mixed; `labels2 = labels[perm]` and `lam` is the traced
     mixing scalar, so every lambda draw reuses one compiled program."""
     loss, grads = jax.value_and_grad(_mixed_cross_entropy_loss)(
-        state.params, images, labels, labels2, lam, hp, smooth
+        state.params, images, labels, labels2, lam, hp, smooth, tome
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
