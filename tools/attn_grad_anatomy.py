@@ -85,6 +85,48 @@ def _grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, variant: str):
         r = jnp.sum(dp * pn, axis=-1, keepdims=True)
         return (pn * (dp - r)).astype(x.dtype)
 
+    if variant == "pipe2":
+        # interleave TWO head-pairs' chains (4 independent masked
+        # chains): deeper MXU work per VPU pass than pipe's 2
+        for i in range(0, nh - 3, 4):
+            chains = []  # (qs, km, qm, vp, dom) per chain
+            pair_slices = []
+            for j in (i, i + 2):
+                qp = x[:, j * d : (j + 2) * d]
+                kp = x[:, h + j * d : h + (j + 2) * d]
+                vp = x[:, 2 * h + j * d : 2 * h + (j + 2) * d]
+                dop = do[:, j * d : (j + 2) * d]
+                qs = (qp.astype(jnp.float32) * scale).astype(x.dtype)
+                pair_slices.append(j)
+                for m in (m_lo, m_hi):
+                    chains.append((qs, kp * m, qp * m, vp, dop * m))
+            ss = [dot(qs, km, ((1,), (1,))) for qs, km, _, _, _ in chains]
+            pns = [softmax(s) for s in ss]
+            dvs = [
+                dot(pn.astype(x.dtype), c[4], ((0,), (0,)))
+                for pn, c in zip(pns, chains)
+            ]
+            dps = [dot(c[4], c[3], ((1,), (1,))) for c in chains]
+            dss = [dsoft(pn, dp) for pn, dp in zip(pns, dps)]
+            dqs = [
+                dot(ds, c[1], ((1,), (0,))) * nat for ds, c in zip(dss, chains)
+            ]
+            dks = [
+                dot(ds, c[2], ((0,), (0,))) * nat for ds, c in zip(dss, chains)
+            ]
+            for pi, j in enumerate(pair_slices):
+                lo, hi2 = 2 * pi, 2 * pi + 1
+                dx_ref[0, :, j * d : (j + 2) * d] = (dqs[lo] + dqs[hi2]).astype(
+                    dx_ref.dtype
+                )
+                dx_ref[0, :, h + j * d : h + (j + 2) * d] = (
+                    dks[lo] + dks[hi2]
+                ).astype(dx_ref.dtype)
+                dx_ref[0, :, 2 * h + j * d : 2 * h + (j + 2) * d] = (
+                    dvs[lo] + dvs[hi2]
+                ).astype(dx_ref.dtype)
+        return
+
     for i in range(0, nh - 1, 2):
         qp = x[:, i * d : (i + 2) * d]
         kp = x[:, h + i * d : h + (i + 2) * d]
@@ -207,8 +249,8 @@ def main() -> int:
     pairs = nh // 2
     issued5 = args.b * pairs * 2 * 5 * 2 * args.t * args.t * (2 * args.d)
     for v in (
-        "full", "pipe", "bf16exp", "nosoftmax", "nodsoft", "dotsonly",
-        "onedot",
+        "full", "pipe", "pipe2", "bf16exp", "nosoftmax", "nodsoft",
+        "dotsonly", "onedot",
     ):
         ms = run_variant(qkv, do, v, nh)
         flops = issued5 / 5 if v == "onedot" else issued5

@@ -47,6 +47,19 @@ CONFIGS = [
         ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
          "--tome", "26"],
     ),
+    # ToMe composed with static activation scales: the two serving
+    # levers are orthogonal (FLOP cut x per-GEMM reduce deletion) —
+    # the max-throughput classifier configs
+    (
+        "q8_0_w8a8_static_tome16",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--act", "static", "--tome", "16"],
+    ),
+    (
+        "q8_0_w8a8_static_tome26",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--act", "static", "--tome", "26"],
+    ),
     # f16/bf16 checkpoint on the W8A8 serving path (dense kernels
     # dynamically quantized at load — the `--quant none` serving default;
     # accuracy cost quantified in tests/test_w8a8_accuracy.py)
@@ -123,6 +136,14 @@ CONFIGS = [
     # attention + dots+attn remat + full layer unroll, batch 64 — the
     # measured peak, docs/TUNING.md training section)
     ("train_bf16_bs64", ["--train", "--chain", "10", "--batch", "64"]),
+    # train THROUGH ToMe (vit-finetune --tome, the paper's
+    # train-with-merging recipe): merged-graph loss + backward — the
+    # XLA-attention path with per-block checkpoint; T shrinks per layer
+    # so images/sec carries the FLOP cut
+    (
+        "train_bf16_bs64_tome16",
+        ["--train", "--chain", "10", "--batch", "64", "--tome", "16"],
+    ),
 ]
 
 

@@ -30,23 +30,29 @@ ITERS = 400
 
 
 def rate(m, k, n, adt, bdt):
+    # I/O stays int8: int4 BUFFERS recurse in the axon plugin's host
+    # transfer path (r4 repro: asarray/where/devget on an int4 array all
+    # RecursionError, while an in-graph astype(int4) -> dot -> int32
+    # computes fine). The conversions sit outside the timed scan.
     rng = np.random.default_rng(0)
     lo, hi = -7, 7  # int4 range (and a valid int8 subrange)
-    a = jnp.asarray(rng.integers(lo, hi, (m, k)), adt)
-    a_alt = jnp.asarray(rng.integers(lo, hi, (m, k)), adt)
-    b = jnp.asarray(rng.integers(lo, hi, (k, n)), bdt)
+    a = jnp.asarray(rng.integers(lo, hi, (m, k)), jnp.int8)
+    a_alt = jnp.asarray(rng.integers(lo, hi, (m, k)), jnp.int8)
+    b = jnp.asarray(rng.integers(lo, hi, (k, n)), jnp.int8)
     scale = jnp.asarray(rng.standard_normal((n,)).astype(np.float32)) * 1e-4
 
     @jax.jit
     def chain(a, a_alt, b):
-        # loop-carried dependency via a select between two PREBUILT int4
+        ac, aac, bc = a.astype(adt), a_alt.astype(adt), b.astype(bdt)
+
+        # loop-carried dependency via a select between two PREBUILT
         # operands (int4 scalar arithmetic recurses in dtype promotion;
         # select keeps the operand dtype untouched and un-hoistable)
         def body(c, _):
-            a2 = jnp.where(c, a, a_alt)
+            a2 = jnp.where(c, ac, aac)
             o = jax.lax.dot_general(
                 a2,
-                b,
+                bc,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
