@@ -34,7 +34,9 @@ CLI_SUBPROCESS_ENV = {
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: full-geometry parity tests (minutes on 1 CPU core)"
+        "markers",
+        "slow: long-tail tests (>15 s on the 1-core CI host); inner loop "
+        "runs -m 'not slow' (~8 min), the full suite gates snapshots",
     )
 
 

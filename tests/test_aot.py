@@ -101,6 +101,7 @@ def test_multi_batch_artifact(model_path, tmp_path):
     np.testing.assert_allclose(got[1], want[1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_static_scale_export(model_path, tmp_path, capsys):
     """vit-export --act static --calib-dir bakes calibrated activation
     scales into the artifact: meta records act=static, and the artifact

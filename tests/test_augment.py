@@ -220,6 +220,7 @@ class TestLabelSmoothing:
         )
 
 
+@pytest.mark.slow
 class TestFinetuneIntegration:
     @pytest.fixture()
     def setup(self, tmp_path):

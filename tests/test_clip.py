@@ -36,6 +36,7 @@ def _images(n=2, seed=0):
     return rng.standard_normal((n, 3, 32, 32)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_remap_and_forward_match_transformers():
     import torch
 

@@ -218,6 +218,7 @@ def test_headless_daemon_serves_embed_only(tmp_path):
         batcher.close()
 
 
+@pytest.mark.slow
 def test_finetune_attaches_head_to_headless_encoder(tmp_path):
     """The MAE/DINO workflow: pretrain headless -> fine-tune attaches a
     fresh classifier -> the output gguf serves classification."""

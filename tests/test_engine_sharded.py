@@ -92,6 +92,7 @@ def test_sharded_w8a8_serving_config(model_path, fold_ln):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_w8a8_static_act(model_path):
     """Static activation scales (calibrated pre-shard) ride the mesh too:
     act_scale is replicated; logits match the single-device static path."""

@@ -5,6 +5,8 @@ must load back into an identical forward function, and a train step's
 output must survive the trip.
 """
 
+import pytest
+
 import numpy as np
 
 from vit_cpp_tpu.gguf.reader import read_model
@@ -57,6 +59,7 @@ def test_file_round_trip_forward_parity(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trained_params_export(tmp_path):
     import jax.numpy as jnp
 

@@ -41,6 +41,7 @@ def model_path(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_finetune_learns_and_serves(model_path, tmp_path):
     from vit_cpp_tpu.engine import VitEngine
     from vit_cpp_tpu.finetune import evaluate, finetune, load_dataset
@@ -214,6 +215,7 @@ def test_ema_resume_is_bit_identical(model_path, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_big_batch(model_path, tmp_path):
     """grad_accum=2 with batch=4 produces the same updates as one batch=8
     step (mean-of-grads == grad-of-mean for equal micro sizes)."""
@@ -240,6 +242,7 @@ def test_grad_accum_matches_big_batch(model_path, tmp_path):
     np.testing.assert_allclose(big_losses, acc_losses, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cosine_schedule_and_warmup_learn(model_path, tmp_path):
     from vit_cpp_tpu.finetune import finetune
 
@@ -251,6 +254,7 @@ def test_cosine_schedule_and_warmup_learn(model_path, tmp_path):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_resume_with_different_settings_rejected(model_path, tmp_path):
     """The resume guard pins everything that changes what a resumed run
     replays: batching, the shuffle seed, and the optimizer/schedule args
@@ -310,6 +314,7 @@ def test_resume_cosine_epoch_extension_rejected(model_path, tmp_path):
         finetune(model_path, data, epochs=4, ckpt_dir=ck, **kw)
 
 
+@pytest.mark.slow
 def test_finetune_at_higher_resolution(model_path, tmp_path):
     """--img-size: the classic low-res-pretrain / high-res-finetune ViT
     recipe. The 32px checkpoint trains at 48px (pos_embed resampled,
@@ -362,6 +367,7 @@ def test_finetune_at_higher_resolution(model_path, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_finetune_at_new_patch_size(model_path, tmp_path):
     """--patch-size: the FlexiViT transfer recipe. The p=8 checkpoint
     trains at p=4 (patch_embed PI-resized + pos_embed resampled,
@@ -481,6 +487,7 @@ def test_prefetch_worker_stops_when_consumer_abandons():
     assert len(fetched) < 50  # it stopped early, not after the full epoch
 
 
+@pytest.mark.slow
 def test_mesh_finetune_runs(model_path, tmp_path):
     from vit_cpp_tpu.finetune import finetune
     from vit_cpp_tpu.parallel.mesh import make_mesh
@@ -559,6 +566,7 @@ def vitstr_model_path(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_vitstr_finetune_learns_and_serves(vitstr_model_path, tmp_path):
     """Scene-text fine-tuning: filename-stem labels, loss decreases, the
     exported gguf recognizes through VitstrEngine, and the train set is

@@ -100,6 +100,7 @@ class TestFlashAttention:
             )
 
     @pytest.mark.parametrize("nh,d", [(2, 64), (2, 32), (3, 64), (2, 80)])
+    @pytest.mark.slow
     def test_attention_qkv_train_grad_matches_xla(self, nh, d):
         """The custom-VJP training attention: value AND gradient parity
         with the composed-XLA-ops path (which JAX differentiates itself)."""
@@ -172,6 +173,7 @@ class TestFlashAttention:
         got = np.asarray(_attention_qkv_grad_lane(qkv, do, nh, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_attention_qkv_train_plan_dispatch(self):
         """_grad_plan: B/16 -> full block; B/8 and L@384 -> lane; long-T
         lane-ineligible hidden sizes -> None (XLA fallback, still
@@ -195,6 +197,7 @@ class TestFlashAttention:
         with pytest.raises(ValueError, match="not divisible"):
             attention_qkv_train(qkv[:, :, : 3 * 100], 7)
 
+    @pytest.mark.slow
     def test_train_forward_grad_through_model(self):
         """cross_entropy_loss (pallas-train attention + remat + unroll)
         grads match the plain-XLA forward's grads on a tiny model."""
@@ -403,6 +406,7 @@ class TestMaskedPairKernel:
             (577, 1024, 16),  # ViT-L/16 @384 (q-chunked, raised VMEM limit)
         ],
     )
+    @pytest.mark.slow
     def test_pair_matches_carve(self, t, h, nh):
         rng = np.random.default_rng(42)
         qkv = jnp.asarray(rng.standard_normal((2, t, 3 * h)), dtype=jnp.float32)
@@ -422,6 +426,7 @@ class TestMaskedPairKernel:
             (64, 256, 2),  # d=128: single head fills the block (no mask)
         ],
     )
+    @pytest.mark.slow
     def test_masked_lane_kernel_matches_carve(self, t, h, nh):
         # group=0 forces the lane-block dispatch; must equal the per-head
         # carve kernel bit-for-bit in f32 (masked lanes add exact zeros)
@@ -642,6 +647,7 @@ class TestPaddedTokens:
             (256, 8, 0),   # d=32 lane-block dispatch (group=0)
         ],
     )
+    @pytest.mark.slow
     def test_padded_matches_unpadded(self, h, nh, group, monkeypatch):
         from vit_cpp_tpu.hparams import VitHParams
         from vit_cpp_tpu.models import params_from_state_dict

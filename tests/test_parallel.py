@@ -73,6 +73,7 @@ def test_param_specs_cover_tree(setup):
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.slow
 def test_train_step_on_mesh(setup, dp, tp):
     params, images, labels = setup
     mesh = make_mesh(dp=dp, tp=tp)
@@ -105,6 +106,7 @@ def test_train_step_tp_matches_dp(setup):
     assert losses[(8, 1)] == pytest.approx(losses[(4, 2)], rel=1e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import __graft_entry__ as ge
 
@@ -113,6 +115,7 @@ def test_graft_entry_contract():
     jax.eval_shape(fn, *example_args)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -137,6 +140,7 @@ def test_timer_report(capsys):
         pass
 
 
+@pytest.mark.slow
 def test_train_loss_decreases():
     """5 train steps on one fixed batch must reduce the loss (convergence
     smoke for the dp x tp pjit path)."""
@@ -179,6 +183,7 @@ def test_train_loss_decreases():
     assert int(st.step) == 5
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore(tmp_path):
     """Orbax round trip of a sharded TrainState: resume must continue from
     the same params/opt_state/step."""
@@ -232,6 +237,7 @@ def test_checkpoint_save_restore(tmp_path):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_accum_masked_loss_matches_global_mean():
     """Token-weighted accumulation (ADVICE r2): with masked sequence
     targets whose valid-token counts DIFFER across micro-batches, the

@@ -154,6 +154,7 @@ class TestServeCli:
         assert len(out) >= 3  # broken.jpg goes to stderr
         assert all("\t" in l for l in out)
 
+    @pytest.mark.slow
     def test_cli_static_act_scales(self, serve_setup, capsys):
         """--act static --calib-dir serves through the calibrated path
         (or falls back to dynamic with the guardrail message) and still

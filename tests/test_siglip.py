@@ -116,6 +116,7 @@ def test_unit_pixel_norm_in_preprocess(tmp_path):
     np.testing.assert_allclose(pix, (200 / 255 - 0.5) / 0.5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_synthetic_file_roundtrip_and_stack(tmp_path):
     """Synthetic MAP checkpoints run the whole production stack: detect,
     W8A8 + attn_pool quantized leaves, export round trip, mesh sharding,
@@ -171,6 +172,7 @@ def test_synthetic_file_roundtrip_and_stack(tmp_path):
     np.testing.assert_allclose(got_sh, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_finetune_attaches_head_to_siglip(tmp_path):
     """Fine-tuning a MAP tower attaches a classifier on the pooled
     output — the standard SigLIP-probe transfer recipe."""

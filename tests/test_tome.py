@@ -91,6 +91,7 @@ def test_schedule_clamps_to_half():
         tome_schedule(16, 2, 0)
 
 
+@pytest.mark.slow
 def test_proportional_attention_kernels_match_xla_bias():
     from vit_cpp_tpu.ops.flash_attention import (
         _attention_qkv_xla,
@@ -135,6 +136,7 @@ def test_proportional_attention_lane_kernel():
     )
 
 
+@pytest.mark.slow
 def test_identical_patches_merge_losslessly():
     """When every patch is the same, any merge is exact: the tome forward
     must reproduce the full forward's logits."""
@@ -165,6 +167,7 @@ def test_tome_forward_shapes_and_plausibility():
     assert feats.shape == (2, TINY.hidden_size)
 
 
+@pytest.mark.slow
 def test_tome_avg_pool_weights_by_size():
     hp = dataclasses.replace(
         TINY, global_pool="avg", num_prefix_tokens=0
@@ -195,6 +198,7 @@ def test_tome_rejects_vitstr_and_pad_tokens():
         )
 
 
+@pytest.mark.slow
 def test_tome_trains_grads_flow_and_match_xla_path():
     """ToMe training (r4): the merged graph differentiates — the
     train-entry config (pallas-train + remat, which the tome path maps
@@ -230,6 +234,7 @@ def test_tome_trains_grads_flow_and_match_xla_path():
     assert np.abs(qkv_g).max() > 0
 
 
+@pytest.mark.slow
 def test_finetune_with_tome_learns_and_meta_pins_r(tmp_path):
     from vit_cpp_tpu.finetune import finetune
     from vit_cpp_tpu.testing.synthetic import write_synthetic_model
@@ -262,6 +267,7 @@ def test_finetune_with_tome_learns_and_meta_pins_r(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_tome_through_quant_and_pallas_paths(tmp_path):
     """The serving configs: Q8_0 QuantLinear, W8A8 Int8Linear, fused
     pallas attention — the per-layer slice_block_params path must carry
@@ -289,6 +295,7 @@ def test_tome_through_quant_and_pallas_paths(tmp_path):
     assert np.isfinite(np.asarray(int8)).all()
 
 
+@pytest.mark.slow
 def test_tome_engine_and_aot_roundtrip(tmp_path):
     from vit_cpp_tpu.aot import AotEngine, save_engine
     from vit_cpp_tpu.engine import VitEngine

@@ -89,6 +89,7 @@ def _agreement(mf, imgs, fmt):
     return top1, rel
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["q8_0", "q4_0"])
 def test_w8a8_vs_block_faithful(q8_files, fmt):
     # Synthetic random weights are the WORST case for argmax agreement:
@@ -139,6 +140,7 @@ def test_dense_conversion_covers_all_matmuls(q8_files):
     )
 
 
+@pytest.mark.slow
 class TestStaticActQuant:
     """Static calibrated activation scales (quant/calibrate.py): the
     production int8 serving mode that deletes the per-GEMM absmax pass.
