@@ -36,7 +36,7 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: long-tail tests (>15 s on the 1-core CI host); inner loop "
-        "runs -m 'not slow' (~8 min), the full suite gates snapshots",
+        "runs -m 'not slow' (~13 min), the full suite gates snapshots",
     )
 
 

@@ -127,6 +127,59 @@ class TestFlashAttention:
         g_pal = np.asarray(jax.grad(pal_fn)(qkv))
         np.testing.assert_allclose(g_pal, g_ref, atol=3e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize(
+        "nh,d,t",
+        [(2, 64, 37), (3, 64, 29), (2, 32, 37), (2, 80, 23), (6, 64, 181),
+         # lane-plan shape: h % 128 == 0 at a T where 'full' overflows
+         (8, 64, 700)],
+    )
+    @pytest.mark.slow
+    def test_attention_qkv_train_sizes_grad_matches_xla(self, nh, d, t):
+        """The sizes-aware custom-VJP (ToMe proportional attention on the
+        training path, r4): value AND qkv-gradient parity with an
+        explicit biased-softmax XLA reference across the pair (d=64),
+        carve (d=32/80), odd-head-tail (nh=3), merged-T (181) and
+        lane-plan (T=700, h=1024 won't fit a full block in f32) kernel
+        dispatches; sizes receive a zero cotangent (stop-gradient'd
+        matching upstream, models/vit.py::tome_block)."""
+        from vit_cpp_tpu.ops.flash_attention import (
+            _grad_plan,
+            attention_qkv_train,
+        )
+
+        b, h = 2, nh * d
+        rng = np.random.default_rng(13)
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+        sizes = jnp.asarray(rng.uniform(1.0, 5.0, (b, t)), jnp.float32)
+        if t == 700:
+            assert _grad_plan(t, h, d, 4) == "lane"
+
+        def ref_fn(x):
+            xs = x.reshape(b, t, 3, nh, d)
+            q, k, v = (xs[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d**0.5)
+            logits = logits + jnp.log(sizes)[:, None, None, :]
+            o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+            return jnp.sum(o.transpose(0, 2, 1, 3).reshape(b, t, h) * w)
+
+        def pal_fn(x):
+            return jnp.sum(attention_qkv_train(x, nh, sizes=sizes) * w)
+
+        np.testing.assert_allclose(
+            float(pal_fn(qkv)), float(ref_fn(qkv)), rtol=1e-5
+        )
+        g_ref = np.asarray(jax.grad(ref_fn)(qkv))
+        g_pal = np.asarray(jax.grad(pal_fn)(qkv))
+        np.testing.assert_allclose(g_pal, g_ref, atol=3e-5, rtol=1e-4)
+        # sizes cotangent is exactly zero (constant bias by construction)
+        gs = np.asarray(
+            jax.grad(lambda s: jnp.sum(attention_qkv_train(qkv, nh, sizes=s)))(
+                sizes
+            )
+        )
+        np.testing.assert_array_equal(gs, np.zeros_like(gs))
+
     @pytest.mark.parametrize("nh", [2, 3, 4])
     def test_grad_pair_kernel_bit_exact_vs_carve(self, nh):
         """The masked-pair backward (d=64 default) matches the carve

@@ -208,6 +208,17 @@ def tome_block(
         o = attention_qkv(
             qkv, nh, fast=attn_impl == "pallas-fast", sizes=sizes
         )
+    elif attn_impl == "pallas-train":
+        # sizes-aware fused custom-VJP (r4): proportional attention in
+        # VMEM both directions — the merged train step stops paying the
+        # XLA backward's materialized (B, nh, T, T) score round trips
+        from vit_cpp_tpu.ops.flash_attention import attention_qkv_train
+
+        o = attention_qkv_train(qkv, nh, sizes=sizes)
+        # named for the "dots+attn" remat policy (see transformer_block)
+        from jax.ad_checkpoint import checkpoint_name
+
+        o = checkpoint_name(o, "attn_out")
     else:
         from vit_cpp_tpu.ops.flash_attention import _attention_qkv_xla
 
@@ -344,10 +355,10 @@ def forward(
     Measured accuracy/throughput rows: docs/TUNING.md "ToMe token
     merging". Training composes (vit-finetune --tome — the paper's
     train-with-merging recipe): matching is stop_gradient'd (official
-    no_grad semantics), attention drops to the differentiable XLA path
-    (the fused train VJP has no sizes support; T shrinks quadratically
-    where the XLA backward's HBM traffic would hurt), and remat wraps
-    each merged block. Opt-in everywhere."""
+    no_grad semantics), attention runs the sizes-aware fused custom-VJP
+    (proportional weights recomputed in VMEM both directions, r4), and
+    remat wraps each merged block with the same dots+attn policy as the
+    unmerged scan. Opt-in everywhere."""
     x = embed(params, images, hp)
     kv = None
     if pad_tokens:
@@ -379,20 +390,30 @@ def forward(
         # ToMe TRAINS too (vit-finetune --tome; the paper's
         # train-with-merging recipe): the merge GEMM differentiates
         # (matching indices are stop_gradient'd, ops/tome.py — official
-        # no_grad semantics), and proportional attention runs the XLA
-        # composed path, which JAX differentiates itself. The fused
-        # custom-VJP train kernel has no `sizes` support, but the merged
-        # graph shrinks T per layer so the XLA backward's (B, nh, T, T)
-        # HBM traffic shrinks quadratically exactly where it would hurt.
-        if attn_impl == "pallas-train":
-            attn_impl = "xla"
+        # no_grad semantics), and with attn_impl="pallas-train" the
+        # merged layers run the sizes-aware fused custom-VJP (r4):
+        # proportional attention stays in VMEM both directions, so the
+        # backward never materializes (B, nh, T, T) scores even before
+        # the per-layer T shrink starts paying.
 
         def _tome_layer(x, sizes, bp, rl):
             return tome_block(
                 x, sizes, bp, hp, rl, attn_impl=attn_impl, mm_impl=mm_impl
             )
 
-        if remat in ("dots", "dots+attn"):
+        if remat == "dots+attn" and attn_impl == "pallas-train":
+            # same policy as the unmerged scan: save GEMM outputs AND the
+            # fused attention outputs so the recompute pass never re-runs
+            # the attention kernel
+            blk = jax.checkpoint(
+                _tome_layer,
+                policy=jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                ),
+                static_argnums=(3,),
+            )
+        elif remat in ("dots", "dots+attn"):
             # no "attn_out" checkpoint name on the XLA attention path —
             # the dots policy already saves the attention GEMM outputs
             blk = jax.checkpoint(

@@ -826,7 +826,7 @@ def _qkv_pair_kernel(
 # the relayout overhead without touching the proj GEMM (docs/TUNING.md).
 
 
-def _qkv_grad_kernel(x_ref, do_ref, dx_ref, *, nh: int):
+def _qkv_grad_kernel(x_ref, do_ref, *rest, nh: int):
     """Backward of the fused-QKV attention: one batch element per grid
     step; x is the (1, T, 3h) projection block, do the (1, T, h) output
     cotangent, dx the (1, T, 3h) input cotangent.
@@ -838,15 +838,25 @@ def _qkv_grad_kernel(x_ref, do_ref, dx_ref, *, nh: int):
     at ViT-B/16 batch 32 that is ~180 MB of HBM round trips per layer
     that this kernel deletes. Safe softmax only (training is the parity
     graph). Per-head math lives in _qkv_grad_head (shared with the pair
-    kernel's odd-head tail)."""
+    kernel's odd-head tail).
+
+    `rest` is (dx_ref,) or (sizes_ref, dx_ref) — sizes is a (1, 1, T) f32
+    block of ToMe token sizes: the recomputed probabilities get the same
+    per-key proportional weighting as the forward (p * s before the row
+    sum); the bias is constant wrt q/k/v so every cotangent formula is
+    unchanged (vit-finetune --tome trains on this kernel)."""
+    sizes_ref, dx_ref = (None, rest[0]) if len(rest) == 1 else rest
+    srow = None if sizes_ref is None else sizes_ref[0]  # (1, T)
     h = x_ref.shape[2] // 3
     d = h // nh
     x = x_ref[0]
     do = do_ref[0]
     for i in range(nh):
-        _qkv_grad_head(x, do, dx_ref, i, h, d)
+        _qkv_grad_head(x, do, dx_ref, i, h, d, srow=srow)
 
-def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, pipe: bool = True):
+def _qkv_grad_pair_kernel(
+    x_ref, do_ref, *rest, nh: int, pipe: bool = True
+):
     """Masked head-pair variant of _qkv_grad_kernel for head_dim == 64.
 
     Per-head d=64 carves at odd 64-lane offsets are cross-lane relayouts
@@ -855,7 +865,11 @@ def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, pipe: bool = True):
     full-width against a lane-MASKED copy — the zeroed half contributes
     exact-zero products, the idle systolic columns make the 2x nominal
     FLOPs wall-clock free, and dq/dk/dv pair stores are aligned.
-    Bit-exact vs the carve kernel (tested)."""
+    Bit-exact vs the carve kernel (tested). `rest` as in
+    _qkv_grad_kernel: optional (1, 1, T) ToMe sizes weight the
+    recomputed probabilities per key."""
+    sizes_ref, dx_ref = (None, rest[0]) if len(rest) == 1 else rest
+    srow = None if sizes_ref is None else sizes_ref[0]  # (1, T)
     t = x_ref.shape[1]
     h = x_ref.shape[2] // 3
     d = h // nh
@@ -897,6 +911,8 @@ def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, pipe: bool = True):
             pns = []
             for s in ss:
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+                if srow is not None:
+                    p = p * srow.astype(p.dtype)
                 pns.append(p / jnp.sum(p, axis=-1, keepdims=True))
             dvs = [
                 dot(pn.astype(x.dtype), dom, ((0,), (0,)))
@@ -919,6 +935,8 @@ def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, pipe: bool = True):
                 dom = dop * m
                 s = dot(qs, km, ((1,), (1,)))  # masked K kills the other head
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+                if srow is not None:
+                    p = p * srow.astype(p.dtype)
                 pn = p / jnp.sum(p, axis=-1, keepdims=True)
                 pnc = pn.astype(x.dtype)
                 dv = dot(pnc, dom, ((0,), (0,)))  # lanes of the masked half
@@ -942,12 +960,14 @@ def _qkv_grad_pair_kernel(x_ref, do_ref, dx_ref, *, nh: int, pipe: bool = True):
         )
     if nh % 2:  # odd head count: last head the plain carve way
         i = nh - 1
-        _qkv_grad_head(x, do, dx_ref, i, h, d)
+        _qkv_grad_head(x, do, dx_ref, i, h, d, srow=srow)
 
 
-def _qkv_grad_head(x, do, dx_ref, i, h, d):
+def _qkv_grad_head(x, do, dx_ref, i, h, d, srow=None):
     """One head's backward by direct carves (shared by the carve kernel
-    and the pair kernel's odd-head tail)."""
+    and the pair kernel's odd-head tail). `srow` (1, T): optional ToMe
+    proportional-attention key weights applied to the recomputed
+    probabilities (matches the forward's p * s placement)."""
     scale = 1.4426950408889634 / (d**0.5)
     nat = 1.0 / (d**0.5)
     q = x[:, i * d : (i + 1) * d]
@@ -961,6 +981,8 @@ def _qkv_grad_head(x, do, dx_ref, i, h, d):
         preferred_element_type=jnp.float32,
     )
     p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+    if srow is not None:
+        p = p * srow.astype(p.dtype)
     pn = p / jnp.sum(p, axis=-1, keepdims=True)
     dv = jax.lax.dot_general(
         pn.astype(x.dtype), do_h,
@@ -988,7 +1010,7 @@ def _qkv_grad_head(x, do, dx_ref, i, h, d):
 
 
 def _qkv_grad_lane_kernel(
-    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, d: int
+    q_ref, k_ref, v_ref, do_ref, *rest, d: int
 ):
     """Lane-block backward: refs are (1, T, w*128) panels of the q/k/v
     sections plus the matching dO / dQ / dK / dV panels. The same
@@ -998,7 +1020,13 @@ def _qkv_grad_lane_kernel(
     train on the fused VJP instead of the composed-XLA fallback. Query
     chunking bounds the (qc, T) score/grad workspaces; per-head carves
     use the masked full-width trick of the pair/lane kernels
-    (exact-zero products, aligned stores)."""
+    (exact-zero products, aligned stores).
+
+    `rest` is (dq, dk, dv) refs, optionally preceded by a (1, 1, T) f32
+    ToMe sizes block weighting the recomputed probabilities per key."""
+    sizes_ref = rest[0] if len(rest) == 4 else None
+    dq_ref, dk_ref, dv_ref = rest[-3:]
+    srow = None if sizes_ref is None else sizes_ref[0]  # (1, T)
     t = q_ref.shape[1]
     qc = _grad_query_chunk(t)
     nsub = 128 // d
@@ -1036,6 +1064,8 @@ def _qkv_grad_lane_kernel(
                 qm = q[q0:q1] if m is None else q[q0:q1] * m
                 s = dot(qch if m is None else qch * m, km, ((1,), (1,)))
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+                if srow is not None:
+                    p = p * srow.astype(p.dtype)
                 pn = p / jnp.sum(p, axis=-1, keepdims=True)
                 pnc = pn.astype(q.dtype)
                 dv_acc = dv_acc + dot(pnc, dom, ((0,), (0,)))
@@ -1050,7 +1080,9 @@ def _qkv_grad_lane_kernel(
         dv_ref[0, :, pp] = dv_acc.astype(dv_ref.dtype)
 
 
-def _attention_qkv_grad_lane(qkv, do, num_heads: int, interpret: bool):
+def _attention_qkv_grad_lane(
+    qkv, do, num_heads: int, interpret: bool, sizes=None
+):
     b, t, three_h = qkv.shape
     h = three_h // 3
     hb = h // 128
@@ -1069,10 +1101,19 @@ def _attention_qkv_grad_lane(qkv, do, num_heads: int, interpret: bool):
     out_spec = pl.BlockSpec(
         (1, t, 128), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
+    in_specs = [sec_spec(0), sec_spec(1), sec_spec(2), out_spec]
+    operands = [qkv, qkv, qkv, do]
+    if sizes is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(sizes.astype(jnp.float32).reshape(b, 1, t))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_qkv_grad_lane_kernel, d=d),
         grid=(b, hb),
-        in_specs=[sec_spec(0), sec_spec(1), sec_spec(2), out_spec],
+        in_specs=in_specs,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, t, h), qkv.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
@@ -1084,7 +1125,7 @@ def _attention_qkv_grad_lane(qkv, do, num_heads: int, interpret: bool):
             transcendentals=b * t * t * num_heads,
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, do)
+    )(*operands)
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
@@ -1129,13 +1170,16 @@ def _attention_qkv_grad(
     interpret: bool | None = None,
     pair: bool | None = None,
     pipe: bool | None = None,
+    sizes=None,
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_h = qkv.shape
     h = three_h // 3
     if _grad_plan(t, h, h // num_heads, qkv.dtype.itemsize) == "lane":
-        return _attention_qkv_grad_lane(qkv, do, num_heads, interpret)
+        return _attention_qkv_grad_lane(
+            qkv, do, num_heads, interpret, sizes=sizes
+        )
     if pair is None:
         import os as _os
 
@@ -1151,17 +1195,26 @@ def _attention_qkv_grad(
         if pair
         else _qkv_grad_kernel
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [qkv, do]
+    if sizes is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(sizes.astype(jnp.float32).reshape(b, 1, t))
     return pl.pallas_call(
         functools.partial(kern, nh=num_heads),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, t, three_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -1175,30 +1228,39 @@ def _attention_qkv_grad(
             transcendentals=b * t * t * num_heads,
         ),
         interpret=interpret,
-    )(qkv, do)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _attention_qkv_cv(qkv, num_heads: int):
-    return attention_qkv(qkv, num_heads, fast=False)
+def _attention_qkv_cv(qkv, num_heads: int, sizes=None):
+    return attention_qkv(qkv, num_heads, fast=False, sizes=sizes)
 
 
-def _attention_qkv_cv_fwd(qkv, num_heads: int):
+def _attention_qkv_cv_fwd(qkv, num_heads: int, sizes=None):
     # residual = the projection output itself; the backward recomputes
     # scores in VMEM (recompute costs one QK^T dot; saving P would cost a
     # (B, nh, T, T) HBM tensor — the thing this kernel family exists to
     # avoid)
-    return _attention_qkv_cv(qkv, num_heads), qkv
+    return _attention_qkv_cv(qkv, num_heads, sizes), (qkv, sizes)
 
 
-def _attention_qkv_cv_bwd(num_heads: int, qkv, do):
-    return (_attention_qkv_grad(qkv, do, num_heads),)
+def _attention_qkv_cv_bwd(num_heads: int, res, do):
+    qkv, sizes = res
+    dqkv = _attention_qkv_grad(qkv, do, num_heads, sizes=sizes)
+    # sizes derive from stop_gradient'd ToMe matching (ops/tome.py):
+    # their true cotangent through the upstream graph is zero by
+    # construction, so a zero cotangent here is exact, not an
+    # approximation
+    dsizes = None if sizes is None else jnp.zeros_like(sizes)
+    return (dqkv, dsizes)
 
 
 _attention_qkv_cv.defvjp(_attention_qkv_cv_fwd, _attention_qkv_cv_bwd)
 
 
-def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
+def attention_qkv_train(
+    qkv: jax.Array, num_heads: int, sizes: jax.Array | None = None
+) -> jax.Array:
     """Differentiable fused attention for the training path.
 
     Forward = the serving kernel (safe softmax); backward = a Pallas
@@ -1208,7 +1270,13 @@ def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
     128-lane panels with query chunking for large T x wide h (ViT-B/8's
     785 tokens, ViT-L/16@384's 577 x 3072 blocks); composed XLA ops own
     the backward only when neither fits (e.g. lane-ineligible hidden
-    sizes like ViT-tiny's 192 at long T)."""
+    sizes like ViT-tiny's 192 at long T).
+
+    `sizes` (B, T) f32: ToMe proportional attention (vit-finetune
+    --tome) — the forward weights probabilities by merged-token count
+    and the backward recomputes them with the same weighting; the bias
+    is constant wrt q/k/v (matching is stop_gradient'd), so the kernel
+    cotangent math is unchanged and sizes get a zero cotangent."""
     b, t, three_h = qkv.shape
     h = three_h // 3
     if h % num_heads:
@@ -1216,13 +1284,15 @@ def attention_qkv_train(qkv: jax.Array, num_heads: int) -> jax.Array:
     d = h // num_heads
     if _grad_plan(t, h, d, qkv.dtype.itemsize) is None:
         # differentiable by construction; XLA owns the backward
+        if sizes is not None:
+            return _attention_qkv_xla(qkv, num_heads, sizes=sizes)
         from vit_cpp_tpu.ops.core import attention
 
         qkv_s = qkv.reshape(b, t, 3, num_heads, d)
         q, k, v = (qkv_s[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         o = attention(q, k, v, impl="xla")
         return o.transpose(0, 2, 1, 3).reshape(b, t, h)
-    return _attention_qkv_cv(qkv, num_heads)
+    return _attention_qkv_cv(qkv, num_heads, sizes)
 
 
 def _bhtd_kernel(q_ref, k_ref, v_ref, o_ref):
