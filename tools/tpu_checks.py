@@ -177,6 +177,32 @@ def check_attention_vjp():
         float(jnp.max(jnp.abs(g2_lane - g2_ref))),
     )
 
+    # sizes-aware VJP (ToMe proportional attention on the train path,
+    # r4) vs an explicit biased-softmax XLA reference, on device — at a
+    # merged odd T (the shapes vit-finetune --tome actually runs)
+    t3 = 181
+    qkv3 = jnp.asarray(rng.standard_normal((b, t3, 3 * h)), jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((b, t3, h)), jnp.float32)
+    sizes = jnp.asarray(rng.uniform(1.0, 5.0, (b, t3)), jnp.float32)
+
+    def ref3(x):
+        xs = x.reshape(b, t3, 3, nh, d)
+        q, k, v = (xs[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d**0.5)
+        logits = logits + jnp.log(sizes)[:, None, None, :]
+        o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+        return jnp.sum(o.transpose(0, 2, 1, 3).reshape(b, t3, h) * w3)
+
+    def pal3(x):
+        return jnp.sum(attention_qkv_train(x, nh, sizes=sizes) * w3)
+
+    g3_ref = jax.grad(ref3)(qkv3)
+    g3_pal = jax.grad(pal3)(qkv3)
+    print(
+        "sizes-VJP (tome, T=181) grad max err:",
+        float(jnp.max(jnp.abs(g3_pal - g3_ref))),
+    )
+
 
 def check_quant_matmuls():
     from vit_cpp_tpu.gguf.dtypes import GGMLDType
