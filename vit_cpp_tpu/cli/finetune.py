@@ -2,7 +2,7 @@
 
     python -m vit_cpp_tpu.cli.finetune -m model-f16.gguf -d train_dir \\
         -o finetuned.gguf --epochs 3 --batch 32 [--val-dir val_dir] \\
-        [--freeze-backbone] [--mesh 4x2] [--ckpt-dir ckpt/]
+        [--freeze-backbone] [--mesh 4x2] [--fsdp] [--ckpt-dir ckpt/]
 
 Classifier checkpoints train on the benchmark-harness tree (one
 subdirectory per class; the head transfers to the folder's class
@@ -83,6 +83,13 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--mesh", metavar="DPxTP", default=None,
         help="train over a multi-chip mesh, e.g. 4x2 (dp must divide batch)",
+    )
+    ap.add_argument(
+        "--fsdp", action="store_true",
+        help="fully-sharded data parallelism (ZeRO-3): shard params AND "
+        "AdamW moments over the mesh's data axis, all-gathered per layer "
+        "by XLA — trains models whose optimizer state exceeds one chip "
+        "(needs --mesh)",
     )
     ap.add_argument(
         "--ckpt-dir", default=None,
@@ -188,6 +195,7 @@ def main(argv=None) -> int:
             mixup=args.mixup,
             ema=args.ema,
             mesh=mesh,
+            fsdp=args.fsdp,
             ckpt_dir=args.ckpt_dir,
             seed=args.seed,
             decode_threads=args.decode_threads,

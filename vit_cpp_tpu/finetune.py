@@ -368,6 +368,7 @@ def finetune(
     mixup: float = 0.0,
     ema: float = 0.0,
     mesh=None,
+    fsdp: bool = False,
     ckpt_dir: Optional[str] = None,
     seed: int = 0,
     decode_threads: int = 0,
@@ -414,10 +415,12 @@ def finetune(
 
     from vit_cpp_tpu.ops.augment import augment_batch, augment_flags
 
-    mf = read_model(model)
-    hp = detect_hparams(mf)
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if fsdp and mesh is None:
+        raise ValueError("--fsdp needs a device mesh (--mesh DPxTP)")
+    mf = read_model(model)
+    hp = detect_hparams(mf)
     aug_flip, aug_crop = augment_flags(augment)  # validates the mode
     if mixup < 0:
         raise ValueError(f"mixup alpha must be >= 0, got {mixup}")
@@ -517,7 +520,7 @@ def finetune(
         optimizer = inner
 
     if mesh is not None:
-        state = create_train_state(params, mesh, optimizer)
+        state = create_train_state(params, mesh, optimizer, fsdp=fsdp)
     else:
         state = TrainState(
             params=params,

@@ -9,9 +9,13 @@ The TPU-native equivalents are a 2-D `jax.sharding.Mesh`:
 - axis "model" — tensor parallelism over attention heads and MLP features
   (megatron-style column/row splits; XLA inserts the all-reduces).
 
+Training additionally supports FSDP/ZeRO-3 over the "data" axis
+(parallel/sharding.fsdp_pspecs): params and AdamW moments shard dp-fold,
+for models whose optimizer state exceeds one chip's HBM.
+
 Pipeline/sequence/expert parallelism are deliberate non-goals at ViT scale
 (max 785 tokens, SURVEY.md §2.6): the whole model fits on one chip, so depth
-beyond dp x tp buys nothing.
+beyond dp x tp (+ FSDP for training state) buys nothing.
 """
 
 from __future__ import annotations

@@ -148,13 +148,57 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
+def fsdp_pspecs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """ZeRO-3 specs: TP specs + every dense >=2-D leaf sharded over "data".
+
+    Fully-sharded data parallelism for TRAINING: the AdamW state inherits
+    parameter shardings leaf-for-leaf (parallel/train.create_train_state),
+    so params + grads + both moments all shrink dp-fold per device — a
+    ViT-g AdamW state (~16 GB in f32: params, mu, nu, master grads) that
+    cannot fit one v5e trains on a dp=8 slice at ~2 GB/device. XLA/GSPMD
+    inserts the all-gathers at each layer's use and reduce-scatters the
+    grads back to the shards (the scaling-book FSDP recipe: annotate,
+    don't hand-roll collectives).
+
+    Per dense leaf the LARGEST dim not already TP-sharded and divisible
+    by the "data" axis takes the extra sharding; leaves where no dim
+    divides (small biases, odd token counts) keep their TP spec — memory
+    loss is negligible, and per-leaf degradation beats shard_params'
+    whole-leaf replicate fallback here. Quantized leaves (QuantLinear /
+    Int8Linear) keep TP-only specs: they are serving-side, where there is
+    no optimizer state to shard and weights are already 4-8x smaller.
+    """
+    dp = mesh.shape["data"]
+    base = param_pspecs(params)
+    is_q = lambda x: isinstance(x, (QuantLinear, Int8Linear))
+
+    def widen(leaf, spec):
+        if is_q(leaf) or not hasattr(leaf, "ndim") or leaf.ndim < 2:
+            return spec
+        entries = list(spec) + [None] * (leaf.ndim - len(spec))
+        free = [
+            i for i, e in enumerate(entries)
+            if e is None and leaf.shape[i] % dp == 0
+        ]
+        if not free:
+            return spec
+        pick = max(free, key=lambda i: leaf.shape[i])
+        entries[pick] = "data"
+        return P(*entries)
+
+    return jax.tree.map(widen, params, base, is_leaf=is_q)
+
+
 def batch_pspec() -> P:
     return P("data")
 
 
-def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put the param pytree with TP/replicated shardings."""
-    specs = param_pspecs(params)
+def shard_params(
+    params: Dict[str, Any], mesh: Mesh, fsdp: bool = False
+) -> Dict[str, Any]:
+    """device_put the param pytree with TP/replicated shardings
+    (`fsdp=True` adds the ZeRO-3 "data"-axis sharding, fsdp_pspecs)."""
+    specs = fsdp_pspecs(params, mesh) if fsdp else param_pspecs(params)
     is_q = lambda x: isinstance(x, (QuantLinear, Int8Linear))
 
     def _divisible(shape, spec) -> bool:

@@ -286,9 +286,15 @@ def train_step_accum(
 
 
 def create_train_state(
-    params: Dict[str, Any], mesh: Mesh, optimizer
+    params: Dict[str, Any], mesh: Mesh, optimizer, fsdp: bool = False
 ) -> TrainState:
     """Shard params onto the mesh and build matching optimizer state.
+
+    `fsdp=True` additionally shards every large dense leaf over the
+    "data" axis (ZeRO-3, parallel/sharding.fsdp_pspecs); because the
+    optimizer state is built leaf-for-leaf from the sharded params below,
+    the AdamW moments shard identically — params, grads and both moments
+    all shrink dp-fold per device.
 
     optimizer.init runs EAGERLY: zeros_like on sharded params inherits
     each parameter's sharding leaf-for-leaf, so the Adam moments live
@@ -308,7 +314,7 @@ def create_train_state(
         lambda leaf: jnp.array(leaf, copy=True) if hasattr(leaf, "ndim") else leaf,
         params,
     )
-    params = shard_params(params, mesh)
+    params = shard_params(params, mesh, fsdp=fsdp)
     opt_state = optimizer.init(params)
     replicated = NamedSharding(mesh, P())
 
