@@ -128,6 +128,16 @@ def main(argv=None) -> int:
         "semantics), recorded in the resume meta",
     )
     ap.add_argument(
+        "--qat", default="", metavar="FMT",
+        choices=["", "w8a8", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1"],
+        help="quantization-aware training (quant/qat.py): fake-quantize "
+        "weights through FMT's serving chain (block codec -> channelwise "
+        "int8) and activations per-token, with straight-through "
+        "gradients, so the EXPORTED quantized/W8A8 model is what the "
+        "loss optimized; validation scores the fake-quantized model; "
+        "quantize the output gguf with the same FMT afterwards",
+    )
+    ap.add_argument(
         "--ftype", type=int, choices=[0, 1], default=1,
         help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
         "block formats)",
@@ -203,6 +213,7 @@ def main(argv=None) -> int:
             img_size=args.img_size,
             patch_size=args.patch_size,
             tome=args.tome,
+            qat=args.qat,
             stream=args.stream,
             log=lambda m: print(m, file=sys.stderr),
         )

@@ -106,7 +106,10 @@ def encode_texts(texts: List[str], seq_len: int) -> np.ndarray:
     return out
 
 
-def evaluate_vitstr(params, hp, pixels: np.ndarray, texts: List[str], batch: int) -> float:
+def evaluate_vitstr(
+    params, hp, pixels: np.ndarray, texts: List[str], batch: int,
+    qat: str = "",
+) -> float:
     """Word-level exact-match accuracy via the device greedy decoder."""
     import jax.numpy as jnp
 
@@ -124,7 +127,7 @@ def evaluate_vitstr(params, hp, pixels: np.ndarray, texts: List[str], batch: int
         n = len(chunk)
         if n < batch:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
-        probs = fwd(params, jnp.asarray(chunk), hp=hp)
+        probs = fwd(params, jnp.asarray(chunk), hp=hp, qat=qat)
         toks, valid, _ = greedy_decode_device(probs)
         toks, valid = np.asarray(toks)[:n], np.asarray(valid)[:n]
         for j in range(n):
@@ -302,12 +305,19 @@ def _eval_fwd():
 
         from vit_cpp_tpu.models.vit import forward
 
-        _EVAL_FWD = jax.jit(
-            lambda p, x, hp, tome=0: jnp.argmax(
-                forward(p, x, hp, tome=tome), axis=-1
-            ),
-            static_argnames=("hp", "tome"),
-        )
+        def fwd(p, x, hp, tome=0, qat=""):
+            if qat:
+                # score the model that will be SERVED: fake-quantized
+                # weights + per-token activation qdq (quant/qat.py)
+                from vit_cpp_tpu.quant.qat import fake_quant_params
+
+                p = fake_quant_params(p, qat)
+            return jnp.argmax(
+                forward(p, x, hp, tome=tome, mm_impl="qat" if qat else "xla"),
+                axis=-1,
+            )
+
+        _EVAL_FWD = jax.jit(fwd, static_argnames=("hp", "tome", "qat"))
     return _EVAL_FWD
 
 
@@ -319,22 +329,30 @@ def _eval_fwd_probs():
 
         from vit_cpp_tpu.models.vit import forward
 
-        _EVAL_FWD_PROBS = jax.jit(
-            lambda p, x, hp: jax.nn.softmax(
-                forward(p, x, hp).astype(jnp.float32), axis=-1
-            ),
-            static_argnames=("hp",),
-        )
+        def fwd(p, x, hp, qat=""):
+            if qat:
+                from vit_cpp_tpu.quant.qat import fake_quant_params
+
+                p = fake_quant_params(p, qat)
+            return jax.nn.softmax(
+                forward(
+                    p, x, hp, mm_impl="qat" if qat else "xla"
+                ).astype(jnp.float32),
+                axis=-1,
+            )
+
+        _EVAL_FWD_PROBS = jax.jit(fwd, static_argnames=("hp", "qat"))
     return _EVAL_FWD_PROBS
 
 
 def evaluate(
     params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int,
-    tome: int = 0,
+    tome: int = 0, qat: str = "",
 ) -> float:
     """Top-1 accuracy of `params` on preprocessed pixels (pads the tail so
     one program serves every chunk). `tome` evaluates through the merged
-    graph — a --tome fine-tune validates what it will serve."""
+    graph — a --tome fine-tune validates what it will serve; `qat`
+    likewise scores the fake-quantized model (the served arithmetic)."""
     import jax.numpy as jnp
 
     fwd = _eval_fwd()
@@ -344,7 +362,9 @@ def evaluate(
         n = len(chunk)
         if n < batch:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
-        pred = np.asarray(fwd(params, jnp.asarray(chunk), hp=hp, tome=tome))[:n]
+        pred = np.asarray(
+            fwd(params, jnp.asarray(chunk), hp=hp, tome=tome, qat=qat)
+        )[:n]
         correct += int((pred == labels[i : i + n]).sum())
     return correct / len(pixels)
 
@@ -376,6 +396,7 @@ def finetune(
     img_size: Optional[int] = None,
     patch_size: Optional[int] = None,
     tome: int = 0,
+    qat: str = "",
     stream: bool = False,
     log=print,
 ) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
@@ -432,6 +453,13 @@ def finetune(
         raise ValueError("--mixup is incompatible with --grad-accum > 1")
     if tome < 0:
         raise ValueError(f"tome must be >= 0, got {tome}")
+    if qat:
+        from vit_cpp_tpu.quant.qat import QAT_FORMATS
+
+        if qat not in QAT_FORMATS:
+            raise ValueError(
+                f"qat format must be one of {QAT_FORMATS}, got {qat!r}"
+            )
     is_vitstr = hp.seq_len is not None
     if tome and is_vitstr:
         raise ValueError(
@@ -581,6 +609,10 @@ def finetune(
         # the merged-graph loss differs from the unmerged one — resuming
         # with a different r would silently change the objective
         "tome": tome,
+        # the fake-quantized loss (quant/qat.py) differs from the dense
+        # one the same way — resuming with a different format retargets
+        # the noise the run was absorbing
+        "qat": qat,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -634,6 +666,14 @@ def finetune(
                 "(trained unmerged); resuming with --tome would not "
                 "replay the original run — drop --tome or use a fresh "
                 "--ckpt-dir"
+            )
+        if "qat" in missing and qat:
+            # a meta that predates 'qat' was trained dense; adopting a
+            # fake-quantized loss mid-run would change the objective
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --qat recording "
+                "(trained dense); resuming with --qat would not replay "
+                "the original run — drop --qat or use a fresh --ckpt-dir"
             )
         if missing:
             log(
@@ -704,13 +744,19 @@ def finetune(
             from vit_cpp_tpu.parallel.train import vitstr_cross_entropy_loss
 
             accum_loss_fn = vitstr_cross_entropy_loss
-        elif label_smoothing or tome:
+            if qat:
+                import functools
+
+                accum_loss_fn = functools.partial(
+                    vitstr_cross_entropy_loss, qat=qat
+                )
+        elif label_smoothing or tome or qat:
             import functools
 
             from vit_cpp_tpu.parallel.train import cross_entropy_loss
 
             accum_loss_fn = functools.partial(
-                cross_entropy_loss, smooth=label_smoothing, tome=tome
+                cross_entropy_loss, smooth=label_smoothing, tome=tome, qat=qat
             )
     aug_key = (
         jax.random.PRNGKey(seed) if augment != "none" or mixup else None
@@ -760,7 +806,7 @@ def finetune(
 
                 state, loss = train_step_mixup(
                     state, bx, by, mix[0], mix[1], hp, optimizer,
-                    smooth=label_smoothing, tome=tome,
+                    smooth=label_smoothing, tome=tome, qat=qat,
                 )
             elif grad_accum > 1:
                 state, loss = train_step_accum(
@@ -770,11 +816,13 @@ def finetune(
             elif is_vitstr:
                 from vit_cpp_tpu.parallel.train import train_step_vitstr
 
-                state, loss = train_step_vitstr(state, bx, by, hp, optimizer)
+                state, loss = train_step_vitstr(
+                    state, bx, by, hp, optimizer, qat=qat
+                )
             else:
                 state, loss = train_step(
                     state, bx, by, hp, optimizer, smooth=label_smoothing,
-                    tome=tome,
+                    tome=tome, qat=qat,
                 )
             if ema:
                 ema_params = _ema_update()(ema_params, state.params, ema)
@@ -786,11 +834,13 @@ def finetune(
             # score what will be served: the EMA weights when enabled
             eval_params = ema_params if ema else state.params
             if is_vitstr:
-                acc = evaluate_vitstr(eval_params, hp, val[0], val[1], batch)
+                acc = evaluate_vitstr(
+                    eval_params, hp, val[0], val[1], batch, qat=qat
+                )
                 msg += f", val word-acc{' (ema)' if ema else ''} {acc:.3f}"
             else:
                 acc = evaluate(
-                    eval_params, hp, val[0], val[1], batch, tome=tome
+                    eval_params, hp, val[0], val[1], batch, tome=tome, qat=qat
                 )
                 msg += f", val top-1{' (ema)' if ema else ''} {acc:.3f}"
         log(msg)

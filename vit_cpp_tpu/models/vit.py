@@ -261,6 +261,11 @@ def attention_pool(
     against transformers in tests/test_siglip.py): a learned probe
     cross-attends over the (already final-normed) tokens, then a
     residual MLP. x: (B, T, h) -> (B, h)."""
+    if mm_impl == "qat":
+        # the serving int8 path never quantizes attn_pool leaves
+        # (quant/int8.convert_params_to_int8 targets blocks + head only),
+        # so QAT must not fake-quantize its activations either
+        mm_impl = "xla"
     b, t, h = x.shape
     nh, hd = hp.num_attention_heads, hp.head_dim
     dtype = x.dtype

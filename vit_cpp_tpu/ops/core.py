@@ -79,6 +79,14 @@ def linear(
 
         y = quant_matmul(x, kernel, impl=impl)
     else:
+        if impl == "qat":
+            # QAT training (quant/qat.py): the kernel was already
+            # fake-quantized by fake_quant_params; simulate the W8A8
+            # matmul's per-token dynamic activation quantization here,
+            # with a straight-through gradient
+            from vit_cpp_tpu.quant.qat import fake_quant_act
+
+            x = fake_quant_act(x)
         y = jnp.dot(
             x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)

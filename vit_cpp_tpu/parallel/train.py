@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding
 from vit_cpp_tpu.hparams import VitHParams
 from vit_cpp_tpu.models.vit import forward
 from vit_cpp_tpu.parallel.sharding import batch_pspec, shard_params
+from vit_cpp_tpu.quant.qat import fake_quant_params
 
 
 class TrainState(NamedTuple):
@@ -69,7 +70,7 @@ def make_optimizer(
 
 def cross_entropy_loss(
     params, images, labels, hp: VitHParams, smooth: float = 0.0,
-    tome: int = 0,
+    tome: int = 0, qat: str = "",
 ) -> jax.Array:
     # remat="dots+attn": keep each block's GEMM outputs AND the fused
     # attention outputs — ViT-B/16 batch-128 training OOMs a 16 GB v5e
@@ -85,11 +86,16 @@ def cross_entropy_loss(
     # attn_impl="pallas-train": fused custom-VJP attention — neither
     # direction materializes the (B, nh, T, T) scores in HBM (the XLA
     # backward's dominant traffic); falls back to XLA ops at T > 600
+    # qat: fake-quantize weights (STE, quant/qat.py) and route the
+    # quantized-at-serve matmuls through per-token activation qdq
+    if qat:
+        params = fake_quant_params(params, qat)
     logits = forward(
         params,
         images,
         hp,
         attn_impl="pallas-train",
+        mm_impl="qat" if qat else "xla",
         remat="dots+attn",
         unroll=hp.num_hidden_layers,
         tome=tome,
@@ -105,18 +111,21 @@ def cross_entropy_loss(
 
 
 def vitstr_cross_entropy_loss(
-    params, images, targets, hp: VitHParams
+    params, images, targets, hp: VitHParams, qat: str = ""
 ) -> jax.Array:
     """Scene-text sequence loss: targets (B, seq_len) int32, -1 = masked.
 
     Position 0 ([GO]) and everything after the EOS target are masked;
     positions 1..n carry the char ids and n+1 the [s] stop token —
     mirroring greedy_decode's read pattern (models/vitstr.py)."""
+    if qat:
+        params = fake_quant_params(params, qat)
     logits = forward(
         params,
         images,
         hp,
         attn_impl="pallas-train",
+        mm_impl="qat" if qat else "xla",
         remat="dots+attn",
         unroll=hp.num_hidden_layers,
     )  # (B, S, V)
@@ -128,7 +137,7 @@ def vitstr_cross_entropy_loss(
 
 
 @partial(
-    jax.jit, static_argnames=("hp", "optimizer"), donate_argnums=(0,)
+    jax.jit, static_argnames=("hp", "optimizer", "qat"), donate_argnums=(0,)
 )
 def train_step_vitstr(
     state: TrainState,
@@ -136,9 +145,10 @@ def train_step_vitstr(
     targets: jax.Array,
     hp: VitHParams,
     optimizer,
+    qat: str = "",
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(vitstr_cross_entropy_loss)(
-        state.params, images, targets, hp
+        state.params, images, targets, hp, qat
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -147,7 +157,7 @@ def train_step_vitstr(
 
 @partial(
     jax.jit,
-    static_argnames=("hp", "optimizer", "smooth", "tome"),
+    static_argnames=("hp", "optimizer", "smooth", "tome", "qat"),
     donate_argnums=(0,),
 )
 def train_step(
@@ -158,9 +168,10 @@ def train_step(
     optimizer,
     smooth: float = 0.0,
     tome: int = 0,
+    qat: str = "",
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        state.params, images, labels, hp, smooth, tome
+        state.params, images, labels, hp, smooth, tome, qat
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -169,15 +180,18 @@ def train_step(
 
 def _mixed_cross_entropy_loss(
     params, images, labels, labels2, lam, hp: VitHParams, smooth: float,
-    tome: int = 0,
+    tome: int = 0, qat: str = "",
 ) -> jax.Array:
     """Mixup loss: one forward on the pre-mixed batch, CE against both
     label sets weighted by the (traced) mixing coefficient."""
+    if qat:
+        params = fake_quant_params(params, qat)
     logits = forward(
         params,
         images,
         hp,
         attn_impl="pallas-train",
+        mm_impl="qat" if qat else "xla",
         remat="dots+attn",
         unroll=hp.num_hidden_layers,
         tome=tome,
@@ -196,7 +210,7 @@ def _mixed_cross_entropy_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("hp", "optimizer", "smooth", "tome"),
+    static_argnames=("hp", "optimizer", "smooth", "tome", "qat"),
     donate_argnums=(0,),
 )
 def train_step_mixup(
@@ -209,12 +223,13 @@ def train_step_mixup(
     optimizer,
     smooth: float = 0.0,
     tome: int = 0,
+    qat: str = "",
 ) -> Tuple[TrainState, jax.Array]:
     """Classifier step on a mixup batch (ops/augment.mixup_batch): images
     are already mixed; `labels2 = labels[perm]` and `lam` is the traced
     mixing scalar, so every lambda draw reuses one compiled program."""
     loss, grads = jax.value_and_grad(_mixed_cross_entropy_loss)(
-        state.params, images, labels, labels2, lam, hp, smooth, tome
+        state.params, images, labels, labels2, lam, hp, smooth, tome, qat
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
