@@ -136,6 +136,14 @@ def main() -> int:
         "buffer's HBM traffic in the elementwise update)",
     )
     ap.add_argument(
+        "--train-qat", default="", metavar="FMT",
+        choices=["", "w8a8", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1"],
+        help="quantization-aware training for --train (quant/qat.py): "
+        "fake-quantize weights through FMT's serving chain and "
+        "activations per-token inside the loss — measures the STE qdq "
+        "overhead on top of the dense train step",
+    )
+    ap.add_argument(
         "--train-attn", choices=["pallas-train", "xla"], default="pallas-train",
         help="attention for --train: the fused custom-VJP kernel pair "
         "(neither direction touches HBM with (B,nh,T,T) scores; the "
@@ -259,9 +267,14 @@ def main() -> int:
         train_unroll = args.unroll if args.unroll is not None else geo[1]
 
         def cross_entropy_loss(p, x, y, hp):
+            if args.train_qat:
+                from vit_cpp_tpu.quant.qat import fake_quant_params
+
+                p = fake_quant_params(p, args.train_qat)
             logits = forward(
                 p, x, hp,
                 attn_impl=args.train_attn,
+                mm_impl="qat" if args.train_qat else "xla",
                 remat=remat,
                 unroll=train_unroll,
                 tome=args.tome,
@@ -292,6 +305,8 @@ def main() -> int:
                 rng.integers(0, hp.num_classes, (batch,)), jnp.int32
             )
         suffix += "_train"
+        if args.train_qat:
+            suffix += f"_qat-{args.train_qat}"
 
         @jax.jit
         def chained(s0, x0):

@@ -61,6 +61,14 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="write rows as JSON")
     ap.add_argument("--probe", type=int, default=64)
     ap.add_argument("--tome-only", action="store_true")
+    ap.add_argument(
+        "--qat-only", action="store_true",
+        help="only the QAT train/serve-consistency rows: agreement of "
+        "the dense validation forward vs the Q4_0+W8A8 SERVED model "
+        "(what dense training's val score overstates) and of the QAT "
+        "fake-quant validation forward vs the same served model (what "
+        "--qat q4_0 validation reports)",
+    )
     ap.add_argument("--tpu", action="store_true", help="run on the real device")
     args = ap.parse_args(argv)
 
@@ -116,6 +124,57 @@ def main(argv=None) -> int:
             return row
 
         rows = []
+        if args.qat_only:
+            # QAT train/serve consistency (quant/qat.py): score both
+            # validation-time forwards against the model that actually
+            # DEPLOYS (Q4_0 blocks -> channelwise int8 -> int8 MXU).
+            # Dense training validates a model that never serves; QAT
+            # validates the served arithmetic itself.
+            quantize_model_file(f16, q4, 2, verbose=False)
+            p4 = convert_params_to_int8(
+                load_params(read_model(q4), dtype=jnp.float32)
+            )
+            served = np.asarray(forward(p4, imgs, hp, mm_impl="int8"))
+            s_top1 = served.argmax(-1)
+            s_mag = max(np.abs(served).mean(), 1e-9)
+
+            from vit_cpp_tpu.quant.qat import fake_quant_params
+
+            def score_vs_served(logits, name):
+                lg = np.asarray(logits)
+                top1 = float((lg.argmax(-1) == s_top1).mean())
+                rel = float(np.abs(lg - served).mean() / s_mag)
+                row = {
+                    "config": name,
+                    "top1_agreement_vs_served": round(top1, 4),
+                    "rel_logit_mae_vs_served": round(rel, 4),
+                }
+                print(
+                    f"[frontier] {name}: vs served top1 {top1 * 100:.1f}% "
+                    f"rel MAE {rel * 100:.2f}%",
+                    flush=True,
+                )
+                return row
+
+            rows.append(
+                score_vs_served(forward(params, imgs, hp), "dense_val_fwd")
+            )
+            rows.append(
+                score_vs_served(
+                    forward(
+                        fake_quant_params(params, "q4_0"),
+                        imgs,
+                        hp,
+                        mm_impl="qat",
+                    ),
+                    "qat_q4_0_val_fwd",
+                )
+            )
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump(rows, f, indent=2)
+            print(json.dumps(rows))
+            return 0
         tome_rs = (4, 8, 16, 26)
         for r in tome_rs:
             rows.append(

@@ -144,6 +144,14 @@ CONFIGS = [
         "train_bf16_bs64_tome16",
         ["--train", "--chain", "10", "--batch", "64", "--tome", "16"],
     ),
+    # quantization-aware training (vit-finetune --qat q8_0): the dense
+    # step plus per-leaf weight qdq and per-token activation qdq with
+    # STE grads — the measured cost of training the SERVED arithmetic
+    # (docs/TUNING.md "Quantization-aware training")
+    (
+        "train_bf16_bs64_qat_q8_0",
+        ["--train", "--chain", "10", "--batch", "64", "--train-qat", "q8_0"],
+    ),
 ]
 
 

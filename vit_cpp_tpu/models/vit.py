@@ -414,7 +414,12 @@ def forward(
                 _tome_layer,
                 policy=jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                    # "act_q": QAT's qdq'd GEMM inputs (ops/core.py) — saved
+                    # so the backward dW GEMMs read them instead of
+                    # recomputing the absmax+round chain (no-op when dense)
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_out", "act_q"
+                    ),
                 ),
                 static_argnums=(3,),
             )
@@ -458,7 +463,9 @@ def forward(
             body,
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                jax.checkpoint_policies.save_only_these_names("attn_out"),
+                jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "act_q"
+                ),
             ),
         )
     elif remat:

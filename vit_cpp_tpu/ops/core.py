@@ -83,10 +83,17 @@ def linear(
             # QAT training (quant/qat.py): the kernel was already
             # fake-quantized by fake_quant_params; simulate the W8A8
             # matmul's per-token dynamic activation quantization here,
-            # with a straight-through gradient
+            # with a straight-through gradient. Named so the "dots+attn"
+            # remat policy can SAVE the qdq'd activations: the backward
+            # needs them for every dW GEMM, and recomputing the absmax
+            # reduce + round chain inside the backward fusions is the
+            # measured QAT slowdown (TUNING "Quantization-aware
+            # training")
+            from jax.ad_checkpoint import checkpoint_name
+
             from vit_cpp_tpu.quant.qat import fake_quant_act
 
-            x = fake_quant_act(x)
+            x = checkpoint_name(fake_quant_act(x), "act_q")
         y = jnp.dot(
             x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
