@@ -144,6 +144,13 @@ def main() -> int:
         "overhead on top of the dense train step",
     )
     ap.add_argument(
+        "--train-qat-act", choices=["dynamic", "static"], default="dynamic",
+        help="activation fake-quant for --train-qat: per-token dynamic "
+        "or frozen per-tensor static scales (measured once on the bench "
+        "batch — deletes the per-GEMM absmax reduces, mirroring "
+        "--qat-act static)",
+    )
+    ap.add_argument(
         "--train-attn", choices=["pallas-train", "xla"], default="pallas-train",
         help="attention for --train: the fused custom-VJP kernel pair "
         "(neither direction touches HBM with (B,nh,T,T) scores; the "
@@ -266,11 +273,25 @@ def main() -> int:
         # --unroll N overrides for A/B probes (incl. the unroll-1 scan)
         train_unroll = args.unroll if args.unroll is not None else geo[1]
 
+        qat_scales = None
+        if args.train_qat and args.train_qat_act == "static":
+            from vit_cpp_tpu.quant.qat import measure_act_scales
+
+            # jitted: eager per-op dispatch through the axon tunnel would
+            # take minutes for the layer-by-layer tap loop
+            qat_scales = jax.jit(
+                measure_act_scales, static_argnums=(2, 3)
+            )(params, images, hp, args.train_qat)
+
         def cross_entropy_loss(p, x, y, hp):
             if args.train_qat:
                 from vit_cpp_tpu.quant.qat import fake_quant_params
 
                 p = fake_quant_params(p, args.train_qat)
+                if qat_scales is not None:
+                    from vit_cpp_tpu.quant.qat import inject_act_scales
+
+                    p = inject_act_scales(p, qat_scales)
             logits = forward(
                 p, x, hp,
                 attn_impl=args.train_attn,
@@ -307,6 +328,8 @@ def main() -> int:
         suffix += "_train"
         if args.train_qat:
             suffix += f"_qat-{args.train_qat}"
+            if args.train_qat_act == "static":
+                suffix += "-static"
 
         @jax.jit
         def chained(s0, x0):

@@ -16,6 +16,7 @@ def build_engine(
     attn: str = "pallas-fast",
     fold_ln=None,
     act: str = "dynamic",
+    act_scales=None,
     img_size=None,
     patch_size=None,
     tome: int = 0,
@@ -58,7 +59,9 @@ def build_engine(
     from vit_cpp_tpu.gguf.reader import read_model
 
     if fold_ln is None:
-        fold_ln = mm == "int8"
+        # act_scales were measured on the UNFOLDED training graph
+        # (engine rejects the combination) — default fold off for them
+        fold_ln = mm == "int8" and act_scales is None
     is_vitstr = detect_hparams(read_model(path)).seq_len is not None
     cls = VitstrEngine if is_vitstr else VitEngine
     engine = cls(
@@ -68,6 +71,7 @@ def build_engine(
         mm_impl=mm,
         fold_ln=fold_ln,
         act_quant=act,
+        act_scales=act_scales,
         img_size=img_size,
         patch_size=patch_size,
         tome=tome,

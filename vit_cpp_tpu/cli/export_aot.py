@@ -43,6 +43,11 @@ def main(argv=None) -> int:
         "serving config — no per-GEMM absmax passes; needs --calib-dir)",
     )
     ap.add_argument(
+        "--act-scales", metavar="FILE",
+        help="pre-measured static scales (a QAT run's "
+        "OUT.act_scales.json): bake them instead of calibrating",
+    )
+    ap.add_argument(
         "--calib-dir", metavar="DIR",
         help="representative images for --act static calibration (up to "
         "16 used; the agreement guardrail rejects saturating scales and "
@@ -109,20 +114,22 @@ def main(argv=None) -> int:
     if args.act == "static" and args.mm != "int8":
         print("vit-export: --act static requires --mm int8", file=sys.stderr)
         return 1
-    if args.act == "static" and not args.calib_dir:
+    if args.act == "static" and not args.calib_dir and not args.act_scales:
         print(
             "vit-export: --act static needs --calib-dir DIR "
-            "(representative images to calibrate on)",
+            "(representative images to calibrate on) or --act-scales "
+            "FILE (QAT-measured scales)",
             file=sys.stderr,
         )
         return 1
     try:
         engine, _ = build_engine(
             args.model, dtype=args.dtype, mm=args.mm, attn=args.attn,
-            fold_ln=args.fold_ln, act=args.act, img_size=args.img_size,
+            fold_ln=args.fold_ln, act=args.act,
+            act_scales=args.act_scales, img_size=args.img_size,
             patch_size=args.patch_size, tome=args.tome,
         )
-        if args.act == "static":
+        if args.act == "static" and not args.act_scales:
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 
             if not calibrate_engine_from_paths(engine, args.calib_dir):

@@ -138,6 +138,15 @@ def main(argv=None) -> int:
         "quantize the output gguf with the same FMT afterwards",
     )
     ap.add_argument(
+        "--qat-act", default="dynamic", choices=["dynamic", "static"],
+        help="activation fake-quant for --qat: 'dynamic' per-token "
+        "(mirrors the default W8A8 path) or 'static' frozen per-tensor "
+        "scales with clipping (mirrors --act static serving; scales are "
+        "measured on a fixed calibration batch at each epoch start and "
+        "exported next to the output as OUT.act_scales.json for "
+        "zero-calibration static serving via --act-scales)",
+    )
+    ap.add_argument(
         "--ftype", type=int, choices=[0, 1], default=1,
         help="output dtype rule: 0=f32, 1=f16 (quantize afterwards for "
         "block formats)",
@@ -214,6 +223,12 @@ def main(argv=None) -> int:
             patch_size=args.patch_size,
             tome=args.tome,
             qat=args.qat,
+            qat_act=args.qat_act,
+            qat_scales_out=(
+                f"{args.out}.act_scales.json"
+                if args.qat_act == "static"
+                else None
+            ),
             stream=args.stream,
             log=lambda m: print(m, file=sys.stderr),
         )

@@ -64,6 +64,12 @@ def main(argv=None) -> int:
         help="representative images for --act static (up to 16 used)",
     )
     ap.add_argument(
+        "--act-scales", metavar="FILE",
+        help="pre-measured static scales (a QAT run's "
+        "OUT.act_scales.json) — --act static serves with the exact "
+        "scales training clipped against, no calibration pass",
+    )
+    ap.add_argument(
         "--embed", metavar="OUT.npy", default=None,
         help="extract embeddings instead of classifying: write an (N, "
         "hidden) f32 .npy of final-LN pooled features plus OUT.paths.txt "
@@ -117,7 +123,13 @@ def main(argv=None) -> int:
         enable_compile_cache(args.compile_cache or None)
     else:
         enable_from_env()
-    fold_ln = args.fold_ln if args.fold_ln is not None else args.mm == "int8"
+    fold_ln = (
+        args.fold_ln
+        if args.fold_ln is not None
+        # QAT-measured act scales describe the UNFOLDED graph (the
+        # engine rejects the combination) — default fold off for them
+        else args.mm == "int8" and not args.act_scales
+    )
 
     paths = list(args.files)
     if args.dir:
@@ -253,6 +265,7 @@ def main(argv=None) -> int:
             mm_impl=args.mm,
             fold_ln=fold_ln,
             act_quant=args.act,
+            act_scales=args.act_scales,
             img_size=args.img_size,
             patch_size=args.patch_size,
             tome=args.tome,

@@ -53,6 +53,12 @@ def main(argv=None) -> int:
         help="representative images for --act static (up to 16 used)",
     )
     ap.add_argument(
+        "--act-scales", metavar="FILE",
+        help="pre-measured static scales (a QAT run's "
+        "OUT.act_scales.json): --act static serves with the exact "
+        "scales training clipped against — no --calib-dir needed",
+    )
+    ap.add_argument(
         "--img-size", type=int, default=None, metavar="PX",
         help="serve at a non-native resolution: resample the pos_embed "
         "grid (timm semantics) and preprocess to PX x PX; applies to "
@@ -125,11 +131,11 @@ def main(argv=None) -> int:
         if args.mm != "int8":
             print("--act static requires --mm int8", file=sys.stderr)
             return 1
-        if not args.calib_dir:
+        if not args.calib_dir and not args.act_scales:
             print(
                 "--act static needs --calib-dir DIR (the daemon warms up "
                 "on a dummy batch, which must not become the calibration "
-                "set)",
+                "set) or --act-scales FILE (QAT-measured scales)",
                 file=sys.stderr,
             )
             return 1
@@ -183,6 +189,7 @@ def main(argv=None) -> int:
                 engines[name], _ = build_engine(
                     path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                     fold_ln=args.fold_ln, act=args.act,
+                    act_scales=args.act_scales,
                     img_size=None if is_vitx(path) else args.img_size,
                     patch_size=None if is_vitx(path) else args.patch_size,
                     tome=0 if is_vitx(path) else args.tome,
@@ -190,7 +197,7 @@ def main(argv=None) -> int:
             except ValueError as e:  # e.g. --act static on a .vitx
                 print(f"vit-server: {name}: {e}", file=sys.stderr)
                 return 1
-            if args.act == "static":
+            if args.act == "static" and not args.act_scales:
                 from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 
                 try:
@@ -294,12 +301,13 @@ def main(argv=None) -> int:
             engine, is_vitstr = build_engine(
                 model_path, dtype=args.dtype, mm=args.mm, attn=args.attn,
                 fold_ln=args.fold_ln, act=args.act,
+                act_scales=args.act_scales,
                 img_size=args.img_size, patch_size=args.patch_size,
             )
         except ValueError as e:  # e.g. --img-size on ViTSTR / bad multiple
             print(f"vit-server: {e}", file=sys.stderr)
             return 1
-        if args.act == "static":
+        if args.act == "static" and not args.act_scales:
             from vit_cpp_tpu.cli.common import calibrate_engine_from_paths
 
             try:

@@ -100,6 +100,7 @@ class VitEngine:
         mm_impl: str = "xla",
         fold_ln: bool = False,
         act_quant: str = "dynamic",
+        act_scales: Optional[str] = None,
         img_size: Optional[int] = None,
         patch_size: Optional[int] = None,
         tome: int = 0,
@@ -187,10 +188,40 @@ class VitEngine:
             raise ValueError(f"act_quant must be dynamic|static, got {act_quant!r}")
         if act_quant == "static" and mm_impl != "int8":
             raise ValueError("act_quant='static' requires mm_impl='int8'")
-        # static activation scales are calibrated lazily on the first
-        # served batch (quant/calibrate.py); callers with a representative
-        # sample can call .calibrate(images) explicitly instead
-        self._needs_calibration = act_quant == "static"
+        if act_scales is not None:
+            # pre-measured scales (a QAT run's OUT.act_scales.json,
+            # quant/qat.save_act_scales): attach and skip calibration —
+            # these are the exact scales training clipped against, so
+            # the served arithmetic IS the trained objective; the
+            # calibration guardrail is replaced by the run's own val
+            # scores
+            if act_quant != "static":
+                raise ValueError("act_scales requires act_quant='static'")
+            if fold_ln:
+                # folding LN affines into the matmuls changes every
+                # pre-GEMM activation distribution; scales measured on
+                # the training (unfolded) graph would mis-clip — use
+                # on-device calibration (no act_scales) with fold_ln
+                raise ValueError(
+                    "act_scales (training-measured, unfolded graph) is "
+                    "incompatible with fold_ln — drop one"
+                )
+            from vit_cpp_tpu.quant.calibrate import attach_act_scales
+            from vit_cpp_tpu.quant.qat import load_act_scales
+
+            self.params = attach_act_scales(
+                self.params, load_act_scales(act_scales)
+            )
+            self._needs_calibration = False
+            if verbose:
+                print(
+                    f"vit_model_load: static act scales      = {act_scales}"
+                )
+        else:
+            # static activation scales are calibrated lazily on the first
+            # served batch (quant/calibrate.py); callers with a
+            # representative sample can call .calibrate(images) explicitly
+            self._needs_calibration = act_quant == "static"
         if tome and hp.seq_len is not None:
             raise ValueError(
                 "tome token merging is incompatible with sequence-head "

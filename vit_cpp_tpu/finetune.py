@@ -108,7 +108,7 @@ def encode_texts(texts: List[str], seq_len: int) -> np.ndarray:
 
 def evaluate_vitstr(
     params, hp, pixels: np.ndarray, texts: List[str], batch: int,
-    qat: str = "",
+    qat: str = "", qat_scales=None,
 ) -> float:
     """Word-level exact-match accuracy via the device greedy decoder."""
     import jax.numpy as jnp
@@ -127,7 +127,10 @@ def evaluate_vitstr(
         n = len(chunk)
         if n < batch:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
-        probs = fwd(params, jnp.asarray(chunk), hp=hp, qat=qat)
+        probs = fwd(
+            params, jnp.asarray(chunk), hp=hp, qat=qat,
+            qat_scales=qat_scales,
+        )
         toks, valid, _ = greedy_decode_device(probs)
         toks, valid = np.asarray(toks)[:n], np.asarray(valid)[:n]
         for j in range(n):
@@ -305,13 +308,18 @@ def _eval_fwd():
 
         from vit_cpp_tpu.models.vit import forward
 
-        def fwd(p, x, hp, tome=0, qat=""):
+        def fwd(p, x, hp, tome=0, qat="", qat_scales=None):
             if qat:
                 # score the model that will be SERVED: fake-quantized
-                # weights + per-token activation qdq (quant/qat.py)
+                # weights + activation qdq (quant/qat.py) — static
+                # per-tensor scales when qat_scales is given
                 from vit_cpp_tpu.quant.qat import fake_quant_params
 
                 p = fake_quant_params(p, qat)
+                if qat_scales is not None:
+                    from vit_cpp_tpu.quant.qat import inject_act_scales
+
+                    p = inject_act_scales(p, qat_scales)
             return jnp.argmax(
                 forward(p, x, hp, tome=tome, mm_impl="qat" if qat else "xla"),
                 axis=-1,
@@ -329,11 +337,15 @@ def _eval_fwd_probs():
 
         from vit_cpp_tpu.models.vit import forward
 
-        def fwd(p, x, hp, qat=""):
+        def fwd(p, x, hp, qat="", qat_scales=None):
             if qat:
                 from vit_cpp_tpu.quant.qat import fake_quant_params
 
                 p = fake_quant_params(p, qat)
+                if qat_scales is not None:
+                    from vit_cpp_tpu.quant.qat import inject_act_scales
+
+                    p = inject_act_scales(p, qat_scales)
             return jax.nn.softmax(
                 forward(
                     p, x, hp, mm_impl="qat" if qat else "xla"
@@ -347,7 +359,7 @@ def _eval_fwd_probs():
 
 def evaluate(
     params, hp, pixels: np.ndarray, labels: np.ndarray, batch: int,
-    tome: int = 0, qat: str = "",
+    tome: int = 0, qat: str = "", qat_scales=None,
 ) -> float:
     """Top-1 accuracy of `params` on preprocessed pixels (pads the tail so
     one program serves every chunk). `tome` evaluates through the merged
@@ -363,7 +375,10 @@ def evaluate(
         if n < batch:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], batch - n, axis=0)])
         pred = np.asarray(
-            fwd(params, jnp.asarray(chunk), hp=hp, tome=tome, qat=qat)
+            fwd(
+                params, jnp.asarray(chunk), hp=hp, tome=tome, qat=qat,
+                qat_scales=qat_scales,
+            )
         )[:n]
         correct += int((pred == labels[i : i + n]).sum())
     return correct / len(pixels)
@@ -397,6 +412,8 @@ def finetune(
     patch_size: Optional[int] = None,
     tome: int = 0,
     qat: str = "",
+    qat_act: str = "dynamic",
+    qat_scales_out: Optional[str] = None,
     stream: bool = False,
     log=print,
 ) -> Tuple[Dict[str, Any], Any, List[str], List[float]]:
@@ -460,6 +477,14 @@ def finetune(
             raise ValueError(
                 f"qat format must be one of {QAT_FORMATS}, got {qat!r}"
             )
+    if qat_act not in ("dynamic", "static"):
+        raise ValueError(
+            f"qat_act must be dynamic|static, got {qat_act!r}"
+        )
+    if qat_act == "static" and not qat:
+        raise ValueError("--qat-act static requires --qat FMT")
+    if qat_scales_out and qat_act != "static":
+        raise ValueError("an act-scales sidecar needs --qat-act static")
     is_vitstr = hp.seq_len is not None
     if tome and is_vitstr:
         raise ValueError(
@@ -613,6 +638,9 @@ def finetune(
         # one the same way — resuming with a different format retargets
         # the noise the run was absorbing
         "qat": qat,
+        # dynamic per-token vs frozen static per-tensor activation qdq
+        # are different objectives too (--qat-act)
+        "qat_act": qat_act,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -666,6 +694,13 @@ def finetune(
                 "(trained unmerged); resuming with --tome would not "
                 "replay the original run — drop --tome or use a fresh "
                 "--ckpt-dir"
+            )
+        if "qat_act" in missing and qat_act == "static":
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --qat-act recording "
+                "(trained with dynamic activation qdq); resuming with "
+                "--qat-act static would not replay the original run — "
+                "drop it or use a fresh --ckpt-dir"
             )
         if "qat" in missing and qat:
             # a meta that predates 'qat' was trained dense; adopting a
@@ -761,8 +796,28 @@ def finetune(
     aug_key = (
         jax.random.PRNGKey(seed) if augment != "none" or mixup else None
     )
+    calib_px = None
+    measure_scales = None
+    if qat_act == "static":
+        # fixed deterministic calibration batch (the first `batch` files
+        # in dataset order — identical on resume, stream or preloaded)
+        calib_px = jnp.asarray(
+            _preprocess_chunk(paths[:batch], hp, decode_threads)
+        )
+        from vit_cpp_tpu.quant.qat import measure_act_scales
+
+        # jitted ONCE (the tap loop dispatches per-op eagerly otherwise —
+        # minutes through a remote-device tunnel); retraces only if the
+        # geometry changes, which it cannot mid-run
+        measure_scales = jax.jit(measure_act_scales, static_argnums=(2, 3))
+    qat_scales = None
     losses: List[float] = []
     for epoch in range(start_epoch, epochs):
+        if calib_px is not None:
+            # epoch-refreshed frozen scales (quant/qat.py): measured on
+            # the CURRENT fake-quant weights, then constant for the whole
+            # epoch — the per-tensor clipping noise static serving applies
+            qat_scales = measure_scales(state.params, calib_px, hp, qat)
         # deterministic per-epoch shuffle: the same order replays on resume
         order = np.random.default_rng(seed + epoch).permutation(len(paths))
         idx_seq = [
@@ -807,22 +862,24 @@ def finetune(
                 state, loss = train_step_mixup(
                     state, bx, by, mix[0], mix[1], hp, optimizer,
                     smooth=label_smoothing, tome=tome, qat=qat,
+                    qat_scales=qat_scales,
                 )
             elif grad_accum > 1:
                 state, loss = train_step_accum(
                     state, bx, by, hp, optimizer, grad_accum,
-                    loss_fn=accum_loss_fn,
+                    loss_fn=accum_loss_fn, qat_scales=qat_scales,
                 )
             elif is_vitstr:
                 from vit_cpp_tpu.parallel.train import train_step_vitstr
 
                 state, loss = train_step_vitstr(
-                    state, bx, by, hp, optimizer, qat=qat
+                    state, bx, by, hp, optimizer, qat=qat,
+                    qat_scales=qat_scales,
                 )
             else:
                 state, loss = train_step(
                     state, bx, by, hp, optimizer, smooth=label_smoothing,
-                    tome=tome, qat=qat,
+                    tome=tome, qat=qat, qat_scales=qat_scales,
                 )
             if ema:
                 ema_params = _ema_update()(ema_params, state.params, ema)
@@ -835,12 +892,14 @@ def finetune(
             eval_params = ema_params if ema else state.params
             if is_vitstr:
                 acc = evaluate_vitstr(
-                    eval_params, hp, val[0], val[1], batch, qat=qat
+                    eval_params, hp, val[0], val[1], batch, qat=qat,
+                    qat_scales=qat_scales,
                 )
                 msg += f", val word-acc{' (ema)' if ema else ''} {acc:.3f}"
             else:
                 acc = evaluate(
-                    eval_params, hp, val[0], val[1], batch, tome=tome, qat=qat
+                    eval_params, hp, val[0], val[1], batch, tome=tome,
+                    qat=qat, qat_scales=qat_scales,
                 )
                 msg += f", val top-1{' (ema)' if ema else ''} {acc:.3f}"
         log(msg)
@@ -854,4 +913,16 @@ def finetune(
             )
             with open(meta_path, "w") as f:
                 json.dump(run_meta, f)
-    return (ema_params if ema else state.params), hp, classes, losses
+    final_params = ema_params if ema else state.params
+    if qat_scales_out:
+        # sidecar for zero-calibration static serving (VitEngine
+        # act_scales= / --act-scales): measured on the EXPORTED weights
+        from vit_cpp_tpu.quant.qat import save_act_scales
+
+        save_act_scales(
+            qat_scales_out,
+            measure_scales(final_params, calib_px, hp, qat),
+            margin=1.05,
+        )
+        log(f"finetune: wrote static activation scales to {qat_scales_out}")
+    return final_params, hp, classes, losses

@@ -137,7 +137,10 @@ def transformer_block(
     y = layernorm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
     if tap is not None:
         tap("qkv_in", y)
-    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
+    qkv = linear(
+        y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl,
+        act_scale=bp["qkv"].get("act_scale"),
+    )
     # (B, T, 3h): fused QKV with q|k|v contiguous on the feature axis
     # (timm layout; reference carves the same three views, vit.cpp:826-846).
     if attn_impl in ("pallas", "pallas-fast"):
@@ -167,16 +170,25 @@ def transformer_block(
         o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
     if tap is not None:
         tap("proj_in", o)
-    x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
+    x = x + linear(
+        o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl,
+        act_scale=bp["proj"].get("act_scale"),
+    )
 
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
     if tap is not None:
         tap("fc1_in", y)
-    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
+    y = linear(
+        y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl,
+        act_scale=bp["fc1"].get("act_scale"),
+    )
     y = mlp_act(hp.hidden_act)(y)
     if tap is not None:
         tap("fc2_in", y)
-    y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
+    y = linear(
+        y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl,
+        act_scale=bp["fc2"].get("act_scale"),
+    )
     return x + y
 
 
@@ -201,7 +213,10 @@ def tome_block(
     nh, hd = hp.num_attention_heads, hp.head_dim
 
     y = layernorm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], hp.eps)
-    qkv = linear(y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl)
+    qkv = linear(
+        y, bp["qkv"]["kernel"], bp["qkv"]["bias"], impl=mm_impl,
+        act_scale=bp["qkv"].get("act_scale"),
+    )
     if attn_impl in ("pallas", "pallas-fast"):
         from vit_cpp_tpu.ops.flash_attention import attention_qkv
 
@@ -223,7 +238,10 @@ def tome_block(
         from vit_cpp_tpu.ops.flash_attention import _attention_qkv_xla
 
         o = _attention_qkv_xla(qkv, nh, sizes=sizes)
-    x = x + linear(o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl)
+    x = x + linear(
+        o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl,
+        act_scale=bp["proj"].get("act_scale"),
+    )
 
     if r:
         from vit_cpp_tpu.ops.tome import tome_merge
@@ -246,9 +264,15 @@ def tome_block(
         x, sizes = tome_merge(x, metric, sizes, r, hp.n_prefix)
 
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
-    y = linear(y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl)
+    y = linear(
+        y, bp["fc1"]["kernel"], bp["fc1"]["bias"], impl=mm_impl,
+        act_scale=bp["fc1"].get("act_scale"),
+    )
     y = mlp_act(hp.hidden_act)(y)
-    y = linear(y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl)
+    y = linear(
+        y, bp["fc2"]["kernel"], bp["fc2"]["bias"], impl=mm_impl,
+        act_scale=bp["fc2"].get("act_scale"),
+    )
     return x + y, sizes
 
 
@@ -491,13 +515,14 @@ def _head(params, x, hp, features, mm_impl, kv, sizes):
             return (pooled[:, 0] + pooled[:, 1]) * 0.5
         logits = linear(
             pooled[:, 0], params["head"]["kernel"], params["head"]["bias"],
-            impl=mm_impl,
+            impl=mm_impl, act_scale=params["head"].get("act_scale"),
         )
         logits_dist = linear(
             pooled[:, 1],
             params["head_dist"]["kernel"],
             params["head_dist"]["bias"],
             impl=mm_impl,
+            act_scale=params["head_dist"].get("act_scale"),
         )
         return (logits + logits_dist) * 0.5
     if hp.global_pool == "map" and hp.seq_len is None:
@@ -523,7 +548,7 @@ def _head(params, x, hp, features, mm_impl, kv, sizes):
             )
         return linear(
             pooled, params["head"]["kernel"], params["head"]["bias"],
-            impl=mm_impl,
+            impl=mm_impl, act_scale=params["head"].get("act_scale"),
         )
     if hp.seq_len is not None:
         pooled = x[:, : hp.seq_len]  # ViTSTR 25-token readout
@@ -559,7 +584,10 @@ def _head(params, x, hp, features, mm_impl, kv, sizes):
             "serve embeddings (features=True / embed surfaces) or "
             "fine-tune to attach a head"
         )
-    logits = linear(pooled, params["head"]["kernel"], params["head"]["bias"], impl=mm_impl)
+    logits = linear(
+        pooled, params["head"]["kernel"], params["head"]["bias"],
+        impl=mm_impl, act_scale=params["head"].get("act_scale"),
+    )
     return logits
 
 

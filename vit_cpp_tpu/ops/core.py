@@ -64,6 +64,7 @@ def linear(
     bias: Optional[jax.Array] = None,
     *,
     impl: str = "xla",
+    act_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """y = x @ kernel (+ bias). kernel is a dense (in, out) array, a
     QuantLinear whose codes are dequantized inside the matmul, or an
@@ -82,18 +83,27 @@ def linear(
         if impl == "qat":
             # QAT training (quant/qat.py): the kernel was already
             # fake-quantized by fake_quant_params; simulate the W8A8
-            # matmul's per-token dynamic activation quantization here,
-            # with a straight-through gradient. Named so the "dots+attn"
-            # remat policy can SAVE the qdq'd activations: the backward
-            # needs them for every dW GEMM, and recomputing the absmax
-            # reduce + round chain inside the backward fusions is the
-            # measured QAT slowdown (TUNING "Quantization-aware
-            # training")
+            # matmul's activation quantization here with a
+            # straight-through gradient — per-token dynamic by default,
+            # or the static per-tensor qdq+clip when an act_scale rides
+            # the block dict (--qat-act static, inject_act_scales).
+            # Named so the "dots+attn" remat policy can SAVE the qdq'd
+            # activations: the backward needs them for every dW GEMM,
+            # and recomputing the absmax reduce + round chain inside the
+            # backward fusions is the measured QAT slowdown (TUNING
+            # "Quantization-aware training")
             from jax.ad_checkpoint import checkpoint_name
 
-            from vit_cpp_tpu.quant.qat import fake_quant_act
+            from vit_cpp_tpu.quant.qat import (
+                fake_quant_act,
+                fake_quant_act_static,
+            )
 
-            x = checkpoint_name(fake_quant_act(x), "act_q")
+            if act_scale is not None:
+                x = fake_quant_act_static(x, act_scale)
+            else:
+                x = fake_quant_act(x)
+            x = checkpoint_name(x, "act_q")
         y = jnp.dot(
             x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)

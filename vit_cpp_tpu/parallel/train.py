@@ -70,7 +70,7 @@ def make_optimizer(
 
 def cross_entropy_loss(
     params, images, labels, hp: VitHParams, smooth: float = 0.0,
-    tome: int = 0, qat: str = "",
+    tome: int = 0, qat: str = "", qat_scales=None,
 ) -> jax.Array:
     # remat="dots+attn": keep each block's GEMM outputs AND the fused
     # attention outputs — ViT-B/16 batch-128 training OOMs a 16 GB v5e
@@ -87,9 +87,15 @@ def cross_entropy_loss(
     # direction materializes the (B, nh, T, T) scores in HBM (the XLA
     # backward's dominant traffic); falls back to XLA ops at T > 600
     # qat: fake-quantize weights (STE, quant/qat.py) and route the
-    # quantized-at-serve matmuls through per-token activation qdq
+    # quantized-at-serve matmuls through per-token activation qdq —
+    # or the frozen per-tensor static scales when qat_scales is given
+    # (--qat-act static; inject_act_scales, never differentiated)
     if qat:
         params = fake_quant_params(params, qat)
+        if qat_scales is not None:
+            from vit_cpp_tpu.quant.qat import inject_act_scales
+
+            params = inject_act_scales(params, qat_scales)
     logits = forward(
         params,
         images,
@@ -111,7 +117,8 @@ def cross_entropy_loss(
 
 
 def vitstr_cross_entropy_loss(
-    params, images, targets, hp: VitHParams, qat: str = ""
+    params, images, targets, hp: VitHParams, qat: str = "",
+    qat_scales=None,
 ) -> jax.Array:
     """Scene-text sequence loss: targets (B, seq_len) int32, -1 = masked.
 
@@ -120,6 +127,10 @@ def vitstr_cross_entropy_loss(
     mirroring greedy_decode's read pattern (models/vitstr.py)."""
     if qat:
         params = fake_quant_params(params, qat)
+        if qat_scales is not None:
+            from vit_cpp_tpu.quant.qat import inject_act_scales
+
+            params = inject_act_scales(params, qat_scales)
     logits = forward(
         params,
         images,
@@ -146,9 +157,10 @@ def train_step_vitstr(
     hp: VitHParams,
     optimizer,
     qat: str = "",
+    qat_scales=None,
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(vitstr_cross_entropy_loss)(
-        state.params, images, targets, hp, qat
+        state.params, images, targets, hp, qat, qat_scales
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -169,9 +181,10 @@ def train_step(
     smooth: float = 0.0,
     tome: int = 0,
     qat: str = "",
+    qat_scales=None,
 ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(cross_entropy_loss)(
-        state.params, images, labels, hp, smooth, tome, qat
+        state.params, images, labels, hp, smooth, tome, qat, qat_scales
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -180,12 +193,16 @@ def train_step(
 
 def _mixed_cross_entropy_loss(
     params, images, labels, labels2, lam, hp: VitHParams, smooth: float,
-    tome: int = 0, qat: str = "",
+    tome: int = 0, qat: str = "", qat_scales=None,
 ) -> jax.Array:
     """Mixup loss: one forward on the pre-mixed batch, CE against both
     label sets weighted by the (traced) mixing coefficient."""
     if qat:
         params = fake_quant_params(params, qat)
+        if qat_scales is not None:
+            from vit_cpp_tpu.quant.qat import inject_act_scales
+
+            params = inject_act_scales(params, qat_scales)
     logits = forward(
         params,
         images,
@@ -224,12 +241,14 @@ def train_step_mixup(
     smooth: float = 0.0,
     tome: int = 0,
     qat: str = "",
+    qat_scales=None,
 ) -> Tuple[TrainState, jax.Array]:
     """Classifier step on a mixup batch (ops/augment.mixup_batch): images
     are already mixed; `labels2 = labels[perm]` and `lam` is the traced
     mixing scalar, so every lambda draw reuses one compiled program."""
     loss, grads = jax.value_and_grad(_mixed_cross_entropy_loss)(
-        state.params, images, labels, labels2, lam, hp, smooth, tome, qat
+        state.params, images, labels, labels2, lam, hp, smooth, tome, qat,
+        qat_scales,
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -249,6 +268,7 @@ def train_step_accum(
     optimizer,
     accum: int,
     loss_fn=None,
+    qat_scales=None,
 ) -> Tuple[TrainState, jax.Array]:
     """One optimizer update from `accum` sequential micro-batches.
 
@@ -275,8 +295,12 @@ def train_step_accum(
     def step(carry, xy):
         gsum, lsum, wsum = carry
         x, y = xy
+        # qat_scales is TRACED (per-epoch refreshed values, one compiled
+        # program) — forwarded as a kwarg so the partial'd loss keeps a
+        # hashable (static) identity
+        kw = {} if qat_scales is None else {"qat_scales": qat_scales}
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, x, y, hp
+            state.params, x, y, hp, **kw
         )
         # valid-target count of this micro-batch: mask-aware for (B, S)
         # sequence targets, the constant micro size for (B,) labels

@@ -136,6 +136,43 @@ def calibrate_act_scales(
     return out
 
 
+def attach_act_scales(
+    params: Dict[str, Any], scales: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Attach PRE-MEASURED static scales (a QAT run's exported
+    OUT.act_scales.json — quant/qat.save_act_scales) to an
+    int8-converted tree, skipping on-device calibration entirely:
+    zero-calibration static serving where the scales are the exact ones
+    training clipped against."""
+    for name in _GEMMS:
+        if not isinstance(params["blocks"][name]["kernel"], Int8Linear):
+            raise ValueError(
+                "attach_act_scales needs an int8-converted tree "
+                "(convert_params_to_int8) — blocks."
+                f"{name}.kernel is {type(params['blocks'][name]['kernel']).__name__}"
+            )
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in _GEMMS:
+        leaf = dict(blocks[name])
+        leaf["kernel"] = dataclasses.replace(
+            leaf["kernel"], act_scale=jnp.asarray(scales[name], jnp.float32)
+        )
+        blocks[name] = leaf
+    out["blocks"] = blocks
+    for name in ("head", "head_dist") if "head_dist" in params else ("head",):
+        if name not in params or "head" not in scales:
+            continue
+        head = dict(params[name])
+        if isinstance(head["kernel"], Int8Linear):
+            head["kernel"] = dataclasses.replace(
+                head["kernel"],
+                act_scale=jnp.asarray(scales["head"], jnp.float32),
+            )
+        out[name] = head
+    return out
+
+
 def validate_act_scales(
     static_params: Dict[str, Any],
     dynamic_params: Dict[str, Any],

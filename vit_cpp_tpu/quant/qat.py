@@ -56,6 +56,21 @@ def _round_half_away(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
+def fake_quant_act_static(x: jax.Array, act_scale: jax.Array) -> jax.Array:
+    """Per-tensor STATIC-scale int8 qdq with STE.
+
+    Mirrors the W8A8 matmul's static branch bit for bit
+    (ops/pallas_int8_matmul.py:36-38): codes = round(clip(x/sx, ±127)),
+    value = codes * sx — including the CLIPPING the static serving path
+    applies to out-of-range activations, so training absorbs exactly the
+    saturation noise deployment will see. `act_scale` is ([1,] 1) or
+    scalar-broadcastable, frozen (stop_gradient'd by the STE)."""
+    xf = x.astype(jnp.float32)
+    sx = act_scale.astype(jnp.float32)
+    q = jnp.round(jnp.clip(xf / sx, -127.0, 127.0)) * sx
+    return _ste(xf, q).astype(x.dtype)
+
+
 def fake_quant_act(x: jax.Array) -> jax.Array:
     """Per-token dynamic int8 quantize-dequantize with STE.
 
@@ -188,4 +203,129 @@ def fake_quant_params(params: Dict[str, Any], fmt: str) -> Dict[str, Any]:
             head = dict(params[name])
             head["kernel"] = fake_quant_weight(head["kernel"], fmt)
             out[name] = head
+    return out
+
+
+_GEMMS = ("qkv", "proj", "fc1", "fc2")
+
+
+def measure_act_scales(
+    params: Dict[str, Any],
+    images: jax.Array,
+    hp,
+    fmt: str,
+    *,
+    margin: float = 1.05,
+) -> Dict[str, jax.Array]:
+    """Per-site static activation scales for --qat-act static, measured
+    on the FAKE-QUANTIZED model (the weights training/serving will run):
+    {'qkv'|'proj'|'fc1'|'fc2': (L, 1, 1), 'head': (1, 1)} f32, each
+    absmax * margin / 127 — the same rule the serve-time calibrator
+    applies (quant/calibrate.py:113-117), so an exported scale file
+    attaches to Int8Linear leaves unchanged."""
+    from vit_cpp_tpu.models.vit import (
+        embed,
+        slice_block_params,
+        transformer_block,
+    )
+    from vit_cpp_tpu.ops.core import layernorm
+
+    fq = fake_quant_params(params, fmt)
+    maxima = {name: [] for name in _GEMMS}
+    x = embed(fq, images, hp)
+    for i in range(hp.num_hidden_layers):
+        bp = {k: slice_block_params(v, i) for k, v in fq["blocks"].items()}
+        per_layer = {}
+
+        def tap(name, v, _store=per_layer):
+            _store[name[:-3]] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+        x = transformer_block(x, bp, hp, attn_impl="xla", mm_impl="xla", tap=tap)
+        for name in _GEMMS:
+            maxima[name].append(per_layer[name])
+    if hp.global_pool == "map" and hp.seq_len is None:
+        # SigLIP MAP head: norm all tokens, probe cross-attends — the
+        # head reads attention_pool's output (never itself quantized)
+        from vit_cpp_tpu.models.vit import attention_pool
+
+        y = layernorm(x, fq["norm"]["scale"], fq["norm"]["bias"], hp.eps)
+        pooled = attention_pool(fq["attn_pool"], y, hp)
+    else:
+        if "head_dist" in fq and hp.seq_len is None:
+            pooled = x[:, :2]
+        elif hp.seq_len is not None:
+            pooled = x[:, : hp.seq_len]
+        elif hp.global_pool == "avg":
+            pooled = jnp.mean(x[:, hp.n_prefix :], axis=1)
+        else:
+            pooled = x[:, 0]
+        pooled = layernorm(
+            pooled, fq["norm"]["scale"], fq["norm"]["bias"], hp.eps
+        )
+
+    def to_scale(absmax, shape):
+        s = absmax.astype(jnp.float32) * margin / 127.0
+        return jnp.maximum(s, 1e-12).reshape(shape)
+
+    out = {
+        name: to_scale(jnp.stack(maxima[name]), (hp.num_hidden_layers, 1, 1))
+        for name in _GEMMS
+    }
+    out["head"] = to_scale(jnp.max(jnp.abs(pooled.astype(jnp.float32))), (1, 1))
+    return out
+
+
+def inject_act_scales(
+    params: Dict[str, Any], scales: Dict[str, jax.Array]
+) -> Dict[str, Any]:
+    """Attach 'act_scale' entries next to the targeted kernels so
+    forward(mm_impl="qat") runs the STATIC fake-quant (ops/core.linear).
+    The scales ride the bp dicts exactly like Int8Linear.act_scale rides
+    the serving tree; call on the OUTPUT of fake_quant_params, inside
+    the loss, so they are never part of the differentiated params."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in _GEMMS:
+        leaf = dict(blocks[name])
+        leaf["act_scale"] = scales[name]
+        blocks[name] = leaf
+    out["blocks"] = blocks
+    for name in ("head", "head_dist"):
+        if name in params:
+            head = dict(params[name])
+            head["act_scale"] = scales["head"]
+            out[name] = head
+    return out
+
+
+def save_act_scales(path: str, scales: Dict[str, jax.Array], margin: float) -> None:
+    """Sidecar JSON next to an exported gguf: per-site absmax-derived
+    scales a static-serving engine loads instead of calibrating
+    (VitEngine act_scales=)."""
+    import json
+
+    import numpy as np
+
+    payload = {"margin": margin, "rule": "absmax*margin/127"}
+    for k, v in scales.items():
+        payload[k] = np.asarray(v).reshape(-1).tolist()
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def load_act_scales(path: str) -> Dict[str, jax.Array]:
+    """Read a save_act_scales sidecar back to the measure_act_scales
+    shapes ((L, 1, 1) per GEMM site, (1, 1) head)."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    out: Dict[str, jax.Array] = {}
+    for name in _GEMMS:
+        if name not in payload:
+            raise ValueError(f"act-scales file {path} is missing {name!r}")
+        v = jnp.asarray(payload[name], jnp.float32)
+        out[name] = v.reshape(v.shape[0], 1, 1)
+    if "head" in payload:
+        out["head"] = jnp.asarray(payload["head"], jnp.float32).reshape(1, 1)
     return out
