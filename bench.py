@@ -123,6 +123,13 @@ def main() -> int:
         "custom-VJP Pallas kernel pair)",
     )
     ap.add_argument(
+        "--train-lora", type=int, default=0, metavar="R",
+        help="LoRA for --train (models/lora.py): freeze the base, train "
+        "rank-R adapters + head — no full-width dW GEMMs in the "
+        "backward; reported mfu uses the DENSE-step FLOP formula, so "
+        "read it as effective speedup, not kernel efficiency",
+    )
+    ap.add_argument(
         "--train-remat", choices=["none", "dots", "dots+attn", "full"],
         default="dots+attn",
         help="rematerialization for --train: none (store all activations "
@@ -312,6 +319,20 @@ def main() -> int:
         optimizer = make_optimizer(
             mu_dtype=jnp.bfloat16 if args.train_mu == "bf16" else None
         )
+        lora_base = None
+        if args.train_lora:
+            from vit_cpp_tpu.models.lora import lora_trainable, merge_lora
+
+            lora_base = params
+            lora_alpha = 2.0 * args.train_lora
+            dense_loss = cross_entropy_loss
+
+            def cross_entropy_loss(tr, x, y, hp):  # noqa: F811
+                return dense_loss(
+                    merge_lora(lora_base, tr, lora_alpha), x, y, hp
+                )
+
+            params = lora_trainable(params, args.train_lora)
         state0 = TrainState(
             params=params,
             opt_state=optimizer.init(params),
@@ -326,6 +347,8 @@ def main() -> int:
                 rng.integers(0, hp.num_classes, (batch,)), jnp.int32
             )
         suffix += "_train"
+        if args.train_lora:
+            suffix += f"_lora{args.train_lora}"
         if args.train_qat:
             suffix += f"_qat-{args.train_qat}"
             if args.train_qat_act == "static":

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# No persistent compilation cache in the suite: jax's module-global cache
+# object survives a `jax_compilation_cache_dir` reset once initialized, so
+# a cache enabled by ANY test would make every later >1s compile attempt an
+# executable serialization — jaxlib segfaulted doing exactly that on a
+# mesh train-step executable mid-suite (r4). test_compile_cache.py flips
+# this on explicitly and resets the module state after itself.
+jax.config.update("jax_enable_compilation_cache", False)
 
 # Environment for CLI subprocess tests: a MINIMAL env so the axon TPU
 # plugin never loads in the child (JAX_PLATFORMS=cpu alone is ignored once

@@ -22,6 +22,11 @@ def test_enable_writes_cache_entries(tmp_path, monkeypatch):
     old_t = jax.config.jax_persistent_cache_min_compile_time_secs
     old_b = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
+        # conftest disables the cache suite-wide (jax's module-global
+        # cache object would otherwise survive the config reset and turn
+        # every later slow compile into an executable serialization —
+        # jaxlib segfaulted doing that mid-suite, r4); enable just here
+        jax.config.update("jax_enable_compilation_cache", True)
         # drop the persistence thresholds so this tiny program qualifies
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -34,8 +39,12 @@ def test_enable_writes_cache_entries(tmp_path, monkeypatch):
         assert os.listdir(d), "no cache entries written"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_enable_compilation_cache", False)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", old_t)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_b)
+        from jax._src import compilation_cache
+
+        compilation_cache.reset_cache()  # drop the module-global cache
 
 
 def test_env_hook(tmp_path, monkeypatch):
@@ -50,3 +59,6 @@ def test_env_hook(tmp_path, monkeypatch):
         assert os.path.isdir(d)
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+        from jax._src import compilation_cache
+
+        compilation_cache.reset_cache()

@@ -152,6 +152,16 @@ CONFIGS = [
         "train_bf16_bs64_qat_q8_0",
         ["--train", "--chain", "10", "--batch", "64", "--train-qat", "q8_0"],
     ),
+    # --qat-act static: frozen per-tensor activation scales delete the
+    # per-GEMM absmax reduces (+14% over dynamic QAT; 8.5% below the
+    # dense step) and export for zero-calibration static serving
+    (
+        "train_bf16_bs64_qat_q8_0_static",
+        [
+            "--train", "--chain", "10", "--batch", "64",
+            "--train-qat", "q8_0", "--train-qat-act", "static",
+        ],
+    ),
 ]
 
 

@@ -128,6 +128,19 @@ def main(argv=None) -> int:
         "semantics), recorded in the resume meta",
     )
     ap.add_argument(
+        "--lora", type=int, default=0, metavar="R",
+        help="LoRA fine-tuning (models/lora.py): freeze the pretrained "
+        "weights and train rank-R adapters on the block GEMMs + the "
+        "head — ~1%% of the optimizer state and no full-width dW GEMMs "
+        "in the backward; the output gguf has the adapters FOLDED in "
+        "(plain dense checkpoint, zero serving cost); composes with "
+        "--qat (the fake-quant sees the merged kernels)",
+    )
+    ap.add_argument(
+        "--lora-alpha", type=float, default=0.0, metavar="A",
+        help="LoRA scaling (delta = A/R * a@b); default 2*R",
+    )
+    ap.add_argument(
         "--qat", default="", metavar="FMT",
         choices=["", "w8a8", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1"],
         help="quantization-aware training (quant/qat.py): fake-quantize "
@@ -222,6 +235,8 @@ def main(argv=None) -> int:
             img_size=args.img_size,
             patch_size=args.patch_size,
             tome=args.tome,
+            lora=args.lora,
+            lora_alpha=args.lora_alpha,
             qat=args.qat,
             qat_act=args.qat_act,
             qat_scales_out=(

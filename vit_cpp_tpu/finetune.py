@@ -411,6 +411,8 @@ def finetune(
     img_size: Optional[int] = None,
     patch_size: Optional[int] = None,
     tome: int = 0,
+    lora: int = 0,
+    lora_alpha: float = 0.0,
     qat: str = "",
     qat_act: str = "dynamic",
     qat_scales_out: Optional[str] = None,
@@ -477,6 +479,24 @@ def finetune(
             raise ValueError(
                 f"qat format must be one of {QAT_FORMATS}, got {qat!r}"
             )
+    if lora < 0:
+        raise ValueError(f"lora rank must be >= 0, got {lora}")
+    if lora:
+        if freeze_backbone:
+            raise ValueError(
+                "--lora already freezes the backbone — drop "
+                "--freeze-backbone"
+            )
+        if fsdp:
+            raise ValueError(
+                "--lora optimizer state is already tiny (rank-r adapters "
+                "+ head); --fsdp is unnecessary — drop one"
+            )
+        if grad_accum > 1:
+            raise ValueError("--lora with --grad-accum is not supported")
+        if mixup:
+            raise ValueError("--lora with --mixup is not supported")
+    lora_alpha = lora_alpha or float(2 * lora)
     if qat_act not in ("dynamic", "static"):
         raise ValueError(
             f"qat_act must be dynamic|static, got {qat_act!r}"
@@ -572,7 +592,39 @@ def finetune(
     else:
         optimizer = inner
 
-    if mesh is not None:
+    base_params = None
+    merge = None
+    if lora:
+        from vit_cpp_tpu.models.lora import (
+            lora_state_bytes,
+            lora_trainable,
+            merge_lora,
+        )
+
+        trainable = lora_trainable(params, lora, seed)
+        # jitted ONCE: the per-site einsum merge runs every eval/export
+        merge = jax.jit(merge_lora, static_argnums=(2,))
+        log(
+            f"finetune: LoRA rank {lora} (alpha {lora_alpha:g}) — "
+            f"{lora_state_bytes(trainable) / 1e6:.1f} MB trainable vs "
+            f"{lora_state_bytes(params) / 1e6:.1f} MB full"
+        )
+        if mesh is not None:
+            from vit_cpp_tpu.parallel.sharding import shard_params
+            from vit_cpp_tpu.parallel.train import create_lora_train_state
+
+            base_params = shard_params(
+                jax.tree.map(jnp.asarray, params), mesh
+            )
+            state = create_lora_train_state(trainable, mesh, optimizer)
+        else:
+            base_params = params
+            state = TrainState(
+                params=trainable,
+                opt_state=optimizer.init(trainable),
+                step=jnp.zeros((), jnp.int32),
+            )
+    elif mesh is not None:
         state = create_train_state(params, mesh, optimizer, fsdp=fsdp)
     else:
         state = TrainState(
@@ -641,6 +693,10 @@ def finetune(
         # dynamic per-token vs frozen static per-tensor activation qdq
         # are different objectives too (--qat-act)
         "qat_act": qat_act,
+        # the trainable tree's SHAPE derives from the rank, and the
+        # merged model from alpha — both must replay exactly
+        "lora": lora,
+        "lora_alpha": lora_alpha,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -693,6 +749,13 @@ def finetune(
                 f"checkpoint at {ckpt_dir} predates --tome recording "
                 "(trained unmerged); resuming with --tome would not "
                 "replay the original run — drop --tome or use a fresh "
+                "--ckpt-dir"
+            )
+        if "lora" in missing and lora:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --lora recording "
+                "(trained full-weight); resuming with --lora would not "
+                "replay the original run — drop --lora or use a fresh "
                 "--ckpt-dir"
             )
         if "qat_act" in missing and qat_act == "static":
@@ -817,7 +880,12 @@ def finetune(
             # epoch-refreshed frozen scales (quant/qat.py): measured on
             # the CURRENT fake-quant weights, then constant for the whole
             # epoch — the per-tensor clipping noise static serving applies
-            qat_scales = measure_scales(state.params, calib_px, hp, qat)
+            scale_src = (
+                merge(base_params, state.params, lora_alpha)
+                if lora
+                else state.params
+            )
+            qat_scales = measure_scales(scale_src, calib_px, hp, qat)
         # deterministic per-epoch shuffle: the same order replays on resume
         order = np.random.default_rng(seed + epoch).permutation(len(paths))
         idx_seq = [
@@ -856,7 +924,15 @@ def finetune(
                         jax.random.fold_in(step_key, 1), bx, mixup
                     )
                     mix = (jnp.take(by, perm, axis=0), lam)
-            if mix is not None:
+            if lora:
+                from vit_cpp_tpu.parallel.train import train_step_lora
+
+                state, loss = train_step_lora(
+                    state, base_params, bx, by, hp, optimizer,
+                    alpha=lora_alpha, smooth=label_smoothing, tome=tome,
+                    qat=qat, qat_scales=qat_scales, seq=is_vitstr,
+                )
+            elif mix is not None:
                 from vit_cpp_tpu.parallel.train import train_step_mixup
 
                 state, loss = train_step_mixup(
@@ -890,6 +966,8 @@ def finetune(
         if val is not None:
             # score what will be served: the EMA weights when enabled
             eval_params = ema_params if ema else state.params
+            if lora:  # ...merged into the frozen base
+                eval_params = merge(base_params, eval_params, lora_alpha)
             if is_vitstr:
                 acc = evaluate_vitstr(
                     eval_params, hp, val[0], val[1], batch, qat=qat,
@@ -914,6 +992,10 @@ def finetune(
             with open(meta_path, "w") as f:
                 json.dump(run_meta, f)
     final_params = ema_params if ema else state.params
+    if lora:
+        # fold the adapters into dense kernels: the exported gguf serves
+        # through the unchanged engine — no adapter machinery at inference
+        final_params = merge(base_params, final_params, lora_alpha)
     if qat_scales_out:
         # sidecar for zero-calibration static serving (VitEngine
         # act_scales= / --act-scales): measured on the EXPORTED weights

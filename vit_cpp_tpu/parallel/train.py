@@ -191,6 +191,64 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def lora_cross_entropy_loss(
+    trainable, base_params, images, labels, hp: VitHParams,
+    alpha: float, smooth: float = 0.0, tome: int = 0, qat: str = "",
+    qat_scales=None, seq: bool = False,
+) -> jax.Array:
+    """LoRA loss: merge the rank-r adapters + trained head into the
+    FROZEN base (models/lora.merge_lora — one batched einsum per site),
+    then run the standard classifier loss. Differentiated wrt
+    `trainable` only; base_params is a plain traced argument, so the
+    backward keeps the dx chains but never forms the full-width dW
+    GEMMs. QAT composes OUTSIDE the merge: the fake-quant sees the
+    merged kernels — the exact weights a fold-then-quantize export
+    serves."""
+    from vit_cpp_tpu.models.lora import merge_lora
+
+    merged = merge_lora(base_params, trainable, alpha)
+    if seq:  # ViTSTR scene-text pairs: labels are (B, seq_len) targets
+        return vitstr_cross_entropy_loss(
+            merged, images, labels, hp, qat, qat_scales
+        )
+    return cross_entropy_loss(
+        merged, images, labels, hp, smooth, tome, qat, qat_scales
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "hp", "optimizer", "alpha", "smooth", "tome", "qat", "seq"
+    ),
+    donate_argnums=(0,),
+)
+def train_step_lora(
+    state: TrainState,
+    base_params,
+    images: jax.Array,
+    labels: jax.Array,
+    hp: VitHParams,
+    optimizer,
+    alpha: float,
+    smooth: float = 0.0,
+    tome: int = 0,
+    qat: str = "",
+    qat_scales=None,
+    seq: bool = False,
+) -> Tuple[TrainState, jax.Array]:
+    """One LoRA update: state.params is the {lora, head(,head_dist)}
+    tree (models/lora.lora_trainable); base_params stays frozen (and
+    NOT donated — it is reused every step)."""
+    loss, grads = jax.value_and_grad(lora_cross_entropy_loss)(
+        state.params, base_params, images, labels, hp, alpha, smooth,
+        tome, qat, qat_scales, seq,
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 def _mixed_cross_entropy_loss(
     params, images, labels, labels2, lam, hp: VitHParams, smooth: float,
     tome: int = 0, qat: str = "", qat_scales=None,
@@ -365,6 +423,24 @@ def create_train_state(
     opt_state = jax.tree.map(fix_scalars, opt_state)
     step = jax.device_put(jnp.zeros((), jnp.int32), replicated)
     return TrainState(params=params, opt_state=opt_state, step=step)
+
+
+def create_lora_train_state(trainable, mesh: Mesh, optimizer) -> TrainState:
+    """Mesh state for a LoRA trainable tree (models/lora.lora_trainable):
+    adapters + head are tiny (rank-r), so every leaf REPLICATES — no TP
+    splits to maintain; the frozen base keeps its usual dp x tp
+    shardings via shard_params, and the merged kernels inside the loss
+    inherit the base's partitioning through the einsum-add."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    trainable = jax.tree.map(
+        lambda leaf: jax.device_put(jnp.array(leaf, copy=True), replicated),
+        trainable,
+    )
+    opt_state = optimizer.init(trainable)
+    step = jax.device_put(jnp.zeros((), jnp.int32), replicated)
+    return TrainState(params=trainable, opt_state=opt_state, step=step)
 
 
 def shard_batch(images, labels, mesh: Mesh):
