@@ -141,6 +141,27 @@ def main(argv=None) -> int:
         help="LoRA scaling (delta = A/R * a@b); default 2*R",
     )
     ap.add_argument(
+        "--distill", default="", metavar="TEACHER.gguf",
+        help="knowledge distillation (parallel/train.py "
+        "distill_cross_entropy_loss): train against the hard labels AND "
+        "a frozen teacher's outputs on the same augmented batch; the "
+        "teacher must be a classifier fine-tuned on this dataset's "
+        "taxonomy at the student's input geometry",
+    )
+    ap.add_argument(
+        "--distill-mode", default="soft", choices=["soft", "hard"],
+        help="soft = tau-tempered KL to the teacher distribution "
+        "(Hinton et al.), hard = CE to the teacher argmax (DeiT-style)",
+    )
+    ap.add_argument(
+        "--distill-alpha", type=float, default=0.5, metavar="A",
+        help="teacher-loss weight in [0,1]; 1 = pure distillation",
+    )
+    ap.add_argument(
+        "--distill-tau", type=float, default=3.0, metavar="T",
+        help="soft-distillation temperature",
+    )
+    ap.add_argument(
         "--qat", default="", metavar="FMT",
         choices=["", "w8a8", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1"],
         help="quantization-aware training (quant/qat.py): fake-quantize "
@@ -237,6 +258,10 @@ def main(argv=None) -> int:
             tome=args.tome,
             lora=args.lora,
             lora_alpha=args.lora_alpha,
+            distill=args.distill,
+            distill_mode=args.distill_mode,
+            distill_alpha=args.distill_alpha,
+            distill_tau=args.distill_tau,
             qat=args.qat,
             qat_act=args.qat_act,
             qat_scales_out=(

@@ -413,6 +413,10 @@ def finetune(
     tome: int = 0,
     lora: int = 0,
     lora_alpha: float = 0.0,
+    distill: str = "",
+    distill_mode: str = "soft",
+    distill_alpha: float = 0.5,
+    distill_tau: float = 3.0,
     qat: str = "",
     qat_act: str = "dynamic",
     qat_scales_out: Optional[str] = None,
@@ -497,6 +501,23 @@ def finetune(
         if mixup:
             raise ValueError("--lora with --mixup is not supported")
     lora_alpha = lora_alpha or float(2 * lora)
+    if distill:
+        if distill_mode not in ("soft", "hard"):
+            raise ValueError(
+                f"distill mode must be soft|hard, got {distill_mode!r}"
+            )
+        if not 0.0 <= distill_alpha <= 1.0:
+            raise ValueError(
+                f"distill alpha must be in [0, 1], got {distill_alpha}"
+            )
+        if distill_tau <= 0:
+            raise ValueError(f"distill tau must be > 0, got {distill_tau}")
+        if mixup:
+            raise ValueError("--distill with --mixup is not supported")
+        if grad_accum > 1:
+            raise ValueError("--distill with --grad-accum is not supported")
+        if lora:
+            raise ValueError("--distill with --lora is not supported")
     if qat_act not in ("dynamic", "static"):
         raise ValueError(
             f"qat_act must be dynamic|static, got {qat_act!r}"
@@ -571,6 +592,50 @@ def finetune(
             f"{len(classes)} classes"
         )
         params, hp = _reinit_head(params, hp, len(classes))
+
+    teacher_params = teacher_hp = None
+    if distill:
+        # frozen teacher: must already speak the TARGET taxonomy (a
+        # previously fine-tuned checkpoint — KD matches output
+        # distributions, so the class spaces must coincide) and the
+        # student's input geometry (both see the same augmented batch)
+        if is_vitstr:
+            raise ValueError(
+                "--distill supports classifier students only (sequence "
+                "heads have no logit-distillation recipe here)"
+            )
+        tmf = read_model(distill)
+        teacher_hp = detect_hparams(tmf)
+        if teacher_hp.seq_len is not None:
+            raise ValueError("--distill teacher must be a classifier")
+        if teacher_hp.num_classes != len(classes):
+            raise ValueError(
+                f"--distill teacher has {teacher_hp.num_classes} classes "
+                f"but the dataset has {len(classes)} — fine-tune the "
+                "teacher on this taxonomy first"
+            )
+        if (
+            teacher_hp.img_size != hp.img_size
+            or teacher_hp.in_chans != hp.in_chans
+        ):
+            raise ValueError(
+                f"--distill teacher geometry ({teacher_hp.img_size} px, "
+                f"{teacher_hp.in_chans} ch) != student "
+                f"({hp.img_size} px, {hp.in_chans} ch)"
+            )
+        teacher_params = _dense_f32(load_params(tmf, dtype=jnp.float32))
+        if mesh is not None:
+            # TP-shard the frozen teacher like any served model so its
+            # forward rides the same collectives instead of replicating
+            from vit_cpp_tpu.parallel.sharding import shard_params as _sp
+
+            teacher_params = _sp(
+                jax.tree.map(jnp.asarray, teacher_params), mesh
+            )
+        log(
+            f"finetune: distilling from {distill} "
+            f"({distill_mode}, alpha {distill_alpha:g}, tau {distill_tau:g})"
+        )
 
     # optimizer-update count for the schedule: one update per
     # batch*grad_accum samples
@@ -697,6 +762,11 @@ def finetune(
         # merged model from alpha — both must replay exactly
         "lora": lora,
         "lora_alpha": lora_alpha,
+        # the teacher and its mixing weights define the objective
+        "distill": os.path.abspath(distill) if distill else "",
+        "distill_mode": distill_mode if distill else "",
+        "distill_alpha": distill_alpha if distill else 0.0,
+        "distill_tau": distill_tau if distill else 0.0,
     }
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         import json
@@ -757,6 +827,13 @@ def finetune(
                 "(trained full-weight); resuming with --lora would not "
                 "replay the original run — drop --lora or use a fresh "
                 "--ckpt-dir"
+            )
+        if "distill" in missing and distill:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --distill recording "
+                "(trained without a teacher); resuming with --distill "
+                "would not replay the original run — drop it or use a "
+                "fresh --ckpt-dir"
             )
         if "qat_act" in missing and qat_act == "static":
             raise ValueError(
@@ -931,6 +1008,15 @@ def finetune(
                     state, base_params, bx, by, hp, optimizer,
                     alpha=lora_alpha, smooth=label_smoothing, tome=tome,
                     qat=qat, qat_scales=qat_scales, seq=is_vitstr,
+                )
+            elif distill:
+                from vit_cpp_tpu.parallel.train import train_step_distill
+
+                state, loss = train_step_distill(
+                    state, teacher_params, bx, by, hp, teacher_hp,
+                    optimizer, alpha=distill_alpha, tau=distill_tau,
+                    mode=distill_mode, smooth=label_smoothing, tome=tome,
+                    qat=qat, qat_scales=qat_scales,
                 )
             elif mix is not None:
                 from vit_cpp_tpu.parallel.train import train_step_mixup

@@ -191,6 +191,104 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def distill_cross_entropy_loss(
+    params, teacher_params, images, labels, hp: VitHParams,
+    teacher_hp: VitHParams, alpha: float, tau: float, mode: str,
+    smooth: float = 0.0, tome: int = 0, qat: str = "", qat_scales=None,
+) -> jax.Array:
+    """Knowledge distillation (Hinton et al. 2015; the training half of
+    the DeiT story whose distilled checkpoints the engine already
+    serves): the student trains against the hard labels AND a frozen
+    teacher's outputs on the SAME (augmented) batch.
+
+      soft: (1-alpha)*CE(s, y) + alpha * tau^2 * KL(T(t/tau) || T(s/tau))
+      hard: (1-alpha)*CE(s, y) + alpha * CE(s, argmax(t))
+
+    Applied to the model's serving logits whatever the head config
+    (distilled students serve head-averaged logits, models/vit._head) —
+    generic KD, not DeiT's per-head dual loss. The teacher forward runs
+    the plain inference graph (no remat — nothing to store for a
+    stop_gradient'd branch); the student side reuses cross_entropy_loss
+    (fused-VJP attention, remat, QAT, ToMe all compose)."""
+    t_logits = jax.lax.stop_gradient(
+        forward(teacher_params, images, teacher_hp)
+    ).astype(jnp.float32)
+
+    if qat:
+        params = fake_quant_params(params, qat)
+        if qat_scales is not None:
+            from vit_cpp_tpu.quant.qat import inject_act_scales
+
+            params = inject_act_scales(params, qat_scales)
+    logits = forward(
+        params,
+        images,
+        hp,
+        attn_impl="pallas-train",
+        mm_impl="qat" if qat else "xla",
+        remat="dots+attn",
+        unroll=hp.num_hidden_layers,
+        tome=tome,
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
+    if smooth:
+        uniform = -jnp.mean(logp, axis=-1, keepdims=True)
+        nll = (1.0 - smooth) * nll + smooth * uniform
+    ce = jnp.mean(nll)
+
+    if mode == "soft":
+        t_prob = jax.nn.softmax(t_logits / tau, axis=-1)
+        s_logp = jax.nn.log_softmax(logits.astype(jnp.float32) / tau, axis=-1)
+        # KL(t||s) up to the teacher-entropy constant; tau^2 keeps the
+        # gradient scale tau-invariant (Hinton et al. 2015 eq. 2-4)
+        kd = -(tau * tau) * jnp.mean(jnp.sum(t_prob * s_logp, axis=-1))
+    elif mode == "hard":
+        kd = jnp.mean(
+            -jnp.take_along_axis(
+                logp, jnp.argmax(t_logits, axis=-1)[:, None], axis=-1
+            )
+        )
+    else:
+        raise ValueError(f"distill mode must be soft|hard, got {mode!r}")
+    return (1.0 - alpha) * ce + alpha * kd
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "hp", "teacher_hp", "optimizer", "alpha", "tau", "mode", "smooth",
+        "tome", "qat",
+    ),
+    donate_argnums=(0,),
+)
+def train_step_distill(
+    state: TrainState,
+    teacher_params,
+    images: jax.Array,
+    labels: jax.Array,
+    hp: VitHParams,
+    teacher_hp: VitHParams,
+    optimizer,
+    alpha: float,
+    tau: float,
+    mode: str,
+    smooth: float = 0.0,
+    tome: int = 0,
+    qat: str = "",
+    qat_scales=None,
+) -> Tuple[TrainState, jax.Array]:
+    """One distillation update; teacher_params is frozen (never donated,
+    reused every step)."""
+    loss, grads = jax.value_and_grad(distill_cross_entropy_loss)(
+        state.params, teacher_params, images, labels, hp, teacher_hp,
+        alpha, tau, mode, smooth, tome, qat, qat_scales,
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 def lora_cross_entropy_loss(
     trainable, base_params, images, labels, hp: VitHParams,
     alpha: float, smooth: float = 0.0, tome: int = 0, qat: str = "",
