@@ -34,6 +34,17 @@ def enable_compile_cache(path: str | None = None) -> str:
     cache_dir = os.path.abspath(path or os.environ.get("VIT_COMPILE_CACHE") or DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # jax memoizes its is-the-cache-used decision at the FIRST compile of
+    # the process (compilation_cache._cache_checked): if anything compiled
+    # before this call — a warmup, an earlier engine — the cache would
+    # silently never engage. reset_cache() drops that memo (and the
+    # module-global cache object, so it reopens on cache_dir).
+    try:
+        from jax._src import compilation_cache
+
+        compilation_cache.reset_cache()
+    except (ImportError, AttributeError):  # private API; best-effort
+        pass
     _enabled_dir = cache_dir
     return cache_dir
 
