@@ -130,6 +130,27 @@ def main() -> int:
         "read it as effective speedup, not kernel efficiency",
     )
     ap.add_argument(
+        "--train-distill", default="", metavar="SIZE",
+        choices=["", "tiny", "small", "base", "large", "huge", "giant"],
+        help="knowledge distillation for --train (the vit-finetune "
+        "--distill math: soft KD, alpha 0.5, tau 3): add a frozen "
+        "SIZE-geometry teacher forward to every step — measures the "
+        "teacher overhead on top of the dense train step",
+    )
+    ap.add_argument(
+        "--train-distill-attn", choices=["xla", "pallas-fast"],
+        default="xla",
+        help="attention impl for the frozen teacher forward (it is "
+        "stop_gradient'd, so the non-differentiable serving kernel is "
+        "legal inside the loss)",
+    )
+    ap.add_argument(
+        "--train-distill-mm", choices=["xla", "int8"], default="xla",
+        help="matmul impl for the frozen teacher: int8 runs the W8A8 "
+        "serving quantization of the bf16 teacher (teacher logits take "
+        "the measured W8A8 accuracy cost, docs/TUNING.md)",
+    )
+    ap.add_argument(
         "--train-remat", choices=["none", "dots", "dots+attn", "full"],
         default="dots+attn",
         help="rematerialization for --train: none (store all activations "
@@ -185,14 +206,15 @@ def main() -> int:
 
     # (hidden, layers, heads, mlp_hidden-or-None); ViT-g's 48/11 MLP ratio
     # is the original paper's (6144 on hidden 1408)
-    geo = {
+    GEOS = {
         "tiny": (192, 12, 3, None),
         "small": (384, 12, 6, None),
         "base": (768, 12, 12, None),
         "large": (1024, 24, 16, None),
         "huge": (1280, 32, 16, None),
         "giant": (1408, 40, 16, 6144),
-    }[args.size]
+    }
+    geo = GEOS[args.size]
     hp = VitHParams(
         hidden_size=geo[0],
         num_hidden_layers=geo[1],
@@ -290,6 +312,40 @@ def main() -> int:
                 measure_act_scales, static_argnums=(2, 3)
             )(params, images, hp, args.train_qat)
 
+        teacher_hp, teacher_params = None, None
+        if args.train_distill:
+            if args.train_lora:
+                raise SystemExit(
+                    "--train-distill with --train-lora is not supported "
+                    "(mirrors vit-finetune)"
+                )
+            if args.vitstr:
+                raise SystemExit(
+                    "--train-distill supports classifier students only"
+                )
+            tg = GEOS[args.train_distill]
+            teacher_hp = VitHParams(
+                hidden_size=tg[0],
+                num_hidden_layers=tg[1],
+                num_attention_heads=tg[2],
+                mlp_hidden=tg[3],
+                num_classes=hp.num_classes,
+                patch_size=args.patch,
+                img_size=args.img,
+            )
+            teacher_params = params_from_state_dict(
+                random_state_dict(teacher_hp, seed=1), teacher_hp, dtype=dtype
+            )
+            if args.train_distill_mm == "int8":
+                # the real W8A8 serving path for the frozen teacher:
+                # channelwise int8 + folded LNs (same as --mm int8 serving)
+                from vit_cpp_tpu.models.fold import fold_layernorms
+                from vit_cpp_tpu.quant.int8 import convert_params_to_int8
+
+                teacher_params = fold_layernorms(
+                    convert_params_to_int8(teacher_params), mm_impl="int8"
+                )
+
         def cross_entropy_loss(p, x, y, hp):
             if args.train_qat:
                 from vit_cpp_tpu.quant.qat import fake_quant_params
@@ -314,7 +370,25 @@ def main() -> int:
                 safe = jnp.where(mask, y, 0)
                 nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
                 return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
-            return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
+            ce = jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
+            if not args.train_distill:
+                return ce
+            # soft KD exactly as parallel/train.distill_cross_entropy_loss
+            # (alpha 0.5, tau 3): frozen teacher forward on the same batch
+            tau = 3.0
+            t_logits = jax.lax.stop_gradient(
+                forward(
+                    teacher_params, x, teacher_hp,
+                    attn_impl=args.train_distill_attn,
+                    mm_impl=args.train_distill_mm,
+                )
+            ).astype(jnp.float32)
+            t_prob = jax.nn.softmax(t_logits / tau, axis=-1)
+            s_logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / tau, axis=-1
+            )
+            kd = -(tau * tau) * jnp.mean(jnp.sum(t_prob * s_logp, axis=-1))
+            return 0.5 * ce + 0.5 * kd
 
         optimizer = make_optimizer(
             mu_dtype=jnp.bfloat16 if args.train_mu == "bf16" else None
@@ -347,6 +421,12 @@ def main() -> int:
                 rng.integers(0, hp.num_classes, (batch,)), jnp.int32
             )
         suffix += "_train"
+        if args.train_distill:
+            suffix += f"_distill-{args.train_distill}"
+            if args.train_distill_attn != "xla":
+                suffix += "-pfast"
+            if args.train_distill_mm != "xla":
+                suffix += "-int8"
         if args.train_lora:
             suffix += f"_lora{args.train_lora}"
         if args.train_qat:
@@ -357,8 +437,19 @@ def main() -> int:
         @jax.jit
         def chained(s0, x0):
             def step(s, _):
+                # step-dependent runtime-zero image perturbation: without
+                # it the FROZEN-teacher forward (--train-distill) is
+                # loop-invariant and XLA hoists it out of the scan,
+                # measuring K student steps but ONE teacher forward.
+                # Applied only for distill runs so every other train
+                # metric stays byte-identical to its committed config.
+                x = (
+                    x0 + (s.step * 1e-30).astype(x0.dtype)
+                    if args.train_distill
+                    else x0
+                )
                 loss, grads = jax.value_and_grad(cross_entropy_loss)(
-                    s.params, x0, labels, hp
+                    s.params, x, labels, hp
                 )
                 updates, opt_state = optimizer.update(
                     grads, s.opt_state, s.params

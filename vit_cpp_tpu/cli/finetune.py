@@ -128,6 +128,30 @@ def main(argv=None) -> int:
         "semantics), recorded in the resume meta",
     )
     ap.add_argument(
+        "--moe", type=int, default=0, metavar="E",
+        help="sparse upcycling to a V-MoE (ops/moe.py): replicate every "
+        "--moe-every'th block's MLP into E experts behind a learned "
+        "top-k router (function-preserving at init), then fine-tune the "
+        "routed model — more parameters at ~the dense FLOP cost; the "
+        "output gguf declares the experts (blocks.*.moe tensors) and "
+        "serves/continues-training through the same stack",
+    )
+    ap.add_argument(
+        "--moe-every", type=int, default=2, metavar="N",
+        help="place experts in every N'th block, starting at block 1 "
+        "(V-MoE's every-2 alternation by default)",
+    )
+    ap.add_argument(
+        "--moe-top-k", type=int, default=1, metavar="K",
+        help="experts per token (gates renormalize over the top-k)",
+    )
+    ap.add_argument(
+        "--moe-capacity", type=float, default=1.25, metavar="F",
+        help="expert capacity factor: each expert processes at most "
+        "ceil(K*T*F/E) tokens per example; overflow tokens skip the MLP "
+        "through the residual (GShard drop semantics)",
+    )
+    ap.add_argument(
         "--lora", type=int, default=0, metavar="R",
         help="LoRA fine-tuning (models/lora.py): freeze the pretrained "
         "weights and train rank-R adapters on the block GEMMs + the "
@@ -256,6 +280,10 @@ def main(argv=None) -> int:
             img_size=args.img_size,
             patch_size=args.patch_size,
             tome=args.tome,
+            moe=args.moe,
+            moe_every=args.moe_every,
+            moe_top_k=args.moe_top_k,
+            moe_capacity=args.moe_capacity,
             lora=args.lora,
             lora_alpha=args.lora_alpha,
             distill=args.distill,

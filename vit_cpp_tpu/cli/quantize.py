@@ -61,6 +61,12 @@ def quantize_model_file(
                 any(re.fullmatch(p, name) for p in K_NAMES)
                 and len(rec.shape) == 2
                 and rec.dtype in (GGMLDType.F32, GGMLDType.F16)
+                # MoE routers stay float: sub-0.1% of the size, and the
+                # top-k decision boundaries are the one place weight-grid
+                # noise changes WHICH compute runs, not just its values
+                # (expert weights themselves quantize normally and
+                # dequantize at load, models/params.py)
+                and ".moe.router." not in name
             )
             ne0 = rec.shape[-1] if rec.shape else 1
             ne1 = rec.shape[0] if len(rec.shape) >= 2 else 1

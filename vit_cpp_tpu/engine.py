@@ -84,7 +84,9 @@ def detect_hparams(mf) -> VitHParams:
         n_rows = int(np.prod(pos.shape)) // hp.hidden_size
         if n_rows == hp.n_patches:
             hp = dataclasses.replace(hp, no_embed_class=True)
-    return hp
+    from vit_cpp_tpu.models.params import infer_moe_hparams
+
+    return infer_moe_hparams(hp, mf.tensors)
 
 
 class VitEngine:

@@ -411,6 +411,10 @@ def finetune(
     img_size: Optional[int] = None,
     patch_size: Optional[int] = None,
     tome: int = 0,
+    moe: int = 0,
+    moe_every: int = 2,
+    moe_top_k: int = 1,
+    moe_capacity: float = 1.25,
     lora: int = 0,
     lora_alpha: float = 0.0,
     distill: str = "",
@@ -476,6 +480,58 @@ def finetune(
         raise ValueError("--mixup is incompatible with --grad-accum > 1")
     if tome < 0:
         raise ValueError(f"tome must be >= 0, got {tome}")
+    if moe:
+        # sparse upcycling (ops/moe.py): validate the expert config
+        # before anything expensive
+        if moe < 2:
+            raise ValueError(f"--moe needs >= 2 experts, got {moe}")
+        if moe_every < 1:
+            raise ValueError(f"--moe-every must be >= 1, got {moe_every}")
+        if not 1 <= moe_top_k <= moe:
+            raise ValueError(
+                f"--moe-top-k must be in [1, {moe}], got {moe_top_k}"
+            )
+        if moe_capacity <= 0:
+            raise ValueError(
+                f"--moe-capacity must be > 0, got {moe_capacity}"
+            )
+        if hp.num_experts:
+            raise ValueError(
+                "checkpoint is already MoE — drop --moe (continue-"
+                "training reuses the file's expert configuration)"
+            )
+    if moe or hp.num_experts:
+        # restrictions mirror what the MoE forward supports
+        # (models/vit.py) — fail here with flag names instead of deep
+        # inside a trace; applies both to upcycling (--moe) and to
+        # continue-training an already-MoE checkpoint
+        if hp.seq_len is not None:
+            raise ValueError(
+                "MoE training supports classifier checkpoints only (the "
+                "sequence loss has no router-aux term)"
+            )
+        if tome:
+            raise ValueError("MoE training with --tome is not supported")
+        if qat:
+            raise ValueError(
+                "MoE training with --qat is not supported (the expert "
+                "einsum path has no fake-quant leaves)"
+            )
+        if lora:
+            raise ValueError("MoE training with --lora is not supported")
+        if distill:
+            raise ValueError("MoE training with --distill is not supported")
+        if mixup:
+            raise ValueError("MoE training with --mixup is not supported")
+        if grad_accum > 1:
+            raise ValueError(
+                "MoE training with --grad-accum is not supported"
+            )
+        if freeze_backbone:
+            raise ValueError(
+                "MoE training updates the experts and router — "
+                "--freeze-backbone is not supported"
+            )
     if qat:
         from vit_cpp_tpu.quant.qat import QAT_FORMATS
 
@@ -592,6 +648,38 @@ def finetune(
             f"{len(classes)} classes"
         )
         params, hp = _reinit_head(params, hp, len(classes))
+
+    if moe:
+        # sparse upcycling (ops/moe.py): replicate every-`moe_every`-th
+        # block's dense MLP into `moe` identical experts behind a fresh
+        # near-zero router. V-MoE placement: the SECOND block of each
+        # pair (odd indices) hosts the experts. Function-preserving at
+        # init (renormalized top-k gates) — training differentiates the
+        # experts; the exported checkpoint serves through the same
+        # loader/engine stack (models/params.py MoE family).
+        import dataclasses as _dc
+
+        from vit_cpp_tpu.ops.moe import upcycle_params
+
+        moe_layers = tuple(range(1, hp.num_hidden_layers, moe_every))
+        if not moe_layers or len(moe_layers) >= hp.num_hidden_layers:
+            raise ValueError(
+                f"--moe-every {moe_every} places experts in no layer or "
+                f"every layer of a {hp.num_hidden_layers}-block model"
+            )
+        params = upcycle_params(params, hp, moe, moe_layers, seed=seed)
+        hp = _dc.replace(
+            hp,
+            num_experts=moe,
+            moe_layers=moe_layers,
+            moe_top_k=moe_top_k,
+            moe_capacity=moe_capacity,
+        )
+        log(
+            f"finetune: upcycling to {moe} experts (top-{moe_top_k}, "
+            f"capacity {moe_capacity:g}) in blocks "
+            f"{','.join(map(str, moe_layers))}"
+        )
 
     teacher_params = teacher_hp = None
     if distill:
@@ -762,6 +850,12 @@ def finetune(
         # merged model from alpha — both must replay exactly
         "lora": lora,
         "lora_alpha": lora_alpha,
+        # the expert layout defines both the param-tree SHAPE and the
+        # routed objective (aux losses) — all of it must replay exactly
+        "moe": hp.num_experts,
+        "moe_layers": list(hp.moe_layers),
+        "moe_top_k": hp.moe_top_k,
+        "moe_capacity": hp.moe_capacity,
         # the teacher and its mixing weights define the objective
         "distill": os.path.abspath(distill) if distill else "",
         "distill_mode": distill_mode if distill else "",
@@ -827,6 +921,12 @@ def finetune(
                 "(trained full-weight); resuming with --lora would not "
                 "replay the original run — drop --lora or use a fresh "
                 "--ckpt-dir"
+            )
+        if "moe" in missing and hp.num_experts:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} predates --moe recording "
+                "(trained dense); resuming with experts would not replay "
+                "the original run — drop --moe or use a fresh --ckpt-dir"
             )
         if "distill" in missing and distill:
             raise ValueError(

@@ -80,6 +80,12 @@ class VitHParams:
     #   converter writes a scalar marker tensor `meta.clip` (the one
     #   extension hparam a tensor's mere presence cannot declare), which
     #   sets hidden_act + pixel_norm at detect/load.
+    # - num_experts=E (+ moe_layers/moe_top_k/moe_capacity): V-MoE sparse
+    #   expert MLPs (Riquelme et al., NeurIPS 2021) — the listed blocks
+    #   replace their dense MLP with E experts behind a learned top-k
+    #   router (ops/moe.py). Inferred from blocks.{i}.moe.* tensor
+    #   presence; top_k/capacity ride the `meta.moe` marker tensor.
+    #   Created by sparse upcycling (vit-finetune --moe).
     num_prefix_tokens: int = 1
     norm_pre: bool = False
     global_pool: str = "token"
@@ -87,6 +93,10 @@ class VitHParams:
     num_reg_tokens: int = 0
     pixel_norm: str = "imagenet"
     hidden_act: str = "gelu_tanh"
+    num_experts: int = 0
+    moe_layers: tuple = ()
+    moe_top_k: int = 1
+    moe_capacity: float = 1.25
 
     @property
     def n_patches_side(self) -> int:
@@ -149,4 +159,8 @@ class VitHParams:
             n += 11  # attn_pool: probe, qkv/proj (w+b), norm, mlp fc1/fc2
         if self.hidden_act == "quick_gelu":
             n += 1  # the scalar meta.clip marker tensor
+        if self.num_experts:
+            # each MoE layer swaps its 4 dense-MLP tensors for a router
+            # weight + 4 per-expert tensors, plus one meta.moe marker
+            n += len(self.moe_layers) * (1 + 4 * self.num_experts - 4) + 1
         return n

@@ -112,8 +112,12 @@ def params_to_state_dict(
             slice_leaf, tree, is_leaf=lambda x: isinstance(x, QuantLinear)
         )
 
+    moe_set = set(hp.moe_layers) if hp.num_experts else set()
+    di = mi = 0
     for i in range(hp.num_hidden_layers):
-        bp = {k: layer(v, i) for k, v in blocks.items()}
+        bp = {
+            k: layer(blocks[k], i) for k in ("ln1", "qkv", "proj", "ln2")
+        }
         p = f"blocks.{i}."
         out.update(
             {
@@ -125,11 +129,35 @@ def params_to_state_dict(
                 p + "attn.proj.bias": _np(bp["proj"]["bias"]),
                 p + "norm2.weight": _np(bp["ln2"]["scale"]),
                 p + "norm2.bias": _np(bp["ln2"]["bias"]),
-                p + "mlp.fc1.weight": _kernel_to_torch(bp["fc1"]["kernel"]),
-                p + "mlp.fc1.bias": _np(bp["fc1"]["bias"]),
-                p + "mlp.fc2.weight": _kernel_to_torch(bp["fc2"]["kernel"]),
-                p + "mlp.fc2.bias": _np(bp["fc2"]["bias"]),
             }
+        )
+        if i in moe_set:
+            mp = layer(params["moe"], mi)
+            mi += 1
+            # router stored torch-order (E, h) like every linear weight
+            out[p + "moe.router.weight"] = _np(mp["router"]["kernel"]).T
+            for ex in range(hp.num_experts):
+                ep = f"{p}moe.experts.{ex}."
+                out[ep + "fc1.weight"] = _np(mp["fc1"]["kernel"][ex]).T
+                out[ep + "fc1.bias"] = _np(mp["fc1"]["bias"][ex])
+                out[ep + "fc2.weight"] = _np(mp["fc2"]["kernel"][ex]).T
+                out[ep + "fc2.bias"] = _np(mp["fc2"]["bias"][ex])
+        else:
+            fc1, fc2 = layer(blocks["fc1"], di), layer(blocks["fc2"], di)
+            di += 1
+            out.update(
+                {
+                    p + "mlp.fc1.weight": _kernel_to_torch(fc1["kernel"]),
+                    p + "mlp.fc1.bias": _np(fc1["bias"]),
+                    p + "mlp.fc2.weight": _kernel_to_torch(fc2["kernel"]),
+                    p + "mlp.fc2.bias": _np(fc2["bias"]),
+                }
+            )
+    if moe_set:
+        # V-MoE marker: top_k/capacity by VALUE (models/params.py reads
+        # them back; layer placement is declared by tensor presence)
+        out["meta.moe"] = np.asarray(
+            [hp.moe_top_k, hp.moe_capacity], np.float32
         )
     return out
 

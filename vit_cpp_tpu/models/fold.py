@@ -81,7 +81,12 @@ def fold_layernorms(
         blocks[ln_key] = {"scale": None, "bias": None}
 
     fold_pair("ln1", "qkv")
-    fold_pair("ln2", "fc1")
+    if "moe" not in params:
+        # MoE models keep ln2 real: its output feeds BOTH the router and
+        # the expert fc1s (per MoE layer), and the stacked dense fc1
+        # covers only the dense-MLP layers — there is no single matmul
+        # to absorb the affine into (models/vit.moe_block).
+        fold_pair("ln2", "fc1")
     p["blocks"] = blocks
 
     # The final norm feeds every classifier reading the pooled tokens:

@@ -42,6 +42,63 @@ def _stack(leaves):
     return jnp.stack(leaves)
 
 
+def infer_moe_hparams(hp: VitHParams, tensors) -> VitHParams:
+    """V-MoE family inference (ops/moe.py), shared by load_params and
+    engine.detect_hparams: MoE layer placement is declared by
+    blocks.{i}.moe.* tensor presence, the expert count by the per-expert
+    tensor names, and top_k/capacity by the `meta.moe` marker's VALUES
+    (unlike meta.clip, whose presence alone is the signal)."""
+    import dataclasses
+    import re
+
+    moe_layers = sorted(
+        int(m.group(1))
+        for name in tensors
+        if (m := re.fullmatch(r"blocks\.(\d+)\.moe\.router\.weight", name))
+    )
+    if not moe_layers or hp.num_experts:
+        return hp
+    l0 = moe_layers[0]
+    n_exp = len(
+        [
+            n
+            for n in tensors
+            if re.fullmatch(
+                rf"blocks\.{l0}\.moe\.experts\.\d+\.fc1\.weight", n
+            )
+        ]
+    )
+    if n_exp < 2:
+        raise ValueError(
+            f"MoE layer {l0} declares {n_exp} experts — need >= 2"
+        )
+    meta = tensors.get("meta.moe")
+    if meta is None:
+        raise ValueError(
+            "checkpoint has blocks.*.moe tensors but no meta.moe "
+            "marker (top_k/capacity) — truncated or mis-converted"
+        )
+    mv = meta.as_f32().reshape(-1)
+    if mv.size != 2:
+        raise ValueError(
+            f"meta.moe must hold [top_k, capacity], got {mv.size} values"
+        )
+    hp = dataclasses.replace(
+        hp,
+        num_experts=n_exp,
+        moe_layers=tuple(moe_layers),
+        moe_top_k=int(mv[0]),
+        moe_capacity=float(mv[1]),
+    )
+    if not 1 <= hp.moe_top_k <= n_exp:
+        raise ValueError(
+            f"meta.moe top_k {hp.moe_top_k} not in [1, {n_exp}]"
+        )
+    if hp.moe_capacity <= 0:
+        raise ValueError(f"meta.moe capacity {hp.moe_capacity} <= 0")
+    return hp
+
+
 class _RecordSet:
     """Name-checked access over tensor records, mirroring the reference
     loader's strictness (unknown name / shape mismatch is an error,
@@ -211,6 +268,13 @@ def load_params(
             "the decoder)"
         )
 
+    hp = infer_moe_hparams(hp, mf.tensors)
+    if hp.num_experts and len(hp.moe_layers) >= L:
+        raise ValueError(
+            "every-layer MoE is not supported — at least one dense-MLP "
+            "layer is required (V-MoE places experts in alternate blocks)"
+        )
+
     rs = _RecordSet(mf.tensors, dtype)
     if "meta.clip" in mf.tensors:
         rs.rec("meta.clip")  # consume the marker (value unused)
@@ -247,7 +311,10 @@ def load_params(
             "bias": rs.dense("norm_pre.bias", (h,)),
         }
 
+    moe_set = set(hp.moe_layers)
     blocks = []
+    mlps = []  # dense-MLP layers' fc1/fc2 (all layers unless MoE)
+    moes = []  # MoE layers' router + stacked experts
     for i in range(L):
         p = f"blocks.{i}."
         blocks.append(
@@ -268,21 +335,73 @@ def load_params(
                     "scale": rs.dense(p + "norm2.weight", (h,)),
                     "bias": rs.dense(p + "norm2.bias", (h,)),
                 },
-                "fc1": {
-                    "kernel": rs.kernel(p + "mlp.fc1.weight", hp.mlp_dim, h),
-                    "bias": rs.dense(p + "mlp.fc1.bias", (hp.mlp_dim,)),
-                },
-                "fc2": {
-                    "kernel": rs.kernel(p + "mlp.fc2.weight", h, hp.mlp_dim),
-                    "bias": rs.dense(p + "mlp.fc2.bias", (h,)),
-                },
             }
         )
-    params["blocks"] = jax.tree.map(
+        if i in moe_set:
+            # expert kernels dequantize to DENSE at load (the expert
+            # einsum path is bf16; quantized files still shrink on disk)
+            ek1, eb1, ek2, eb2 = [], [], [], []
+            for ex in range(hp.num_experts):
+                ep = f"{p}moe.experts.{ex}."
+                r1 = rs.rec(ep + "fc1.weight")
+                if r1.shape != (hp.mlp_dim, h):
+                    raise ValueError(
+                        f"tensor '{ep}fc1.weight': shape {r1.shape} != "
+                        f"{(hp.mlp_dim, h)}"
+                    )
+                ek1.append(jnp.asarray(r1.as_f32().T, dtype=dtype))
+                eb1.append(rs.dense(ep + "fc1.bias", (hp.mlp_dim,)))
+                r2 = rs.rec(ep + "fc2.weight")
+                if r2.shape != (h, hp.mlp_dim):
+                    raise ValueError(
+                        f"tensor '{ep}fc2.weight': shape {r2.shape} != "
+                        f"{(h, hp.mlp_dim)}"
+                    )
+                ek2.append(jnp.asarray(r2.as_f32().T, dtype=dtype))
+                eb2.append(rs.dense(ep + "fc2.bias", (h,)))
+            rr = rs.rec(p + "moe.router.weight")
+            if rr.shape != (hp.num_experts, h):
+                raise ValueError(
+                    f"tensor '{p}moe.router.weight': shape {rr.shape} != "
+                    f"{(hp.num_experts, h)}"
+                )
+            moes.append(
+                {
+                    # router stays f32: tiny, argmax-fragile (ops/moe.py)
+                    "router": {"kernel": jnp.asarray(rr.as_f32().T)},
+                    "fc1": {"kernel": jnp.stack(ek1), "bias": jnp.stack(eb1)},
+                    "fc2": {"kernel": jnp.stack(ek2), "bias": jnp.stack(eb2)},
+                }
+            )
+        else:
+            mlps.append(
+                {
+                    "fc1": {
+                        "kernel": rs.kernel(p + "mlp.fc1.weight", hp.mlp_dim, h),
+                        "bias": rs.dense(p + "mlp.fc1.bias", (hp.mlp_dim,)),
+                    },
+                    "fc2": {
+                        "kernel": rs.kernel(p + "mlp.fc2.weight", h, hp.mlp_dim),
+                        "bias": rs.dense(p + "mlp.fc2.bias", (h,)),
+                    },
+                }
+            )
+    stack_trees = lambda ts: jax.tree.map(
         lambda *ls: _stack(list(ls)),
-        *blocks,
+        *ts,
         is_leaf=lambda x: isinstance(x, QuantLinear),
     )
+    params["blocks"] = stack_trees(blocks)
+    # fc1/fc2 stack over the DENSE-MLP layers only (leading dim L - Lm);
+    # the MoE forward unrolls by layer index so the split is invisible
+    # to it, and the scan path never runs for MoE models.
+    params["blocks"].update(stack_trees(mlps))
+    if moes:
+        params["moe"] = stack_trees(moes)
+        if "meta.moe" in rs.tensors:
+            # consume the marker (values read above; explicit-hparams
+            # callers — synthetic state dicts — may omit it)
+            rs.rec("meta.moe")
     # avg-pool models normalize the pooled mean with fc_norm; it plays the
     # exact role of the final norm (LN after pooling), so it loads into
     # the same slot and the forward stays single-pathed.

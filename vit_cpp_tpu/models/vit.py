@@ -117,7 +117,7 @@ def embed(params: Dict[str, Any], images: jax.Array, hp: VitHParams) -> jax.Arra
 # Measurements in docs/TUNING.md.
 
 
-def transformer_block(
+def _attn_half(
     x: jax.Array,
     bp: Dict[str, Any],
     hp: VitHParams,
@@ -127,10 +127,8 @@ def transformer_block(
     tap=None,
     kv: int | None = None,
 ) -> jax.Array:
-    """One encoder block. `tap(name, array)`, when given, observes every
-    matmul input ('qkv_in'/'proj_in'/'fc1_in'/'fc2_in') — used by the
-    static-activation-scale calibrator (quant/calibrate.py); None (the
-    jitted serving path) compiles it away entirely."""
+    """The LN1 -> QKV -> attention -> proj -> residual half of a block,
+    shared by the dense and MoE block bodies."""
     b, t, h = x.shape
     nh, hd = hp.num_attention_heads, hp.head_dim
 
@@ -170,9 +168,28 @@ def transformer_block(
         o = o.transpose(0, 2, 1, 3).reshape(b, t, h)
     if tap is not None:
         tap("proj_in", o)
-    x = x + linear(
+    return x + linear(
         o, bp["proj"]["kernel"], bp["proj"]["bias"], impl=mm_impl,
         act_scale=bp["proj"].get("act_scale"),
+    )
+
+
+def transformer_block(
+    x: jax.Array,
+    bp: Dict[str, Any],
+    hp: VitHParams,
+    *,
+    attn_impl: str,
+    mm_impl: str,
+    tap=None,
+    kv: int | None = None,
+) -> jax.Array:
+    """One encoder block. `tap(name, array)`, when given, observes every
+    matmul input ('qkv_in'/'proj_in'/'fc1_in'/'fc2_in') — used by the
+    static-activation-scale calibrator (quant/calibrate.py); None (the
+    jitted serving path) compiles it away entirely."""
+    x = _attn_half(
+        x, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl, tap=tap, kv=kv
     )
 
     y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
@@ -190,6 +207,29 @@ def transformer_block(
         act_scale=bp["fc2"].get("act_scale"),
     )
     return x + y
+
+
+def moe_block(
+    x: jax.Array,
+    bp: Dict[str, Any],
+    mp: Dict[str, Any],
+    hp: VitHParams,
+    *,
+    attn_impl: str,
+    mm_impl: str,
+    kv: int | None = None,
+) -> tuple[jax.Array, Dict[str, jax.Array]]:
+    """One V-MoE encoder block (ops/moe.py): the attention half of
+    `transformer_block`, then a routed expert MLP in place of the dense
+    fc1/fc2. Returns (x', aux) with the layer's router diagnostics
+    (load_balance / router_z / dropped_frac — serving discards them and
+    XLA dead-code-eliminates the computation)."""
+    from vit_cpp_tpu.ops.moe import moe_mlp
+
+    x = _attn_half(x, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl, kv=kv)
+    y = layernorm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], hp.eps)
+    out, aux = moe_mlp(y, mp, hp, mlp_act(hp.hidden_act))
+    return x + out, aux
 
 
 def tome_block(
@@ -338,6 +378,7 @@ def forward(
     pad_tokens: bool = False,
     features: bool = False,
     tome: int = 0,
+    moe_aux: bool = False,
 ) -> jax.Array:
     """Images (B, C, H, W), preprocessed/normalized -> logits.
 
@@ -407,6 +448,10 @@ def forward(
 
     sizes = None
     if tome:
+        if hp.num_experts:
+            raise ValueError(
+                "tome + MoE is not supported (both re-plan the layer loop)"
+            )
         if hp.seq_len is not None:
             raise ValueError(
                 "tome is incompatible with sequence heads (ViTSTR reads "
@@ -469,6 +514,81 @@ def forward(
             }
             x, sizes = blk(x, sizes, bp, rl)
         return _head(params, x, hp, features, mm_impl, kv, sizes)
+
+    if hp.num_experts:
+        # V-MoE (ops/moe.py): like ToMe, the layer loop unrolls — MoE and
+        # dense blocks have different param structures, so one scanned
+        # body cannot serve both. Aux router diagnostics are averaged
+        # over the MoE layers and returned when moe_aux=True (training);
+        # serving ignores them and XLA deletes the dead ops.
+        if tome:
+            raise ValueError(
+                "tome + MoE is not supported (both re-plan the layer loop)"
+            )
+        if pad_tokens:
+            raise ValueError(
+                "pad_tokens + MoE is not supported (pad rows would claim "
+                "expert capacity)"
+            )
+        if mm_impl == "qat":
+            raise ValueError(
+                "QAT through MoE experts is not implemented (the expert "
+                "einsum path has no fake-quant leaves)"
+            )
+
+        def _dense_layer(x, bp):
+            return transformer_block(
+                x, bp, hp, attn_impl=attn_impl, mm_impl=mm_impl, kv=kv
+            )
+
+        def _moe_layer(x, bp, mp):
+            return moe_block(
+                x, bp, mp, hp, attn_impl=attn_impl, mm_impl=mm_impl, kv=kv
+            )
+
+        if remat == "dots+attn" and attn_impl == "pallas-train":
+            pol = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "act_q"
+                ),
+            )
+            _dense_layer = jax.checkpoint(_dense_layer, policy=pol)
+            _moe_layer = jax.checkpoint(_moe_layer, policy=pol)
+        elif remat in ("dots", "dots+attn"):
+            pol = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            _dense_layer = jax.checkpoint(_dense_layer, policy=pol)
+            _moe_layer = jax.checkpoint(_moe_layer, policy=pol)
+        elif remat:
+            _dense_layer = jax.checkpoint(_dense_layer)
+            _moe_layer = jax.checkpoint(_moe_layer)
+
+        moe_set = set(hp.moe_layers)
+        aux_sum: Dict[str, jax.Array] = {}
+        di = mi = 0
+        for l in range(hp.num_hidden_layers):
+            bp = {
+                k: slice_block_params(params["blocks"][k], l)
+                for k in ("ln1", "qkv", "proj", "ln2")
+            }
+            if l in moe_set:
+                mp = slice_block_params(params["moe"], mi)
+                mi += 1
+                x, aux = _moe_layer(x, bp, mp)
+                for k, v in aux.items():
+                    aux_sum[k] = aux_sum.get(k, 0.0) + v
+            else:
+                bp["fc1"] = slice_block_params(params["blocks"]["fc1"], di)
+                bp["fc2"] = slice_block_params(params["blocks"]["fc2"], di)
+                di += 1
+                x = _dense_layer(x, bp)
+        out = _head(params, x, hp, features, mm_impl, kv, None)
+        if moe_aux:
+            n = len(hp.moe_layers)
+            return out, {k: v / n for k, v in aux_sum.items()}
+        return out
+    if moe_aux:
+        raise ValueError("moe_aux requires an MoE model (hp.num_experts)")
 
     def body(carry, bp):
         return (

@@ -136,6 +136,23 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             },
             "norm": _ln(ap["norm"]),
         }
+    if "moe" in params:
+        # V-MoE expert parallelism (ops/moe.py): the stacked (Lm, E, ...)
+        # expert kernels shard E over "model" — each chip holds E/tp
+        # experts and GSPMD inserts the all-to-alls around the expert
+        # einsums (dispatch/combine stay batch-sharded over "data").
+        # The router is tiny and argmax-fragile: replicated.
+        specs["moe"] = {
+            "router": {"kernel": P()},
+            "fc1": {
+                "kernel": P(None, "model", None, None),
+                "bias": P(None, "model", None),
+            },
+            "fc2": {
+                "kernel": P(None, "model", None, None),
+                "bias": P(None, "model", None),
+            },
+        }
     if "norm_pre" in params:
         specs["norm_pre"] = _ln(params["norm_pre"])
     if "head_dist" in params:

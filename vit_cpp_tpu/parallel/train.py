@@ -68,6 +68,13 @@ def make_optimizer(
     return opt
 
 
+# V-MoE auxiliary-loss coefficients (cross_entropy_loss): the Switch
+# balance coefficient (Fedus et al. 2022) and the ST-MoE router z-loss
+# coefficient — standard values, not tuned here.
+MOE_LB_COEF = 0.01
+MOE_Z_COEF = 1e-3
+
+
 def cross_entropy_loss(
     params, images, labels, hp: VitHParams, smooth: float = 0.0,
     tome: int = 0, qat: str = "", qat_scales=None,
@@ -96,7 +103,7 @@ def cross_entropy_loss(
             from vit_cpp_tpu.quant.qat import inject_act_scales
 
             params = inject_act_scales(params, qat_scales)
-    logits = forward(
+    out = forward(
         params,
         images,
         hp,
@@ -105,7 +112,20 @@ def cross_entropy_loss(
         remat="dots+attn",
         unroll=hp.num_hidden_layers,
         tome=tome,
+        moe_aux=bool(hp.num_experts),
     )
+    moe_term = 0.0
+    if hp.num_experts:
+        # V-MoE training objective (ops/moe.py): the Switch balance loss
+        # keeps the router from collapsing onto few experts (coef 0.01,
+        # Fedus et al. 2022 §2.2) and the z-loss bounds router logit
+        # magnitudes (coef 1e-3, ST-MoE §3.1). Means over the MoE layers.
+        logits, aux = out
+        moe_term = (
+            MOE_LB_COEF * aux["load_balance"] + MOE_Z_COEF * aux["router_z"]
+        )
+    else:
+        logits = out
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
     if smooth:
@@ -113,7 +133,7 @@ def cross_entropy_loss(
         # uniformly — CE = (1-eps)*nll + eps * mean_c(-logp_c)
         uniform = -jnp.mean(logp, axis=-1, keepdims=True)
         nll = (1.0 - smooth) * nll + smooth * uniform
-    return jnp.mean(nll)
+    return jnp.mean(nll) + moe_term
 
 
 def vitstr_cross_entropy_loss(

@@ -56,6 +56,7 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
     if hp.norm_pre:
         shapes["norm_pre.weight"] = (h,)
         shapes["norm_pre.bias"] = (h,)
+    moe_set = set(hp.moe_layers) if hp.num_experts else set()
     for i in range(L):
         p = f"blocks.{i}."
         shapes.update(
@@ -68,12 +69,28 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
                 p + "attn.proj.bias": (h,),
                 p + "norm2.weight": (h,),
                 p + "norm2.bias": (h,),
-                p + "mlp.fc1.weight": (hp.mlp_dim, h),
-                p + "mlp.fc1.bias": (hp.mlp_dim,),
-                p + "mlp.fc2.weight": (h, hp.mlp_dim),
-                p + "mlp.fc2.bias": (h,),
             }
         )
+        if i in moe_set:
+            # V-MoE layer (ops/moe.py): router + per-expert MLP tensors
+            # replace the dense mlp.* pair (dense configs are unchanged,
+            # so the draw order of every committed seed is preserved)
+            shapes[p + "moe.router.weight"] = (hp.num_experts, h)
+            for ex in range(hp.num_experts):
+                ep = f"{p}moe.experts.{ex}."
+                shapes[ep + "fc1.weight"] = (hp.mlp_dim, h)
+                shapes[ep + "fc1.bias"] = (hp.mlp_dim,)
+                shapes[ep + "fc2.weight"] = (h, hp.mlp_dim)
+                shapes[ep + "fc2.bias"] = (h,)
+        else:
+            shapes.update(
+                {
+                    p + "mlp.fc1.weight": (hp.mlp_dim, h),
+                    p + "mlp.fc1.bias": (hp.mlp_dim,),
+                    p + "mlp.fc2.weight": (h, hp.mlp_dim),
+                    p + "mlp.fc2.bias": (h,),
+                }
+            )
     norm_name = "fc_norm" if hp.global_pool == "avg" else "norm"
     shapes[norm_name + ".weight"] = (h,)
     shapes[norm_name + ".bias"] = (h,)
