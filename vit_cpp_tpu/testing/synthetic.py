@@ -118,6 +118,8 @@ def state_dict_shapes(hp: VitHParams) -> Dict[str, tuple]:
         shapes["head_dist.bias"] = (c,)
     if hp.hidden_act == "quick_gelu":
         shapes["meta.clip"] = (1,)  # CLIP family marker (hparams.py)
+    if hp.num_experts:
+        shapes["meta.moe"] = (2,)  # V-MoE marker: [top_k, capacity] values
     return shapes
 
 
@@ -128,6 +130,13 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
     for name, shape in state_dict_shapes(hp).items():
         if name == "meta.clip":
             out[name] = np.ones(shape, np.float32)  # constant marker
+            continue
+        if name == "meta.moe":
+            # value-carrying marker (models/params.infer_moe_hparams
+            # reads top_k/capacity back from it) — never random
+            out[name] = np.asarray(
+                [hp.moe_top_k, hp.moe_capacity], np.float32
+            )
             continue
         if name.endswith("norm1.weight") or name.endswith("norm2.weight") or name in ("norm.weight", "norm_pre.weight", "fc_norm.weight", "attn_pool.norm.weight"):
             v = 1.0 + 0.02 * rng.standard_normal(shape)
