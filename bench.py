@@ -106,6 +106,22 @@ def main() -> int:
         "accuracy cost (ViT-B/16 r=8 ~0.3%% top-1 off-the-shelf)",
     )
     ap.add_argument(
+        "--moe", type=int, default=0, metavar="E",
+        help="V-MoE sparse experts (ops/moe.py): upcycle every "
+        "--moe-every'th block's MLP into E identical experts behind a "
+        "router (function-preserving at init) and bench the routed "
+        "graph. Routing/dispatch/combine are one-hot GEMMs; expert "
+        "einsums run bf16 even under --mm int8 (experts dequantize "
+        "dense at load), so int8-peak MFU understates those layers",
+    )
+    ap.add_argument("--moe-top-k", type=int, default=2, metavar="K",
+                    help="experts per token (V-MoE default 2)")
+    ap.add_argument("--moe-every", type=int, default=2, metavar="N",
+                    help="expert layer stride (layers 1, 1+N, ... — the "
+                    "vit-finetune --moe-every placement)")
+    ap.add_argument("--moe-capacity", type=float, default=1.25, metavar="F",
+                    help="static capacity factor (GShard slot-major drops)")
+    ap.add_argument(
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler device trace of the timed runs",
     )
@@ -227,6 +243,44 @@ def main() -> int:
         seq_len=25 if args.vitstr else None,
     )
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    moe_layers = ()
+    if args.moe:
+        if args.moe < 2:
+            raise SystemExit("--moe needs >= 2 experts")
+        if args.vitstr or args.tome or args.pad_tokens:
+            raise SystemExit(
+                "--moe composes with none of --vitstr/--tome/--pad-tokens"
+            )
+        if args.act == "static":
+            raise SystemExit(
+                "--moe with --act static is unsupported (the calibrator "
+                "taps dense block matmul inputs only)"
+            )
+        if args.train_qat or args.train_lora:
+            raise SystemExit(
+                "--moe with --train-qat/--train-lora is unsupported "
+                "(mirrors vit-finetune)"
+            )
+        # the vit-finetune --moe-every placement (finetune.py)
+        moe_layers = tuple(range(1, hp.num_hidden_layers, args.moe_every))
+
+    def _upcycle(dense_params, dense_hp):
+        import dataclasses
+
+        from vit_cpp_tpu.ops.moe import upcycle_params
+
+        up = upcycle_params(
+            dense_params, dense_hp, args.moe, moe_layers, seed=0
+        )
+        hp2 = dataclasses.replace(
+            dense_hp,
+            num_experts=args.moe,
+            moe_layers=moe_layers,
+            moe_top_k=args.moe_top_k,
+            moe_capacity=args.moe_capacity,
+        )
+        return up, hp2
+
     if args.quant != "none":
         import tempfile
 
@@ -238,7 +292,20 @@ def main() -> int:
         with tempfile.TemporaryDirectory() as d:
             f16 = f"{d}/m.gguf"
             qf = f"{d}/q.gguf"
-            write_synthetic_model(f16, hp, ftype=1, seed=0)
+            if args.moe:
+                # upcycle the dense pytree, round-trip through the gguf
+                # container (meta.moe marker + per-expert tensors), then
+                # quantize — the exact artifact chain a deployed MoE
+                # checkpoint takes (tests/test_moe.py file round trip)
+                from vit_cpp_tpu.models.export import save_params
+
+                dense = params_from_state_dict(
+                    random_state_dict(hp, seed=0), hp
+                )
+                up, hp = _upcycle(dense, hp)
+                save_params(f16, up, hp, ftype=1)
+            else:
+                write_synthetic_model(f16, hp, ftype=1, seed=0)
             quantize_model_file(f16, qf, itype, verbose=False)
             # pass hp explicitly: vitstr geometries need in_chans=1/seq_len
             params = load_params(read_model(qf), dtype=dtype, hparams=hp)
@@ -249,6 +316,8 @@ def main() -> int:
         suffix = args.quant + ("_w8a8" if args.mm == "int8" else "")
     else:
         params = params_from_state_dict(random_state_dict(hp, seed=0), hp, dtype=dtype)
+        if args.moe:
+            params, hp = _upcycle(params, hp)
         suffix = args.dtype
         if args.mm == "int8":
             # f16/bf16 checkpoint on the W8A8 serving path: dense kernels
@@ -282,6 +351,8 @@ def main() -> int:
             raise SystemExit("--tome composes with neither --vitstr nor "
                              "--pad-tokens")
         suffix += f"_tome{args.tome}"
+    if args.moe:
+        suffix += f"_moe{args.moe}top{args.moe_top_k}"
 
     batch = 1 if args.latency else args.batch
     K = args.chain if args.chain is not None else (400 if args.latency else 30)
@@ -355,14 +426,32 @@ def main() -> int:
                     from vit_cpp_tpu.quant.qat import inject_act_scales
 
                     p = inject_act_scales(p, qat_scales)
-            logits = forward(
-                p, x, hp,
-                attn_impl=args.train_attn,
-                mm_impl="qat" if args.train_qat else "xla",
-                remat=remat,
-                unroll=train_unroll,
-                tome=args.tome,
-            )
+            moe_term = 0.0
+            if hp.num_experts:
+                # the vit-finetune MoE objective (parallel/train.py):
+                # Switch balance loss + ST-MoE router z-loss
+                from vit_cpp_tpu.parallel.train import MOE_LB_COEF, MOE_Z_COEF
+
+                logits, aux = forward(
+                    p, x, hp,
+                    attn_impl=args.train_attn,
+                    mm_impl="xla",
+                    remat=remat,
+                    moe_aux=True,
+                )
+                moe_term = (
+                    MOE_LB_COEF * aux["load_balance"]
+                    + MOE_Z_COEF * aux["router_z"]
+                )
+            else:
+                logits = forward(
+                    p, x, hp,
+                    attn_impl=args.train_attn,
+                    mm_impl="qat" if args.train_qat else "xla",
+                    remat=remat,
+                    unroll=train_unroll,
+                    tome=args.tome,
+                )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             if logits.ndim == 3:
                 # vitstr sequence targets (B, S), -1 = masked (position 0)
@@ -372,7 +461,7 @@ def main() -> int:
                 return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
             ce = jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1))
             if not args.train_distill:
-                return ce
+                return ce + moe_term
             # soft KD exactly as parallel/train.distill_cross_entropy_loss
             # (alpha 0.5, tau 3): frozen teacher forward on the same batch
             tau = 3.0
@@ -388,7 +477,7 @@ def main() -> int:
                 logits.astype(jnp.float32) / tau, axis=-1
             )
             kd = -(tau * tau) * jnp.mean(jnp.sum(t_prob * s_logp, axis=-1))
-            return 0.5 * ce + 0.5 * kd
+            return 0.5 * ce + 0.5 * kd + moe_term
 
         optimizer = make_optimizer(
             mu_dtype=jnp.bfloat16 if args.train_mu == "bf16" else None
@@ -559,6 +648,28 @@ def main() -> int:
             attn_flops += 2 * 2 * tl * tl * h
             tl -= rl
             gemm_flops += 2 * tl * (2 * h * hp.mlp_dim)
+    elif args.moe:
+        # EXECUTED flops, not active-parameter flops: every (expert,
+        # capacity-slot) row runs on the MXU whether a token filled it
+        # or not, and the dispatch/combine one-hot GEMMs are real work.
+        # MFU then measures utilization of the routed graph as built.
+        from vit_cpp_tpu.ops.moe import moe_capacity
+
+        cap = moe_capacity(t, args.moe, args.moe_top_k, args.moe_capacity)
+        kt, ec = args.moe_top_k * t, args.moe * cap
+        n_moe = len(moe_layers)
+        n_dense = hp.num_hidden_layers - n_moe
+        gemm_flops = (
+            hp.num_hidden_layers * 2 * t * (h * 3 * h + h * h)  # attn GEMMs
+            + n_dense * 2 * t * 2 * h * hp.mlp_dim  # dense MLPs
+            + n_moe
+            * (
+                2 * t * h * args.moe  # router
+                + 2 * 2 * kt * ec * h  # dispatch + combine one-hots
+                + 2 * ec * 2 * h * hp.mlp_dim  # expert MLPs (all slots)
+            )
+        )
+        attn_flops = hp.num_hidden_layers * 2 * 2 * t * t * h
     else:
         gemm_flops = hp.num_hidden_layers * 2 * t * (
             h * 3 * h + h * h + 2 * h * hp.mlp_dim

@@ -30,6 +30,27 @@ def test_inspect_table_and_family(tmp_path, capsys):
     assert "dist_token" in out and "head_dist.weight" in out
 
 
+def test_inspect_moe_trait(tmp_path, capsys):
+    """A V-MoE checkpoint reports its expert layout as a family trait
+    (layout inferred from blocks.*.moe tensors + the meta.moe marker)."""
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.models.export import save_params
+    from vit_cpp_tpu.ops.moe import upcycle_params
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = dataclasses.replace(HP, num_hidden_layers=4)
+    params = params_from_state_dict(random_state_dict(hp, seed=3), hp)
+    up = upcycle_params(params, hp, 4, (1, 3))
+    hp_moe = dataclasses.replace(
+        hp, num_experts=4, moe_layers=(1, 3), moe_top_k=2, moe_capacity=1.25
+    )
+    p = tmp_path / "moe.gguf"
+    save_params(str(p), up, hp_moe, ftype=1)
+    assert main([str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "v-moe (4 experts top-2 x2 layers, capacity 1.25)" in out
+
+
 def test_inspect_json_with_tensors(tmp_path, capsys):
     p = tmp_path / "m.gguf"
     state = write_synthetic_model(str(p), HP, ftype=0, seed=2)

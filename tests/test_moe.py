@@ -54,8 +54,10 @@ def _images(n=2, seed=0, size=32):
 
 
 def test_capacity_is_static_aligned_and_capped():
-    # ceil(k*T*f/E) rounded up to 8
-    assert moe_capacity(197, 8, 2, 1.25) == -(-int(np.ceil(2 * 197 * 1.25 / 8)) // 8) * 8
+    # hand-computed: ceil(2*197*1.25/8) = ceil(61.5625) = 62, rounded up
+    # to the next multiple of 8 = 64 (independent constant, not a
+    # re-derivation of the implementation's formula)
+    assert moe_capacity(197, 8, 2, 1.25) == 64
     assert moe_capacity(17, 4, 2, 1.25) % 8 == 0
     # a buffer larger than k*T can never fill
     assert moe_capacity(16, 2, 1, 100.0) == 16
@@ -69,12 +71,18 @@ def _moe_oracle(y, mp, hp, act):
     b, t, h = y.shape
     e, k = hp.num_experts, hp.moe_top_k
     cap = moe_capacity(t, e, k, hp.moe_capacity)
-    w = np.asarray(mp["router"]["kernel"], np.float64)
     out = np.zeros((b, t, h), np.float64)
     dropped = 0
     for bi in range(b):
-        logits = y[bi].astype(np.float64) @ w
-        order = np.argsort(-logits, axis=-1, kind="stable")[:, :k]
+        # Routing DECISIONS (top-k order, gates) come from the same f32
+        # logits moe_mlp routes on — a near-tie between experts must
+        # order identically in oracle and implementation. Only the
+        # expert MLP accumulation below runs in f64.
+        logits32 = y[bi].astype(np.float32) @ np.asarray(
+            mp["router"]["kernel"], np.float32
+        )
+        logits = logits32.astype(np.float64)
+        order = np.argsort(-logits32, axis=-1, kind="stable")[:, :k]
         counts = np.zeros(e, np.int64)
         keep = np.zeros((t, k), bool)
         for slot in range(k):
@@ -223,16 +231,37 @@ def test_marker_is_required_and_validated(tmp_path):
         infer_moe_hparams(TINY, tensors)
     bad = dict(mf.tensors)
     rec = bad["meta.moe"]
+    orig = rec.data.copy()  # rec is shared with mf.tensors — restore below
     rec.data[:] = [9.0, 1.25]  # top_k 9 > 4 experts
     with pytest.raises(ValueError, match="top_k"):
         infer_moe_hparams(TINY, bad)
     rec.data[:] = [1.0, -1.0]
     with pytest.raises(ValueError, match="capacity"):
         infer_moe_hparams(TINY, bad)
+    rec.data[:] = orig  # the every-layer check below must read a VALID marker
     with pytest.raises(ValueError, match="every-layer"):
         load_params(
             mf, hparams=_moe_hp(layers=tuple(range(TINY.num_hidden_layers)))
         )
+
+
+def test_f16_save_keeps_router_f32(tmp_path):
+    """ftype=1 export: expert kernels take the f16 2-D rule, the router
+    keeps f32 (its top-k boundaries decide WHICH compute runs — same
+    rationale as the quantizer's router exemption)."""
+    from vit_cpp_tpu.gguf import read_model
+    from vit_cpp_tpu.gguf.dtypes import GGMLDType
+    from vit_cpp_tpu.models.export import save_params
+
+    up, hp_moe = _upcycled()
+    path = str(tmp_path / "moe16.gguf")
+    save_params(path, up, hp_moe, ftype=1)
+    mf = read_model(path)
+    assert mf.tensors["blocks.1.moe.router.weight"].dtype == GGMLDType.F32
+    assert (
+        mf.tensors["blocks.1.moe.experts.0.fc1.weight"].dtype
+        == GGMLDType.F16
+    )
 
 
 def test_quantize_keeps_router_float_and_serves(tmp_path):
@@ -264,6 +293,22 @@ def test_quantize_keeps_router_float_and_serves(tmp_path):
         assert np.isfinite(np.asarray(probs)).all()
         # quantization moves probabilities but not out of this world
         assert np.max(np.abs(np.asarray(probs) - np.asarray(dense_probs))) < 0.35
+
+
+def test_engine_guards_static_scales_and_tome(tmp_path):
+    """VitEngine rejects the two serving knobs that cannot compose with
+    a routed layer loop, with clear messages at construction time
+    (instead of a calibrator shape error / forward trace error later)."""
+    from vit_cpp_tpu.engine import VitEngine
+    from vit_cpp_tpu.models.export import save_params
+
+    up, hp_moe = _upcycled()
+    path = str(tmp_path / "moe.gguf")
+    save_params(path, up, hp_moe, ftype=0)
+    with pytest.raises(ValueError, match="static act scales"):
+        VitEngine(path, verbose=False, mm_impl="int8", act_quant="static")
+    with pytest.raises(ValueError, match="tome"):
+        VitEngine(path, verbose=False, tome=2)
 
 
 def test_train_objective_reaches_router():

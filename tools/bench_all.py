@@ -71,6 +71,25 @@ CONFIGS = [
         ["--quant", "none", "--mm", "xla", "--attn", "pallas"],
     ),
     ("q4_0_w8a8", ["--quant", "q4_0", "--mm", "int8", "--attn", "pallas-fast"]),
+    # V-MoE sparse experts (ops/moe.py): ViT-B upcycled to E=8 experts on
+    # every other layer. k=2 is the V-MoE routing default (each token
+    # runs 2 experts; with capacity 1.25 the routed layers execute
+    # E*cap=512 slot-rows vs 197 dense, so img/s REFLECTS the padded
+    # executed compute — see TUNING "V-MoE"); k=1 is the Switch-style
+    # cheap point. Attention + dense MLPs ride the int8 path; expert
+    # einsums run bf16 (experts dequantize dense at load).
+    (
+        "moe_e8top2_q8_0_w8a8",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--moe", "8"],
+        3600,
+    ),
+    (
+        "moe_e8top1_q8_0_w8a8",
+        ["--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast",
+         "--moe", "8", "--moe-top-k", "1"],
+        3600,
+    ),
     (
         "vitl16_384_q5_1_w8a8_bs64",
         ["--size", "large", "--img", "384", "--quant", "q5_1", "--mm", "int8",
@@ -143,6 +162,14 @@ CONFIGS = [
     (
         "train_bf16_bs64_tome16",
         ["--train", "--chain", "10", "--batch", "64", "--tome", "16"],
+    ),
+    # V-MoE training step (vit-finetune --moe objective: CE + Switch
+    # balance + router z-loss; routed layers unroll, custom-VJP
+    # attention + dots+attn remat)
+    (
+        "train_moe_e8top2_bs64",
+        ["--train", "--chain", "10", "--batch", "64", "--moe", "8"],
+        3600,
     ),
     # quantization-aware training (vit-finetune --qat q8_0): the dense
     # step plus per-leaf weight qdq and per-token activation qdq with

@@ -342,6 +342,43 @@ def check_gap_and_resample():
     assert err < 0.05, f"GAP/resample parity off: {err}"
 
 
+def check_moe():
+    """V-MoE on device: sparse upcycling is function-preserving — the
+    routed forward (one-hot dispatch/combine GEMMs on the MXU, GShard
+    capacity machinery, ops/moe.py) matches the dense forward at init
+    (identical experts + renormalized top-k gates; capacity 8.0 makes
+    drops impossible, cap == k*T). f32 end to end so the comparison
+    budget is reassociation noise, not bf16 rounding."""
+    import dataclasses
+
+    from vit_cpp_tpu.hparams import VitHParams
+    from vit_cpp_tpu.models import params_from_state_dict
+    from vit_cpp_tpu.models.vit import forward
+    from vit_cpp_tpu.ops.moe import upcycle_params
+    from vit_cpp_tpu.testing.synthetic import random_state_dict
+
+    hp = VitHParams(hidden_size=192, num_hidden_layers=12,
+                    num_attention_heads=3, num_classes=1000,
+                    patch_size=16, img_size=224)
+    layers = tuple(range(1, 12, 2))
+    params = params_from_state_dict(random_state_dict(hp, seed=0), hp)
+    up = upcycle_params(params, hp, 8, layers)
+    hp_moe = dataclasses.replace(
+        hp, num_experts=8, moe_layers=layers, moe_top_k=2, moe_capacity=8.0
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 3, 224, 224)), jnp.float32)
+    t0 = time.time()
+    dense = forward(params, x, hp)
+    routed = forward(up, x, hp_moe)
+    err = float(jnp.max(jnp.abs(dense - routed)))
+    print(
+        f"V-MoE upcycled-vs-dense (E=8 top-2, f32) max err {err:.6f} "
+        f"({time.time() - t0:.0f}s)"
+    )
+    assert err < 1e-3, f"MoE function preservation off on device: {err}"
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     check_attention()
@@ -350,4 +387,5 @@ if __name__ == "__main__":
     check_quant_matmuls()
     check_geometries()
     check_gap_and_resample()
+    check_moe()
     print("ALL CHECKS DONE")

@@ -42,6 +42,11 @@ def _family_traits(hp) -> list:
         traits.append(f"registers (reg_token x{hp.num_reg_tokens})")
     if hp.num_classes == 0:
         traits.append("headless encoder (embeddings only)")
+    if hp.num_experts:
+        traits.append(
+            f"v-moe ({hp.num_experts} experts top-{hp.moe_top_k} x"
+            f"{len(hp.moe_layers)} layers, capacity {hp.moe_capacity:g})"
+        )
     return traits
 
 

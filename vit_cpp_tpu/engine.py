@@ -190,6 +190,12 @@ class VitEngine:
             raise ValueError(f"act_quant must be dynamic|static, got {act_quant!r}")
         if act_quant == "static" and mm_impl != "int8":
             raise ValueError("act_quant='static' requires mm_impl='int8'")
+        if act_quant == "static" and hp.num_experts:
+            raise ValueError(
+                "static act scales are unsupported for MoE checkpoints "
+                "(the calibrator walks the dense block stack, "
+                "quant/calibrate.py — serve MoE with dynamic W8A8)"
+            )
         if act_scales is not None:
             # pre-measured scales (a QAT run's OUT.act_scales.json,
             # quant/qat.save_act_scales): attach and skip calibration —
@@ -228,6 +234,10 @@ class VitEngine:
             raise ValueError(
                 "tome token merging is incompatible with sequence-head "
                 "(ViTSTR) checkpoints"
+            )
+        if tome and hp.num_experts:
+            raise ValueError(
+                "tome + MoE is not supported (both re-plan the layer loop)"
             )
         self._tome = tome
         if tome and verbose:

@@ -154,8 +154,18 @@ def random_state_dict(hp: VitHParams, seed: int = 0) -> Dict[str, np.ndarray]:
 
 
 def record_dtype(name: str, ndim: int, ftype: int) -> GGMLDType:
-    """Per-tensor dtype rule of the reference converter (py:141-148)."""
-    if ftype == 1 and ndim != 1 and name not in _KEEP_F32:
+    """Per-tensor dtype rule of the reference converter (py:141-148).
+
+    MoE routers stay f32 even at ftype=1, matching the quantizer's rule
+    (cli/quantize.py): their top-k decision boundaries pick WHICH expert
+    compute runs, they are sub-0.1% of the file, and every consumer
+    routes in f32 (ops/moe.py)."""
+    if (
+        ftype == 1
+        and ndim != 1
+        and name not in _KEEP_F32
+        and ".moe.router." not in name
+    ):
         return GGMLDType.F16
     return GGMLDType.F32
 
