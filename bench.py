@@ -510,6 +510,10 @@ def main() -> int:
                 rng.integers(0, hp.num_classes, (batch,)), jnp.int32
             )
         suffix += "_train"
+        if args.unroll is not None and args.unroll != geo[1]:
+            # explicit non-default layer unroll (e.g. the --unroll 1 scan
+            # baseline) — distinguish the metric from the full-unroll row
+            suffix += f"_unroll{args.unroll}"
         if args.train_distill:
             suffix += f"_distill-{args.train_distill}"
             if args.train_distill_attn != "xla":
