@@ -417,7 +417,7 @@ def main() -> int:
                     convert_params_to_int8(teacher_params), mm_impl="int8"
                 )
 
-        def cross_entropy_loss(p, x, y, hp):
+        def cross_entropy_loss(p, x, y, hp, tparams=None):
             if args.train_qat:
                 from vit_cpp_tpu.quant.qat import fake_quant_params
 
@@ -465,9 +465,13 @@ def main() -> int:
             # soft KD exactly as parallel/train.distill_cross_entropy_loss
             # (alpha 0.5, tau 3): frozen teacher forward on the same batch
             tau = 3.0
+            # tparams flows in as a jit ARGUMENT (not a closure): closed-over
+            # teacher weights would embed as HLO constants — a ~600 MB
+            # serialized program that the axon remote-compile helper
+            # rejects with HTTP 413
             t_logits = jax.lax.stop_gradient(
                 forward(
-                    teacher_params, x, teacher_hp,
+                    tparams, x, teacher_hp,
                     attn_impl=args.train_distill_attn,
                     mm_impl=args.train_distill_mm,
                 )
@@ -490,9 +494,9 @@ def main() -> int:
             lora_alpha = 2.0 * args.train_lora
             dense_loss = cross_entropy_loss
 
-            def cross_entropy_loss(tr, x, y, hp):  # noqa: F811
+            def cross_entropy_loss(tr, x, y, hp, tparams=None):  # noqa: F811
                 return dense_loss(
-                    merge_lora(lora_base, tr, lora_alpha), x, y, hp
+                    merge_lora(lora_base, tr, lora_alpha), x, y, hp, tparams
                 )
 
             params = lora_trainable(params, args.train_lora)
@@ -528,7 +532,7 @@ def main() -> int:
                 suffix += "-static"
 
         @jax.jit
-        def chained(s0, x0):
+        def chained(s0, x0, tp):
             def step(s, _):
                 # step-dependent runtime-zero image perturbation: without
                 # it the FROZEN-teacher forward (--train-distill) is
@@ -542,7 +546,7 @@ def main() -> int:
                     else x0
                 )
                 loss, grads = jax.value_and_grad(cross_entropy_loss)(
-                    s.params, x, labels, hp
+                    s.params, x, labels, hp, tp
                 )
                 updates, opt_state = optimizer.update(
                     grads, s.opt_state, s.params
@@ -554,7 +558,9 @@ def main() -> int:
             # the last loss depends on step K-1's params: full chain forced
             return losses[-1]
 
-        chained_args = (state0, images)
+        # teacher weights ride as the third ARGUMENT (None when not
+        # distilling) so they never serialize as program constants
+        chained_args = (state0, images, teacher_params)
     elif args.aot:
         # the .vitx serving path (aot.py): weights constant-folded at
         # export, program round-tripped through serialize/deserialize.

@@ -163,28 +163,29 @@ CONFIGS = [
         "train_bf16_bs64_tome16",
         ["--train", "--chain", "10", "--batch", "64", "--tome", "16"],
     ),
-    # knowledge distillation (vit-finetune --distill): the dense train
-    # step plus a frozen ViT-L teacher forward on every batch — measured
-    # once with the teacher on plain XLA bf16, once with the teacher on
-    # the W8A8 serving path (stop_gradient'd, so the non-differentiable
-    # serving kernels are legal inside the loss). Distill rows run the
-    # --unroll 1 scan student: the fully-unrolled student + teacher HLO
-    # exceeds the axon remote-compile request limit (HTTP 413) — so the
-    # scan baseline below is their apples-to-apples dense reference
+    # the --unroll 1 scan student: the measured other side of the
+    # unroll-vs-scan training verdict (full unroll +16%)
     (
         "train_bf16_bs64_scan",
         ["--train", "--chain", "10", "--batch", "64", "--unroll", "1"],
         3600,
     ),
+    # knowledge distillation (vit-finetune --distill): the dense train
+    # step plus a frozen ViT-L teacher forward on every batch — measured
+    # once with the teacher on plain XLA bf16, once with the teacher on
+    # the W8A8 serving path (stop_gradient'd, so the non-differentiable
+    # serving kernels are legal inside the loss). Teacher weights must
+    # ride as jit ARGUMENTS (bench.py): closed-over they serialize as
+    # ~600 MB of HLO constants and the remote-compile helper 413s
     (
         "train_bf16_bs64_distill_large",
-        ["--train", "--chain", "10", "--batch", "64", "--unroll", "1",
+        ["--train", "--chain", "10", "--batch", "64",
          "--train-distill", "large"],
         3600,
     ),
     (
         "train_bf16_bs64_distill_large_serve",
-        ["--train", "--chain", "10", "--batch", "64", "--unroll", "1",
+        ["--train", "--chain", "10", "--batch", "64",
          "--train-distill", "large", "--train-distill-attn", "pallas-fast",
          "--train-distill-mm", "int8"],
         3600,
