@@ -666,7 +666,7 @@ def main() -> int:
         from vit_cpp_tpu.ops.moe import moe_capacity
 
         cap = moe_capacity(t, args.moe, args.moe_top_k, args.moe_capacity)
-        kt, ec = args.moe_top_k * t, args.moe * cap
+        ec = args.moe * cap
         n_moe = len(moe_layers)
         n_dense = hp.num_hidden_layers - n_moe
         gemm_flops = (
@@ -675,7 +675,11 @@ def main() -> int:
             + n_moe
             * (
                 2 * t * h * args.moe  # router
-                + 2 * 2 * kt * ec * h  # dispatch + combine one-hots
+                # dispatch + combine one-hots contract over T (the k
+                # routing slots are summed out of both matrices —
+                # ops/moe.py); the triangular position GEMM is <0.4
+                # GFLOP/img and excluded like ToMe's merge matmuls
+                + 2 * 2 * t * ec * h
                 + 2 * ec * 2 * h * hp.mlp_dim  # expert MLPs (all slots)
             )
         )

@@ -369,8 +369,13 @@ def check_moe():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((8, 3, 224, 224)), jnp.float32)
     t0 = time.time()
-    dense = forward(params, x, hp)
-    routed = forward(up, x, hp_moe)
+    # true-f32 matmuls: at the TPU default precision f32 dots run as
+    # bf16 MXU passes and the two graphs' different reassociations
+    # diverge to ~1.5e-2 on logits (measured) — the engine's f32 parity
+    # path pins 'highest' for exactly this reason (engine.py)
+    with jax.default_matmul_precision("highest"):
+        dense = forward(params, x, hp)
+        routed = forward(up, x, hp_moe)
     err = float(jnp.max(jnp.abs(dense - routed)))
     print(
         f"V-MoE upcycled-vs-dense (E=8 top-2, f32) max err {err:.6f} "

@@ -9,8 +9,12 @@ NeurIPS 2021) — built the TPU way:
   (the ToMe merge-matrix lesson, docs/TUNING.md "ToMe token merging":
   per-token index ops fragment XLA fusions and drag the main GEMMs);
 - routing groups are per-example (the V-MoE recipe): the dispatch
-  one-hot is (B, k*T, E*C) — a few MB at flagship shape — instead of
-  the gigabytes a global one-hot over all B*T tokens would cost;
+  one-hot is (B, T, E*C) after summing out the k routing slots (exact —
+  destination slots are unique, and the combine sums over k anyway) —
+  a few MB at flagship shape — instead of the gigabytes a global
+  one-hot over all B*T tokens would cost; slot positions come from a
+  strictly-triangular GEMM, not a cumsum (reduce-window measured 4.5%
+  of the train step, TUNING "V-MoE");
 - capacity is STATIC: C = ceil(k*T*capacity/E) rounded up to 8, so the
   whole layer is fixed-shape under jit. Overflow tokens are dropped
   deterministically in slot-major, token-order priority (GShard
@@ -90,18 +94,34 @@ def moe_mlp(
     # capacity before any token's second choice. Entries are ordered
     # [slot 0: tokens 0..T-1, slot 1: tokens 0..T-1, ...].
     idx_sm = jnp.swapaxes(idx, 1, 2).reshape(b, k * t)  # (B, kT)
-    oh = jax.nn.one_hot(idx_sm, e, dtype=jnp.int32)  # (B, kT, E)
-    pos_before = jnp.cumsum(oh, axis=1) - oh
-    posn = jnp.sum(pos_before * oh, axis=-1)  # (B, kT) slot within expert
+    oh = jax.nn.one_hot(idx_sm, e, dtype=jnp.float32)  # (B, kT, E)
+    # positions-within-expert as a strictly-lower-triangular GEMM, not a
+    # cumsum: XLA lowers cumsum to reduce-window, measured 4.8 ms/step
+    # (4.5%) in the bs64 MoE train profile vs ~10 us for the (kT, kT)
+    # triangular matmul (TUNING "V-MoE"). HIGHEST precision keeps f32
+    # exact for integer counts (values <= kT << 2^24; the TPU-default
+    # bf16 passes round integers above 256).
+    tri = jnp.tril(jnp.ones((k * t, k * t), jnp.float32), k=-1)
+    pos_before = jnp.einsum(
+        "st,bte->bse", tri, oh, precision=jax.lax.Precision.HIGHEST
+    )
+    posn = jnp.sum(pos_before * oh, axis=-1).astype(jnp.int32)  # (B, kT)
     keep = posn < cap
     dest = idx_sm * cap + posn  # flat (expert, slot) id
 
-    # Dispatch one-hot (B, kT, E*C) — applied to activations as ONE
-    # batched GEMM per direction; entries for dropped tokens are zero.
+    # Dispatch one-hot — applied to activations as ONE batched GEMM per
+    # direction; entries for dropped tokens are zero. The k slot copies
+    # FOLD OUT of both GEMMs: y_sm[(slot, t)] == y[t] and the combine
+    # sums over k anyway, so contracting with the k-summed (B, T, E*C)
+    # matrices is exact — destination slots are unique per (token, slot),
+    # so the sum stays 0/1 — and halves the one-hot GEMM FLOPs while
+    # deleting the (B, kT, h) activation replication (a measured 5%
+    # copy family in the serving profile).
     disp = jax.nn.one_hot(dest, e * cap, dtype=y.dtype)
     disp = disp * keep[..., None].astype(y.dtype)
-    y_sm = jnp.concatenate([y] * k, axis=1)  # (B, kT, h) slot-major copies
-    xe = jnp.einsum("bsc,bsh->bch", disp, y_sm).reshape(b, e, cap, h)
+    disp4 = disp.reshape(b, k, t, e * cap)
+    xe = jnp.einsum("btc,bth->bch", disp4.sum(axis=1), y)
+    xe = xe.reshape(b, e, cap, h)
 
     # Expert MLPs: batched over E on the MXU. Empty capacity slots run
     # garbage (bias + act of zero rows) that the combine GEMM zeroes.
@@ -114,11 +134,11 @@ def moe_mlp(
         + mp["fc2"]["bias"][None, :, None, :]
     )
 
-    # Combine = gate-weighted transpose of the dispatch one-hot.
-    gates_sm = jnp.swapaxes(gates, 1, 2).reshape(b, k * t)
-    comb = disp * gates_sm[..., None].astype(y.dtype)
-    out = jnp.einsum("bsc,bch->bsh", comb, f2.reshape(b, e * cap, h))
-    out = out.reshape(b, k, t, h).sum(axis=1)
+    # Combine = gate-weighted transpose of the dispatch one-hot, k-summed
+    # (the output token sums its k experts' contributions regardless).
+    gates_sm = jnp.swapaxes(gates, 1, 2).reshape(b, k, t)
+    comb = (disp4 * gates_sm[..., None].astype(y.dtype)).sum(axis=1)
+    out = jnp.einsum("btc,bch->bth", comb, f2.reshape(b, e * cap, h))
 
     probs = jax.nn.softmax(logits, axis=-1)  # (B, T, E) f32
     f_top1 = jnp.mean(
