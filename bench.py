@@ -15,7 +15,9 @@ Default config: ViT-B/16 Q8_0 on the W8A8 int8-MXU path with the fused
 masked-pair attention kernel — the production serving configuration
 (BASELINE.json configs[2]). Flags: --batch N, --chain K, --dtype bf16|f32,
 --quant none|q8_0|q4_0|q5_1, --mm xla|pallas|int8, --attn
-xla|pallas|pallas-fast, --fold-ln, --unroll N, --latency (p50 B=1).
+xla|pallas|pallas-fast, --fold-ln, --unroll N, --latency (p50 B=1),
+--tome R, --moe E (V-MoE upcycling), --train (+ --train-distill /
+--train-lora / --train-qat variants).
 Round-2 reference points on one v5e chip (canonical: BENCH_DETAILS.json):
 Q8_0 W8A8 ~5,290 img/s; `--quant none` (f16 ckpt -> dense-W8A8) ~5,300;
 honest dense bf16 (`--mm xla`) ~4,560.
