@@ -295,6 +295,38 @@ def test_quantize_keeps_router_float_and_serves(tmp_path):
         assert np.max(np.abs(np.asarray(probs) - np.asarray(dense_probs))) < 0.35
 
 
+def test_moe_composes_with_features_and_gap():
+    """MoE is an MLP-half substitution, so it must compose with the
+    readout variants: features=True (embeddings) and CLS-less
+    global-average-pool checkpoints — both function-preserving at
+    upcycle init like the classifier path."""
+    # embeddings: routed forward(features=True) == dense at init
+    hp = TINY
+    params = params_from_state_dict(random_state_dict(hp, seed=5), hp)
+    up = upcycle_params(params, hp, 4, (1, 3), seed=5)
+    hp_moe = _moe_hp(hp)
+    dense = forward(params, _images(seed=5), hp, features=True)
+    routed = forward(up, _images(seed=5), hp_moe, features=True)
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(dense), atol=2e-5, rtol=2e-5
+    )
+    # CLS-less avg-pool family (MAE/DeiT3): same invariant
+    hp_gap = dataclasses.replace(
+        TINY, num_prefix_tokens=0, global_pool="avg"
+    )
+    pg = params_from_state_dict(random_state_dict(hp_gap, seed=6), hp_gap)
+    upg = upcycle_params(pg, hp_gap, 4, (1, 3), seed=6)
+    hpg_moe = dataclasses.replace(
+        hp_gap, num_experts=4, moe_layers=(1, 3), moe_top_k=2,
+        moe_capacity=4.0,
+    )
+    want = forward(pg, _images(seed=6), hp_gap)
+    got = forward(upg, _images(seed=6), hpg_moe)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_engine_guards_static_scales_and_tome(tmp_path):
     """VitEngine rejects the two serving knobs that cannot compose with
     a routed layer loop, with clear messages at construction time

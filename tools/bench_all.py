@@ -137,6 +137,15 @@ CONFIGS = [
         "latency_q8_0_w8a8",
         ["--latency", "--quant", "q8_0", "--mm", "int8", "--attn", "pallas-fast"],
     ),
+    # V-MoE single-image latency: at B=1 the expert GEMMs run cap-row
+    # slices of one example — the underfilled-GEMM floor the batch-1
+    # analysis prices, paid once per routed layer
+    (
+        "latency_moe_e8top2",
+        ["--latency", "--quant", "q8_0", "--mm", "int8",
+         "--attn", "pallas-fast", "--moe", "8"],
+        3600,
+    ),
     # latency-critical deployment config: static act scales delete the
     # per-GEMM absmax reduces that can't amortize at batch 1 (r3: 0.340
     # vs 0.357-0.367 ms)
