@@ -80,12 +80,15 @@ def moe_mlp(
     e, k = hp.num_experts, hp.moe_top_k
     cap = moe_capacity(t, e, k, hp.moe_capacity)
 
-    # Router in f32: the decision boundaries are argmax-fragile and the
-    # matmul is tiny ((T, h) x (h, E) — E lanes), so precision is free.
+    # Router in TRUE f32: the decision boundaries are argmax-fragile and
+    # the matmul is tiny ((T, h) x (h, E) — E lanes), so precision is
+    # free. HIGHEST is load-bearing on TPU — at the default precision an
+    # f32 dot runs as bf16 passes, silently routing on bf16 logits.
     logits = jnp.einsum(
         "bth,he->bte",
         y.astype(jnp.float32),
         mp["router"]["kernel"].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     vals, idx = jax.lax.top_k(logits, k)  # (B, T, k)
     gates = jax.nn.softmax(vals, axis=-1)  # renormalized over the top-k
