@@ -143,6 +143,43 @@ def test_fsdp_composes_with_tp(setup):
     assert float(loss) < l0  # descends
 
 
+@pytest.mark.slow
+def test_fsdp_composes_with_moe(setup):
+    """ZeRO-3 on a V-MoE pytree: the 8x expert kernels (the state that
+    makes MoE training memory-hungry, TUNING "V-MoE" peak 8.2 GB) take
+    a "data" dim on top of their expert-parallel "model" dim, and the
+    FSDP-sharded routed train step matches plain DP losses."""
+    import dataclasses
+
+    from vit_cpp_tpu.ops.moe import upcycle_params
+
+    params, images, labels = setup
+    up = upcycle_params(params, TINY, 4, (1,))
+    hp_moe = dataclasses.replace(
+        TINY, num_experts=4, moe_layers=(1,), moe_top_k=2, moe_capacity=2.0
+    )
+    mesh = make_mesh(dp=4, tp=2)
+    specs = fsdp_pspecs(up, mesh)
+    # expert fc1 kernel (Lm=1, E=4, in=64, out=256): "model" holds E,
+    # FSDP widens the largest divisible free dim (out=256 % 4 == 0)
+    assert specs["moe"]["fc1"]["kernel"] == P(None, "model", None, "data")
+    # the router replicates for SERVING (param_pspecs) but under FSDP it
+    # carries optimizer state like any dense leaf — its h dim shards
+    assert specs["moe"]["router"]["kernel"] == P(None, "data", None)
+    optimizer = make_optimizer(lr=1e-3)
+    losses = {}
+    for fsdp in (False, True):
+        with mesh:
+            state = create_train_state(up, mesh, optimizer, fsdp=fsdp)
+            si, sl = shard_batch(images, labels, mesh)
+            run = []
+            for _ in range(3):
+                state, loss = train_step(state, si, sl, hp_moe, optimizer)
+                run.append(float(loss))
+        losses[fsdp] = run
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
 def test_fsdp_serving_path_unaffected(setup):
     """shard_params' default stays TP-only — serving has no opt state to
     shard and must not pick up surprise all-gathers."""
